@@ -1,0 +1,98 @@
+"""Prompt + color-context encoding → typed PwW conditioning.
+
+TPU-native replacement for the reference's ``_encode_text_color_inputs``
+(reference `paint_with_words/paint_with_words.py:315-388`): the same inputs
+produce a :class:`~pww_tpu.types.PwwState` plus cond/uncond text embeddings,
+with the rasterization running as one jit'd stage and CFG batched as
+``concat([uncond, cond])`` instead of two dicts for two UNet calls.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.weight_functions import AnyWeightFunction, as_weight_function
+from ..types import PwwState
+from .color_context import Region, separate_image_context, token_match_matrix
+from .rasterize import rasterize_pyramid
+
+
+@dataclasses.dataclass
+class EncodedInputs:
+    """Everything the denoise loop needs, CFG-batched (row 0 = uncond)."""
+
+    text_states: jnp.ndarray  # (2, T, D): [uncond, cond]
+    pww: PwwState  # weights have batch dim 2 with zero uncond rows
+    regions: List[Region]
+    prompt_ids: List[int]
+    width: int
+    height: int
+
+
+def encode_text_color_inputs(
+    encode_text: Callable[[jnp.ndarray], jnp.ndarray],
+    tokenizer,
+    color_map: Optional[np.ndarray],  # (H, W, 3) uint8 or None
+    color_context: Dict,
+    prompt: str,
+    negative_prompt: str = "",
+    weight_function: Optional[AnyWeightFunction] = None,
+) -> EncodedInputs:
+    """Host prologue: parse, tokenize, rasterize, CLIP-encode.
+
+    ``encode_text``: jitted CLIP apply taking (B, 77) int32 ids.
+    """
+    max_len = tokenizer.model_max_length
+    prompt_ids = tokenizer(
+        prompt, max_length=max_len, truncation=True, padding=True
+    )["input_ids"]
+    uncond_ids = tokenizer(
+        negative_prompt, max_length=max_len, truncation=True, padding=True
+    )["input_ids"]
+
+    regions, width, height = separate_image_context(
+        color_map, dict(color_context), tokenizer
+    )
+    match = token_match_matrix(regions, prompt_ids, max_len)
+
+    masks = np.stack([r.mask for r in regions])  # (R, H, W)
+    blur = np.array(
+        [r.blur_sigma if r.blur_sigma else 0.0 for r in regions], np.float32
+    )
+    has_blur = bool((blur > 0).any())
+    pyramid, orig = rasterize_pyramid(
+        jnp.asarray(masks),
+        jnp.asarray(match),
+        jnp.asarray(blur) if has_blur else None,
+        height=height,
+        width=width,
+    )
+
+    # CFG batch: row 0 uncond (zero weights — reference passes int 0), row 1 cond.
+    def cfg_pair(x: jnp.ndarray) -> jnp.ndarray:
+        z = jnp.zeros_like(x)
+        return jnp.stack([z, x])
+
+    weights = {k: cfg_pair(v) for k, v in pyramid.items()}
+    weight_orig = cfg_pair(orig)
+
+    ids = jnp.asarray([uncond_ids, prompt_ids], jnp.int32)
+    text_states = encode_text(ids)  # (2, T, D)
+
+    pww = PwwState(
+        weights=weights,
+        weight_orig=weight_orig,
+        sigma=jnp.float32(0.0),
+        weight_fn=as_weight_function(weight_function),
+    )
+    return EncodedInputs(
+        text_states=text_states,
+        pww=pww,
+        regions=regions,
+        prompt_ids=list(prompt_ids),
+        width=width,
+        height=height,
+    )

@@ -1,0 +1,171 @@
+"""Frozen configuration dataclasses for the PwW-TPU framework.
+
+The reference keeps configuration implicit (function kwargs + a `.env` token,
+see reference `setup.py`, `runner.py:9-72`). Here every model / scheduler /
+pipeline knob is an explicit frozen dataclass so configs hash, compare, and act
+as static jit arguments.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class CLIPTextConfig:
+    """CLIP text-encoder hyperparameters (SD 1.x uses openai/clip-vit-large-patch14)."""
+
+    vocab_size: int = 49408
+    hidden_size: int = 768
+    intermediate_size: int = 3072
+    num_layers: int = 12
+    num_heads: int = 12
+    max_position_embeddings: int = 77
+    layer_norm_eps: float = 1e-5
+    # SD 1.x CLIP uses quick_gelu; SD 2.x OpenCLIP uses gelu.
+    hidden_act: str = "quick_gelu"
+
+    @staticmethod
+    def sd15() -> "CLIPTextConfig":
+        return CLIPTextConfig()
+
+    @staticmethod
+    def tiny() -> "CLIPTextConfig":
+        """Small config for tests."""
+        return CLIPTextConfig(
+            vocab_size=1000, hidden_size=32, intermediate_size=64,
+            num_layers=2, num_heads=4, max_position_embeddings=77,
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class UNetConfig:
+    """SD UNet2DConditionModel hyperparameters.
+
+    Defaults mirror the SD-1.5 architecture the reference loads via diffusers
+    (reference `paint_with_words/paint_with_words.py:174-189`).
+    """
+
+    in_channels: int = 4
+    out_channels: int = 4
+    sample_size: int = 64
+    block_out_channels: Tuple[int, ...] = (320, 640, 1280, 1280)
+    layers_per_block: int = 2
+    # SD-1.x: 8 attention heads at every resolution; head_dim = channels // 8.
+    num_attention_heads: int = 8
+    cross_attention_dim: int = 768
+    norm_num_groups: int = 32
+    time_embed_mult: int = 4
+    # Which down/up blocks carry cross-attention transformers. SD-1.x: all but
+    # the innermost down block / outermost up block.
+    down_block_has_attn: Tuple[bool, ...] = (True, True, True, False)
+    flash_attention: bool = True  # use Pallas flash self-attention on TPU
+
+    @property
+    def up_block_has_attn(self) -> Tuple[bool, ...]:
+        return tuple(reversed(self.down_block_has_attn))
+
+    @staticmethod
+    def sd15(in_channels: int = 4) -> "UNetConfig":
+        return UNetConfig(in_channels=in_channels)
+
+    @staticmethod
+    def sd15_inpaint() -> "UNetConfig":
+        """9-channel inpainting UNet (runwayml/stable-diffusion-inpainting)."""
+        return UNetConfig(in_channels=9)
+
+    @staticmethod
+    def tiny(in_channels: int = 4, cross_attention_dim: int = 32) -> "UNetConfig":
+        return UNetConfig(
+            in_channels=in_channels,
+            block_out_channels=(32, 64),
+            layers_per_block=1,
+            num_attention_heads=4,
+            cross_attention_dim=cross_attention_dim,
+            norm_num_groups=8,
+            down_block_has_attn=(True, False),
+            sample_size=16,
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class VAEConfig:
+    """AutoencoderKL hyperparameters (SD 1.x)."""
+
+    in_channels: int = 3
+    out_channels: int = 3
+    latent_channels: int = 4
+    block_out_channels: Tuple[int, ...] = (128, 256, 512, 512)
+    layers_per_block: int = 2
+    norm_num_groups: int = 32
+    scaling_factor: float = 0.18215
+
+    @staticmethod
+    def sd15() -> "VAEConfig":
+        return VAEConfig()
+
+    @property
+    def scale_factor(self) -> int:
+        """Spatial downsampling factor (8 for SD: 3 stride-2 stages)."""
+        return 2 ** (len(self.block_out_channels) - 1)
+
+    @staticmethod
+    def tiny() -> "VAEConfig":
+        return VAEConfig(
+            block_out_channels=(8, 16, 16, 32), layers_per_block=1,
+            norm_num_groups=4,
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class SchedulerConfig:
+    """Noise schedule shared by every scheduler.
+
+    Matches the reference's hardcoded LMS construction
+    (reference `paint_with_words/paint_with_words.py:197-202`).
+    """
+
+    num_train_timesteps: int = 1000
+    beta_start: float = 0.00085
+    beta_end: float = 0.012
+    beta_schedule: str = "scaled_linear"
+    steps_offset: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh layout for data/tensor parallel execution."""
+
+    data_axis: str = "dp"
+    model_axis: str = "tp"
+    data_parallel: int = 1
+    tensor_parallel: int = 1
+
+
+@dataclasses.dataclass(frozen=True)
+class SDModelConfig:
+    """Full SD model family bundle."""
+
+    clip: CLIPTextConfig = dataclasses.field(default_factory=CLIPTextConfig.sd15)
+    unet: UNetConfig = dataclasses.field(default_factory=UNetConfig.sd15)
+    vae: VAEConfig = dataclasses.field(default_factory=VAEConfig.sd15)
+    scheduler: SchedulerConfig = dataclasses.field(default_factory=SchedulerConfig)
+
+    @staticmethod
+    def sd15() -> "SDModelConfig":
+        return SDModelConfig()
+
+    @staticmethod
+    def sd15_inpaint() -> "SDModelConfig":
+        return SDModelConfig(unet=UNetConfig.sd15_inpaint())
+
+    @staticmethod
+    def tiny(in_channels: int = 4) -> "SDModelConfig":
+        clip = CLIPTextConfig.tiny()
+        return SDModelConfig(
+            clip=clip,
+            unet=UNetConfig.tiny(
+                in_channels=in_channels, cross_attention_dim=clip.hidden_size
+            ),
+            vae=VAEConfig.tiny(),
+        )

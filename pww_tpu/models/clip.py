@@ -1,0 +1,90 @@
+"""Flax CLIP text encoder (SD 1.x text conditioning).
+
+The reference loads ``transformers.CLIPTextModel`` from the HF hub (reference
+`paint_with_words/paint_with_words.py:171`); the TPU build owns this layer so
+the whole encode step jits. Architecture = CLIP ViT-L/14 text tower: learned
+token + position embeddings, pre-LN transformer with causal self-attention and
+quick-GELU MLP, final LayerNorm. Output is the full last-hidden-state sequence
+(what SD uses as ``encoder_hidden_states``).
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..config import CLIPTextConfig
+from ..ops.attention import merge_heads, pww_attention, split_heads
+
+
+def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+class CLIPAttention(nn.Module):
+    config: CLIPTextConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.config
+        d = cfg.hidden_size
+        q = nn.Dense(d, dtype=self.dtype, name="q_proj")(x)
+        k = nn.Dense(d, dtype=self.dtype, name="k_proj")(x)
+        v = nn.Dense(d, dtype=self.dtype, name="v_proj")(x)
+        q, k, v = (split_heads(t, cfg.num_heads) for t in (q, k, v))
+        out = merge_heads(pww_attention(q, k, v, causal=True))
+        return nn.Dense(d, dtype=self.dtype, name="out_proj")(out)
+
+
+class CLIPMLP(nn.Module):
+    config: CLIPTextConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.config
+        h = nn.Dense(cfg.intermediate_size, dtype=self.dtype, name="fc1")(x)
+        h = quick_gelu(h) if cfg.hidden_act == "quick_gelu" else jax.nn.gelu(h, approximate=False)
+        return nn.Dense(cfg.hidden_size, dtype=self.dtype, name="fc2")(h)
+
+
+class CLIPEncoderLayer(nn.Module):
+    config: CLIPTextConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.config
+        h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32, name="layer_norm1")(x)
+        x = x + CLIPAttention(cfg, self.dtype, name="self_attn")(h.astype(self.dtype))
+        h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32, name="layer_norm2")(x)
+        x = x + CLIPMLP(cfg, self.dtype, name="mlp")(h.astype(self.dtype))
+        return x
+
+
+class CLIPTextEncoder(nn.Module):
+    """Returns the last hidden state, (B, L, hidden_size)."""
+
+    config: CLIPTextConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, input_ids: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.config
+        tok = nn.Embed(
+            cfg.vocab_size, cfg.hidden_size, dtype=self.dtype, name="token_embedding"
+        )(input_ids)
+        pos_table = self.param(
+            "position_embedding",
+            nn.initializers.normal(0.01),
+            (cfg.max_position_embeddings, cfg.hidden_size),
+        )
+        x = tok + pos_table[None, : input_ids.shape[1]].astype(self.dtype)
+        for i in range(cfg.num_layers):
+            x = CLIPEncoderLayer(cfg, self.dtype, name=f"layers_{i}")(x)
+        return nn.LayerNorm(
+            epsilon=cfg.layer_norm_eps, dtype=jnp.float32, name="final_layer_norm"
+        )(x).astype(self.dtype)

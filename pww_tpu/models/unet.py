@@ -1,0 +1,304 @@
+"""Flax UNet2DCondition with first-class paint-with-words bias threading.
+
+Replaces the diffusers ``UNet2DConditionModel`` the reference loads and
+monkeypatches (reference `paint_with_words/paint_with_words.py:174-195`).
+Architecture matches SD-1.x so converted checkpoints drop in:
+
+  conv_in → [CrossAttnDownBlock2D ×3, DownBlock2D] → mid(CrossAttn) →
+  [UpBlock2D, CrossAttnUpBlock2D ×3] → GroupNorm/SiLU/conv_out
+
+TPU-first choices: NHWC layout (XLA's preferred conv layout on TPU), bf16
+compute with f32 norms/softmax, the PwW bias delivered as a typed
+:class:`~pww_tpu.types.PwwState` operand instead of a patched forward, and
+Pallas flash attention for the (bias-free) self-attention sites.
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..config import UNetConfig
+from ..ops.attention import merge_heads, pww_attention, split_heads
+from ..types import PwwState
+
+
+def timestep_embedding(
+    timesteps: jnp.ndarray, dim: int, max_period: float = 10000.0
+) -> jnp.ndarray:
+    """Sinusoidal embedding, SD convention (flip_sin_to_cos=True, shift=0)."""
+    half = dim // 2
+    freqs = jnp.exp(
+        -math.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half
+    )
+    args = timesteps.astype(jnp.float32)[:, None] * freqs[None]
+    return jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+
+
+class TimestepEmbedding(nn.Module):
+    dim: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, t_emb: jnp.ndarray) -> jnp.ndarray:
+        h = nn.Dense(self.dim, dtype=self.dtype, name="linear_1")(t_emb)
+        return nn.Dense(self.dim, dtype=self.dtype, name="linear_2")(nn.silu(h))
+
+
+class ResnetBlock(nn.Module):
+    out_channels: int
+    groups: int = 32
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, temb: jnp.ndarray) -> jnp.ndarray:
+        c_in = x.shape[-1]
+        h = nn.GroupNorm(self.groups, epsilon=1e-5, dtype=jnp.float32, name="norm1")(x)
+        h = nn.Conv(
+            self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1"
+        )(nn.silu(h).astype(self.dtype))
+        t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(
+            nn.silu(temb)
+        )
+        h = h + t[:, None, None, :]
+        h = nn.GroupNorm(self.groups, epsilon=1e-5, dtype=jnp.float32, name="norm2")(h)
+        h = nn.Conv(
+            self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2"
+        )(nn.silu(h).astype(self.dtype))
+        if c_in != self.out_channels:
+            x = nn.Conv(
+                self.out_channels, (1, 1), dtype=self.dtype, name="conv_shortcut"
+            )(x)
+        return x + h
+
+
+class FeedForwardGEGLU(nn.Module):
+    dim: int
+    mult: int = 4
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        inner = self.dim * self.mult
+        hg = nn.Dense(inner * 2, dtype=self.dtype, name="proj_in")(x)
+        h, gate = jnp.split(hg, 2, axis=-1)
+        return nn.Dense(self.dim, dtype=self.dtype, name="proj_out")(
+            h * jax.nn.gelu(gate.astype(jnp.float32), approximate=False).astype(self.dtype)
+        )
+
+
+class CrossAttention(nn.Module):
+    """q from hidden states; k,v from (optionally) a context sequence.
+
+    With a :class:`PwwState` and a context, applies the PwW additive logit
+    bias exactly as the reference's ``inj_forward`` does (pre-scale add,
+    per-sample qk reduction) — but as a plain function argument.
+    """
+
+    num_heads: int
+    head_dim: int
+    use_flash: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        context: Optional[jnp.ndarray] = None,
+        pww: Optional[PwwState] = None,
+    ) -> jnp.ndarray:
+        inner = self.num_heads * self.head_dim
+        is_self = context is None
+        ctx = x if is_self else context
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
+        q, k, v = (split_heads(t, self.num_heads) for t in (q, k, v))
+
+        bias_w = None
+        weight_fn = None
+        sigma = None
+        if pww is not None and not is_self:
+            bias_w = pww.bias_for(x.shape[1])
+            weight_fn = pww.weight_fn
+            sigma = pww.sigma
+
+        if is_self and self.use_flash and q.shape[2] >= 1024:
+            from ..ops.flash_attention import flash_self_attention
+
+            out = flash_self_attention(q, k, v)
+        else:
+            out = pww_attention(
+                q, k, v, bias_w=bias_w, weight_fn=weight_fn, sigma=sigma
+            )
+        return nn.Dense(inner, dtype=self.dtype, name="to_out")(merge_heads(out))
+
+
+class TransformerBlock(nn.Module):
+    num_heads: int
+    head_dim: int
+    use_flash: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context, pww):
+        dim = x.shape[-1]
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(x)
+        x = x + CrossAttention(
+            self.num_heads, self.head_dim, self.use_flash, self.dtype, name="attn1"
+        )(h.astype(self.dtype))
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(x)
+        x = x + CrossAttention(
+            self.num_heads, self.head_dim, False, self.dtype, name="attn2"
+        )(h.astype(self.dtype), context=context, pww=pww)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm3")(x)
+        x = x + FeedForwardGEGLU(dim, dtype=self.dtype, name="ff")(h.astype(self.dtype))
+        return x
+
+
+class Transformer2D(nn.Module):
+    """GroupNorm → 1x1 proj → transformer blocks over flattened space → 1x1 proj."""
+
+    num_heads: int
+    head_dim: int
+    depth: int = 1
+    use_flash: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context, pww):
+        b, h, w, c = x.shape
+        residual = x
+        z = nn.GroupNorm(32, epsilon=1e-6, dtype=jnp.float32, name="norm")(x)
+        z = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_in")(z.astype(self.dtype))
+        z = z.reshape(b, h * w, c)
+        for i in range(self.depth):
+            z = TransformerBlock(
+                self.num_heads, self.head_dim, self.use_flash, self.dtype,
+                name=f"blocks_{i}",
+            )(z, context, pww)
+        z = z.reshape(b, h, w, c)
+        z = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_out")(z)
+        return z + residual
+
+
+class Downsample(nn.Module):
+    channels: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(
+            self.channels, (3, 3), strides=(2, 2), padding=1, dtype=self.dtype,
+            name="conv",
+        )(x)
+
+
+class Upsample(nn.Module):
+    channels: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops.resize import upsample_nearest_2x
+
+        return nn.Conv(
+            self.channels, (3, 3), padding=1, dtype=self.dtype, name="conv"
+        )(upsample_nearest_2x(x))
+
+
+class UNet2DCondition(nn.Module):
+    """SD UNet; ``pww`` carries the paint-with-words bias pyramid."""
+
+    config: UNetConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        sample: jnp.ndarray,  # (B, H, W, C_in) NHWC latents
+        timesteps: jnp.ndarray,  # (B,) or scalar
+        encoder_hidden_states: jnp.ndarray,  # (B, L_text, D_ctx)
+        pww: Optional[PwwState] = None,
+        down_block_residuals: Optional[Tuple[jnp.ndarray, ...]] = None,
+        mid_block_residual: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        cfg = self.config
+        heads = cfg.num_attention_heads
+        if timesteps.ndim == 0:
+            timesteps = jnp.broadcast_to(timesteps, (sample.shape[0],))
+
+        t_emb = timestep_embedding(timesteps, cfg.block_out_channels[0])
+        temb_dim = cfg.block_out_channels[0] * cfg.time_embed_mult
+        temb = TimestepEmbedding(temb_dim, self.dtype, name="time_embedding")(
+            t_emb.astype(self.dtype)
+        )
+        ctx = encoder_hidden_states.astype(self.dtype)
+
+        x = nn.Conv(
+            cfg.block_out_channels[0], (3, 3), padding=1, dtype=self.dtype,
+            name="conv_in",
+        )(sample.astype(self.dtype))
+
+        # ---- down ----
+        skips = [x]
+        for bi, ch in enumerate(cfg.block_out_channels):
+            has_attn = cfg.down_block_has_attn[bi]
+            for li in range(cfg.layers_per_block):
+                x = ResnetBlock(
+                    ch, cfg.norm_num_groups, self.dtype,
+                    name=f"down_{bi}_resnet_{li}",
+                )(x, temb)
+                if has_attn:
+                    x = Transformer2D(
+                        heads, ch // heads, use_flash=cfg.flash_attention,
+                        dtype=self.dtype, name=f"down_{bi}_attn_{li}",
+                    )(x, ctx, pww)
+                skips.append(x)
+            if bi < len(cfg.block_out_channels) - 1:
+                x = Downsample(ch, self.dtype, name=f"down_{bi}_downsample")(x)
+                skips.append(x)
+
+        # ---- ControlNet residual injection (additive, diffusers semantics) ----
+        if down_block_residuals is not None:
+            skips = [s + r for s, r in zip(skips, down_block_residuals)]
+
+        # ---- mid ----
+        ch = cfg.block_out_channels[-1]
+        x = ResnetBlock(ch, cfg.norm_num_groups, self.dtype, name="mid_resnet_0")(x, temb)
+        x = Transformer2D(
+            heads, ch // heads, use_flash=cfg.flash_attention, dtype=self.dtype,
+            name="mid_attn",
+        )(x, ctx, pww)
+        x = ResnetBlock(ch, cfg.norm_num_groups, self.dtype, name="mid_resnet_1")(x, temb)
+        if mid_block_residual is not None:
+            x = x + mid_block_residual
+
+        # ---- up ----
+        rev_channels = list(reversed(cfg.block_out_channels))
+        for bi, ch in enumerate(rev_channels):
+            has_attn = cfg.up_block_has_attn[bi]
+            for li in range(cfg.layers_per_block + 1):
+                skip = skips.pop()
+                x = jnp.concatenate([x, skip], axis=-1)
+                x = ResnetBlock(
+                    ch, cfg.norm_num_groups, self.dtype, name=f"up_{bi}_resnet_{li}"
+                )(x, temb)
+                if has_attn:
+                    x = Transformer2D(
+                        heads, ch // heads, use_flash=cfg.flash_attention,
+                        dtype=self.dtype, name=f"up_{bi}_attn_{li}",
+                    )(x, ctx, pww)
+            if bi < len(rev_channels) - 1:
+                x = Upsample(ch, self.dtype, name=f"up_{bi}_upsample")(x)
+
+        x = nn.GroupNorm(
+            cfg.norm_num_groups, epsilon=1e-5, dtype=jnp.float32, name="conv_norm_out"
+        )(x)
+        x = nn.Conv(
+            cfg.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv_out"
+        )(nn.silu(x).astype(self.dtype))
+        return x

@@ -1,0 +1,156 @@
+"""Functional facades preserving the reference's public API.
+
+``paint_with_words(...)`` / ``paint_with_words_inpaint(...)`` keep the kwarg
+surface of the reference entry points (reference
+`paint_with_words/paint_with_words.py:391-413`,
+`paint_with_words_inpaint.py:137-156`) so existing callers port by changing an
+import. Device strings, HF paths, and ``preloaded_utils`` map onto the
+pipeline/checkpoint machinery; torch lambdas pass straight through as custom
+weight functions.
+"""
+from __future__ import annotations
+
+import math
+from typing import Callable, Dict, Optional, Tuple
+
+from ..ops.weight_functions import (
+    DEFAULT_INPAINT,
+    DEFAULT_TXT2IMG,
+    as_weight_function,
+)
+from .pipeline import PwwPipeline
+
+_PIPELINE_CACHE: Dict[Tuple, PwwPipeline] = {}
+
+
+def pww_load_tools(
+    device: str = "tpu",
+    scheduler_type: str = "lms",
+    local_model_path: Optional[str] = None,
+    hf_model_path: Optional[str] = None,
+    model_token: Optional[str] = None,
+) -> PwwPipeline:
+    """Reference-shaped loader (reference `paint_with_words.py:128-204`).
+
+    Returns a ready :class:`PwwPipeline` instead of the reference's 5-tuple —
+    no monkeypatching step exists because the PwW bias is a real UNet operand.
+    Results are cached per (path, scheduler): repeated calls are free, fixing
+    the reference Gradio app's reload-per-request cost (`gradio_pww.py:31-45`).
+    """
+    path = local_model_path or hf_model_path
+    key = (path, scheduler_type)
+    if key not in _PIPELINE_CACHE:
+        if path is None:
+            raise ValueError("either local_model_path or hf_model_path must be provided")
+        _PIPELINE_CACHE[key] = PwwPipeline.from_pretrained(
+            path, scheduler=scheduler_type
+        )
+    return _PIPELINE_CACHE[key]
+
+
+def paint_with_words(
+    color_context: Dict = {},
+    color_map_image=None,
+    input_prompt: str = "",
+    num_inference_steps: int = 30,
+    guidance_scale: float = 7.5,
+    seed: int = 0,
+    scheduler_type: str = "lms",
+    device: str = "tpu",
+    weight_function: Optional[Callable] = None,
+    local_model_path: Optional[str] = None,
+    hf_model_path: Optional[str] = None,
+    preloaded_utils: Optional[PwwPipeline] = None,
+    unconditional_input_prompt: str = "",
+    model_token: Optional[str] = None,
+    init_image=None,
+    strength: float = 0.5,
+    num_samples: int = 1,
+    noise_mode: str = "jax",
+):
+    """txt2img / img2img with paint-with-words (reference ``:391-510``).
+
+    Default weight function is the reference's
+    ``0.1 · w · log(1+σ) · max(QKᵀ)`` (reference ``:402-405``).
+    """
+    pipe = preloaded_utils or pww_load_tools(
+        device, scheduler_type,
+        local_model_path=local_model_path, hf_model_path=hf_model_path,
+        model_token=model_token,
+    )
+    wf = DEFAULT_TXT2IMG if weight_function is None else as_weight_function(weight_function)
+    return pipe.generate(
+        prompt=input_prompt,
+        color_map_image=color_map_image,
+        color_context=color_context,
+        num_inference_steps=num_inference_steps,
+        guidance_scale=guidance_scale,
+        seed=seed,
+        weight_function=wf,
+        negative_prompt=unconditional_input_prompt,
+        init_image=init_image,
+        strength=strength,
+        num_samples=num_samples,
+        noise_mode=noise_mode,
+    )
+
+
+def paint_with_words_inpaint(
+    color_context: Dict = {},
+    color_map_image=None,
+    init_image=None,
+    mask_image=None,
+    input_prompt: str = "",
+    num_inference_steps: int = 150,
+    guidance_scale: float = 7.5,
+    seed: int = 0,
+    scheduler_type: str = "lms",
+    device: str = "tpu",
+    weight_function: Optional[Callable] = None,
+    local_model_path: Optional[str] = None,
+    hf_model_path: Optional[str] = None,
+    preloaded_utils: Optional[PwwPipeline] = None,
+    unconditional_input_prompt: str = "",
+    model_token: Optional[str] = None,
+    strength: float = 1.0,
+    num_samples: int = 1,
+    noise_mode: str = "jax",
+):
+    """Inpainting with paint-with-words (reference inpaint.py:137-270).
+
+    Requires a 9-channel inpainting UNet checkpoint; the color map and mask
+    are resized to the init image's size as in the reference (:171-173).
+    Default weight function: ``0.15 · w · log(1+σ) · max(QKᵀ)``.
+    """
+    import numpy as np
+    from PIL import Image
+
+    pipe = preloaded_utils or pww_load_tools(
+        device, scheduler_type,
+        local_model_path=local_model_path, hf_model_path=hf_model_path,
+        model_token=model_token,
+    )
+    wf = DEFAULT_INPAINT if weight_function is None else as_weight_function(weight_function)
+    if init_image is not None and color_map_image is not None:
+        size = init_image.size if hasattr(init_image, "size") else (
+            init_image.shape[1], init_image.shape[0]
+        )
+        if hasattr(color_map_image, "resize"):
+            color_map_image = color_map_image.resize(size, Image.NEAREST)
+        if mask_image is not None and hasattr(mask_image, "resize"):
+            mask_image = mask_image.resize(size, Image.NEAREST)
+    return pipe.generate(
+        prompt=input_prompt,
+        color_map_image=color_map_image,
+        color_context=color_context,
+        num_inference_steps=num_inference_steps,
+        guidance_scale=guidance_scale,
+        seed=seed,
+        weight_function=wf,
+        negative_prompt=unconditional_input_prompt,
+        init_image=init_image,
+        mask_image=mask_image,
+        strength=strength,
+        num_samples=num_samples,
+        noise_mode=noise_mode,
+    )

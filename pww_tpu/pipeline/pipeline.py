@@ -1,0 +1,394 @@
+"""PwwPipeline — the end-to-end paint-with-words pipeline, one compiled scan.
+
+Replaces the reference's four entry points (``paint_with_words``,
+``paint_with_words_inpaint`` and the two diffusers-pipeline subclasses,
+reference `paint_with_words/paint_with_words.py:391-842`,
+`paint_with_words_inpaint.py:137-575`) with a single class whose modes share
+one denoise loop. TPU-native structure:
+
+  * prologue (host + jit): tokenize, rasterize bias pyramid, CLIP-encode,
+    draw/encode latents;
+  * denoise: ``jax.lax.scan`` over steps — cond/uncond batched in ONE UNet
+    call (the reference runs two sequential forwards per step, reference
+    ``:483-499``), scheduler fully device-side, zero host round-trips;
+  * epilogue: VAE decode, uint8 on device, single D2H copy.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SDModelConfig
+from ..conditioning.encode import EncodedInputs, encode_text_color_inputs
+from ..conditioning.seeding import make_noise, regional_seed_latents
+from ..models.clip import CLIPTextEncoder
+from ..models.unet import UNet2DCondition
+from ..models.vae import AutoencoderKL, sample_from_moments
+from ..ops.weight_functions import AnyWeightFunction, as_weight_function
+from ..schedulers.schedules import Schedule, Scheduler, make_scheduler
+from ..types import PwwState
+
+LATENT_SCALE = 0.18215  # SD VAE scaling (reference paint_with_words.py:49, 463)
+
+
+# --------------------------------------------------------------------------
+# Compiled stages (module-level so jit caches persist across pipeline calls;
+# flax Modules and Schedule/PwwState static fields hash into the cache key).
+# --------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("unet", "t_start", "cfg_batched"))
+def run_denoise(
+    unet: UNet2DCondition,
+    unet_params,
+    latents: jnp.ndarray,  # (N, h, w, C)
+    text_states: jnp.ndarray,  # (2N, T, D) rows [uncond*N, cond*N]
+    pww: PwwState,  # weights batched (2N, ...)
+    schedule: Schedule,
+    guidance_scale: jnp.ndarray,
+    extra_channels: Optional[jnp.ndarray] = None,  # (N, h, w, E) inpaint concat
+    t_start: int = 0,
+    cfg_batched: bool = True,
+) -> jnp.ndarray:
+    """Full denoise loop as one scan. Returns final latents (N, h, w, C).
+
+    Latents and scheduler state are carried in float32 (accumulation
+    precision); the UNet runs in its own compute dtype (bf16 on TPU).
+    """
+    n = latents.shape[0]
+    latents = latents.astype(jnp.float32)
+    compute_dtype = unet.dtype
+
+    def unet_eps(lat_in, t, pww_t):
+        lat_in = lat_in.astype(compute_dtype)
+        if extra_channels is not None:
+            ec = jnp.concatenate([extra_channels] * 2, axis=0)
+            lat2 = jnp.concatenate([lat_in, lat_in], axis=0)
+            lat2 = jnp.concatenate([lat2, ec.astype(compute_dtype)], axis=-1)
+        else:
+            lat2 = jnp.concatenate([lat_in, lat_in], axis=0)
+        eps = unet.apply(unet_params, lat2, t, text_states, pww=pww_t)
+        eps_uncond, eps_text = eps[:n].astype(jnp.float32), eps[n:].astype(jnp.float32)
+        return eps_uncond + guidance_scale * (eps_text - eps_uncond)
+
+    def body(carry, i):
+        lat, sch_state = carry
+        sigma = schedule.sigma(i)
+        t = schedule.timesteps[i]
+        lat_in = schedule.scale_model_input(lat, i)
+        eps = unet_eps(lat_in, t, pww.with_sigma(sigma))
+        lat, sch_state = schedule.step(eps, i, lat, sch_state)
+        return (lat, sch_state), None
+
+    sch_state = schedule.init_state(latents.shape, latents.dtype)
+    steps = jnp.arange(t_start, schedule.num_steps)
+    (latents, _), _ = jax.lax.scan(body, (latents, sch_state), steps)
+    return latents
+
+
+@functools.partial(jax.jit, static_argnames=("vae",))
+def run_decode(vae: AutoencoderKL, vae_params, latents: jnp.ndarray) -> jnp.ndarray:
+    """Latents → uint8 RGB on device (reference `_pil_from_latents`, :48-57)."""
+    img = vae.apply(vae_params, latents / LATENT_SCALE, method=AutoencoderKL.decode)
+    img = jnp.clip(img.astype(jnp.float32) / 2 + 0.5, 0.0, 1.0)
+    return jnp.round(img * 255.0).astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("vae",))
+def run_encode_image(vae: AutoencoderKL, vae_params, image: jnp.ndarray) -> jnp.ndarray:
+    """[-1,1] image → posterior moments (mean used via sample elsewhere)."""
+    return vae.apply(vae_params, image, method=AutoencoderKL.encode_moments)
+
+
+@functools.partial(jax.jit, static_argnames=("clip",))
+def run_encode_text(clip: CLIPTextEncoder, clip_params, ids: jnp.ndarray) -> jnp.ndarray:
+    return clip.apply(clip_params, ids)
+
+
+class PwwPipeline:
+    """Stable-Diffusion paint-with-words pipeline (txt2img / img2img / inpaint).
+
+    Compiled sub-programs are cached per (resolution, steps, scheduler,
+    weight-function) signature, so serving repeated shapes costs no retraces —
+    unlike the reference's Gradio path which reloads every model per request
+    (reference `gradio_pww.py:31-45`).
+    """
+
+    def __init__(
+        self,
+        config: SDModelConfig = None,
+        params: Optional[Dict] = None,
+        tokenizer=None,
+        scheduler: str = "lms",
+        compute_dtype=jnp.bfloat16,
+        weights_dtype=jnp.bfloat16,
+        seed: int = 0,
+    ):
+        self.config = config or SDModelConfig.sd15()
+        self.compute_dtype = compute_dtype
+        self.unet = UNet2DCondition(self.config.unet, dtype=compute_dtype)
+        self.clip = CLIPTextEncoder(self.config.clip, dtype=compute_dtype)
+        self.vae = AutoencoderKL(self.config.vae, dtype=compute_dtype)
+        self.scheduler = make_scheduler(scheduler, self.config.scheduler)
+        if tokenizer is None:
+            from ..tokenizer.clip_bpe import toy_tokenizer
+
+            tokenizer = toy_tokenizer(self.config.clip.vocab_size)
+        self.tokenizer = tokenizer
+        if params is None:
+            params = self.init_params(seed)
+        if weights_dtype is not None:
+            params = jax.tree.map(
+                lambda x: x.astype(weights_dtype)
+                if hasattr(x, "astype") and jnp.issubdtype(x.dtype, jnp.floating)
+                else x,
+                params,
+            )
+        self.params = params
+
+    # -- construction ---------------------------------------------------------
+    def init_params(self, seed: int = 0) -> Dict:
+        """Random-init parameter pytrees (bench/test path; no checkpoint)."""
+        cfg = self.config
+        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(seed), 3)
+        # conv/dense param shapes are spatial-size independent: init tiny.
+        h = w = 2 ** (len(cfg.unet.block_out_channels) - 1)
+        ids = jnp.zeros((1, cfg.clip.max_position_embeddings), jnp.int32)
+        clip_p = self.clip.init(k1, ids)
+        ctx = jnp.zeros(
+            (1, cfg.clip.max_position_embeddings, cfg.unet.cross_attention_dim),
+            jnp.float32,
+        )
+        lat = jnp.zeros((1, h, w, cfg.unet.in_channels), jnp.float32)
+        unet_p = self.unet.init(k2, lat, jnp.zeros((1,)), ctx)
+        img = jnp.zeros(
+            (1, cfg.vae.scale_factor * 2, cfg.vae.scale_factor * 2,
+             cfg.vae.in_channels),
+            jnp.float32,
+        )
+        vae_p = self.vae.init(k3, img)
+        return {"unet": unet_p, "clip": clip_p, "vae": vae_p}
+
+    @classmethod
+    def from_pretrained(
+        cls, model_path: str, scheduler: str = "lms", **kwargs
+    ) -> "PwwPipeline":
+        """Load a converted / diffusers-layout checkpoint directory."""
+        from ..weights.loader import load_pipeline_checkpoint
+
+        config, params, tokenizer = load_pipeline_checkpoint(model_path)
+        return cls(
+            config=config, params=params, tokenizer=tokenizer,
+            scheduler=scheduler, **kwargs,
+        )
+
+    # -- stages ----------------------------------------------------------------
+    def encode_text(self, ids: jnp.ndarray) -> jnp.ndarray:
+        return run_encode_text(self.clip, self.params["clip"], ids)
+
+    def encode_inputs(
+        self,
+        prompt: str,
+        color_map: Optional[np.ndarray],
+        color_context: Dict,
+        negative_prompt: str = "",
+        weight_function: Optional[AnyWeightFunction] = None,
+    ) -> EncodedInputs:
+        return encode_text_color_inputs(
+            self.encode_text,
+            self.tokenizer,
+            color_map,
+            color_context,
+            prompt,
+            negative_prompt,
+            weight_function,
+        )
+
+    def _tile_cfg(self, enc: EncodedInputs, n: int):
+        """(2, ...) CFG pair → (2N, ...) rows [uncond*N, cond*N]."""
+        if n == 1:
+            return enc.text_states, enc.pww
+
+        def tile(x):
+            return jnp.concatenate(
+                [jnp.repeat(x[:1], n, 0), jnp.repeat(x[1:], n, 0)], axis=0
+            )
+
+        pww = enc.pww.replace(
+            weights={k: tile(v) for k, v in enc.pww.weights.items()},
+            weight_orig=None
+            if enc.pww.weight_orig is None
+            else tile(enc.pww.weight_orig),
+        )
+        return tile(enc.text_states), pww
+
+    # -- generation --------------------------------------------------------------
+    def generate(
+        self,
+        prompt: str = "",
+        color_map_image=None,  # PIL.Image | (H,W,3) uint8 array | None
+        color_context: Optional[Dict] = None,
+        num_inference_steps: int = 30,
+        guidance_scale: float = 7.5,
+        seed: int = 0,
+        weight_function: Optional[AnyWeightFunction] = None,
+        negative_prompt: str = "",
+        init_image=None,  # img2img when set
+        strength: float = 0.5,
+        mask_image=None,  # inpaint when set (with init_image)
+        num_samples: int = 1,
+        noise_mode: str = "jax",
+        output_type: str = "pil",
+        rng: Optional[jax.Array] = None,
+    ):
+        """Unified txt2img / img2img / inpaint entry point.
+
+        Mirrors the reference kwargs (`paint_with_words.py:391-413`); the
+        functional facades in :mod:`pww_tpu.pipeline.facade` preserve the
+        exact reference signatures on top of this.
+        """
+        cfg = self.config
+        color_map = _to_numpy_image(color_map_image)
+        enc = self.encode_inputs(
+            prompt,
+            color_map,
+            color_context or {},
+            negative_prompt,
+            weight_function,
+        )
+        height, width = (
+            (enc.height, enc.width)
+            if color_map is not None
+            else _image_hw(init_image, default=(512, 512))
+        )
+        sf = cfg.vae.scale_factor
+        h_lat, w_lat = height // sf, width // sf
+
+        schedule = self.scheduler.set_timesteps(num_inference_steps)
+        n = num_samples
+        latent_shape = (n, h_lat, w_lat, cfg.vae.latent_channels)
+
+        inpaint = mask_image is not None
+        if inpaint and init_image is None:
+            raise ValueError("inpainting requires init_image alongside mask_image")
+        extra = None
+        t_start = 0
+
+        if init_image is None:
+            latents = make_noise(seed, latent_shape, noise_mode)
+            latents = regional_seed_latents(latents, enc.regions, noise_mode)
+            latents = latents * schedule.init_noise_sigma
+        else:
+            init = _preprocess_image(init_image)  # (1, H', W', 3) in [-1, 1]
+            t_start = _t_start_from_strength(
+                num_inference_steps, strength, cfg.scheduler.steps_offset
+            )
+            moments = run_encode_image(self.vae, self.params["vae"], init)
+            key = rng if rng is not None else jax.random.PRNGKey(seed)
+            k_sample, k_noise = jax.random.split(key)
+            init_lat = sample_from_moments(moments, k_sample) * LATENT_SCALE
+            init_lat = jnp.repeat(init_lat, n, axis=0)
+            if inpaint:
+                # reference inpaint noises VAE latents at the strength-offset
+                # step even at strength 1.0 (reference inpaint.py:180-198)
+                noise = make_noise(seed, init_lat.shape, noise_mode)
+                latents = schedule.add_noise(init_lat, noise, jnp.int32(t_start))
+                extra = self._prepare_inpaint_channels(init, mask_image, n)
+                expected = (
+                    cfg.vae.latent_channels + extra.shape[-1]
+                )
+                if cfg.unet.in_channels != expected:
+                    raise ValueError(
+                        f"UNet expects {cfg.unet.in_channels} input channels but "
+                        f"latents+mask+masked_image = {expected}; pass an "
+                        f"inpainting checkpoint (9-channel UNet)."
+                    )
+            else:
+                noise = make_noise(seed, init_lat.shape, noise_mode)
+                latents = schedule.add_noise(init_lat, noise, jnp.int32(t_start))
+
+        text_states, pww = self._tile_cfg(enc, n)
+        latents = run_denoise(
+            self.unet,
+            self.params["unet"],
+            latents,
+            text_states,
+            pww,
+            schedule,
+            jnp.float32(guidance_scale),
+            extra_channels=extra,
+            t_start=t_start,
+        )
+        images = run_decode(self.vae, self.params["vae"], latents)
+        images = np.asarray(images)
+        if output_type == "np":
+            return images
+        from PIL import Image
+
+        pil = [Image.fromarray(im) for im in images]
+        return pil[0] if n == 1 else pil
+
+    __call__ = generate
+
+    def _prepare_inpaint_channels(self, init, mask_image, n: int) -> jnp.ndarray:
+        """mask + VAE(masked image) latents, concat channels (reference
+        `paint_with_words_inpaint.py:20-134`)."""
+        from .inpaint import prepare_mask_and_masked_image
+
+        mask, masked = prepare_mask_and_masked_image(init, mask_image)
+        sf = self.config.vae.scale_factor
+        h_lat, w_lat = mask.shape[1] // sf, mask.shape[2] // sf
+        from ..ops.resize import resize_nearest
+
+        mask_lat = resize_nearest(mask[..., 0], h_lat, w_lat)[..., None]
+        moments = run_encode_image(self.vae, self.params["vae"], masked)
+        masked_lat = jnp.split(moments, 2, axis=-1)[0] * LATENT_SCALE
+        mask_lat = jnp.repeat(mask_lat, n, 0)
+        masked_lat = jnp.repeat(masked_lat, n, 0)
+        return jnp.concatenate(
+            [mask_lat, masked_lat], axis=-1
+        ).astype(self.compute_dtype)
+
+
+# --------------------------------------------------------------------------
+# host-side helpers
+# --------------------------------------------------------------------------
+
+
+def _to_numpy_image(img) -> Optional[np.ndarray]:
+    if img is None:
+        return None
+    if isinstance(img, np.ndarray):
+        return img
+    return np.array(img)
+
+
+def _image_hw(img, default: Tuple[int, int]) -> Tuple[int, int]:
+    if img is None:
+        return default
+    arr = _to_numpy_image(img)
+    return arr.shape[0], arr.shape[1]
+
+
+def _preprocess_image(img) -> jnp.ndarray:
+    """PIL/array → (1, H, W, 3) float in [-1, 1], H/W floored to multiple of 32
+    (reference ``preprocess``, `paint_with_words.py:28-35`)."""
+    from PIL import Image
+
+    if isinstance(img, np.ndarray):
+        img = Image.fromarray(img)
+    w, h = img.size
+    w, h = w - w % 32, h - h % 32
+    img = img.resize((w, h), resample=Image.LANCZOS)
+    x = np.asarray(img, np.float32)[None] / 255.0
+    return jnp.asarray(2.0 * x - 1.0)
+
+
+def _t_start_from_strength(num_steps: int, strength: float, offset: int) -> int:
+    """Reference's timestep truncation (`paint_with_words.py:435-440`)."""
+    init_timestep = min(int(num_steps * strength) + offset, num_steps)
+    return max(num_steps - init_timestep + offset, 0)

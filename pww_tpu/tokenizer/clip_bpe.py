@@ -1,0 +1,225 @@
+"""Pure-Python CLIP BPE tokenizer.
+
+The reference relies on ``transformers.CLIPTokenizer`` pulled from the HF hub
+(reference `paint_with_words/paint_with_words.py:170`). This implementation is
+hub-independent: point it at any local ``vocab.json`` + ``merges.txt`` pair
+(the standard CLIP tokenizer assets shipped inside every SD checkpoint dir).
+For test environments with no checkpoint on disk, :func:`toy_tokenizer` builds
+a deterministic synthetic vocabulary with identical API and padding behavior.
+
+Algorithm: byte-level BPE with ``</w>`` word-end markers, lowercasing, and the
+CLIP text regex — functionally equivalent to openai/CLIP's SimpleTokenizer.
+"""
+from __future__ import annotations
+
+import functools
+import gzip
+import json
+import os
+import re
+from typing import Dict, List, Optional, Sequence, Tuple
+
+MAX_LENGTH = 77
+
+
+@functools.lru_cache()
+def bytes_to_unicode() -> Dict[int, str]:
+    """Reversible byte→unicode map (GPT-2/CLIP convention)."""
+    bs = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(ord("¡"), ord("¬") + 1))
+        + list(range(ord("®"), ord("ÿ") + 1))
+    )
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, [chr(c) for c in cs]))
+
+
+def get_pairs(word: Tuple[str, ...]):
+    return {(word[i], word[i + 1]) for i in range(len(word) - 1)}
+
+
+def _whitespace_clean(text: str) -> str:
+    return re.sub(r"\s+", " ", text).strip()
+
+
+_PAT = re.compile(
+    r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+"""
+    if False
+    else r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[a-zA-Z]+|[0-9]|[^\sa-zA-Z0-9]+""",
+    re.IGNORECASE,
+)
+
+
+class CLIPTokenizer:
+    """Encode/decode with CLIP byte-level BPE.
+
+    Args:
+      vocab: token string → id.
+      merges: ordered list of merge pairs.
+    """
+
+    def __init__(self, vocab: Dict[str, int], merges: Sequence[Tuple[str, str]]):
+        self.encoder = dict(vocab)
+        self.decoder = {v: k for k, v in vocab.items()}
+        self.bpe_ranks = {tuple(m): i for i, m in enumerate(merges)}
+        self.byte_encoder = bytes_to_unicode()
+        self.byte_decoder = {v: k for k, v in self.byte_encoder.items()}
+        self.bos_token_id = self.encoder.get("<|startoftext|>", 49406)
+        self.eos_token_id = self.encoder.get("<|endoftext|>", 49407)
+        self.model_max_length = MAX_LENGTH
+        self._cache: Dict[str, str] = {}
+
+    # -- loading -------------------------------------------------------------
+    @classmethod
+    def from_dir(cls, path: str) -> "CLIPTokenizer":
+        """Load from a diffusers-layout dir (``tokenizer/vocab.json`` etc.)."""
+        for sub in ("", "tokenizer"):
+            base = os.path.join(path, sub)
+            vj, mt = os.path.join(base, "vocab.json"), os.path.join(base, "merges.txt")
+            if os.path.exists(vj) and os.path.exists(mt):
+                with open(vj, encoding="utf-8") as f:
+                    vocab = json.load(f)
+                with open(mt, encoding="utf-8") as f:
+                    lines = f.read().split("\n")
+                merges = [
+                    tuple(l.split()) for l in lines
+                    if l and not l.startswith("#version") and len(l.split()) == 2
+                ]
+                return cls(vocab, merges)
+        raise FileNotFoundError(f"no vocab.json/merges.txt under {path!r}")
+
+    @classmethod
+    def from_bpe_gz(cls, path: str) -> "CLIPTokenizer":
+        """Load from openai/CLIP's ``bpe_simple_vocab_16e6.txt.gz``."""
+        with gzip.open(path, "rt", encoding="utf-8") as f:
+            merges_lines = f.read().split("\n")[1 : 49152 - 256 - 2 + 1]
+        merges = [tuple(m.split()) for m in merges_lines]
+        vocab_list = list(bytes_to_unicode().values())
+        vocab_list = vocab_list + [v + "</w>" for v in vocab_list]
+        for m in merges:
+            vocab_list.append("".join(m))
+        vocab_list.extend(["<|startoftext|>", "<|endoftext|>"])
+        return cls({v: i for i, v in enumerate(vocab_list)}, merges)
+
+    # -- BPE -----------------------------------------------------------------
+    def bpe(self, token: str) -> str:
+        if token in self._cache:
+            return self._cache[token]
+        word = tuple(token[:-1]) + (token[-1] + "</w>",)
+        pairs = get_pairs(word)
+        if not pairs:
+            return token + "</w>"
+        while True:
+            bigram = min(pairs, key=lambda p: self.bpe_ranks.get(p, float("inf")))
+            if bigram not in self.bpe_ranks:
+                break
+            first, second = bigram
+            new_word: List[str] = []
+            i = 0
+            while i < len(word):
+                try:
+                    j = word.index(first, i)
+                except ValueError:
+                    new_word.extend(word[i:])
+                    break
+                new_word.extend(word[i:j])
+                i = j
+                if i < len(word) - 1 and word[i] == first and word[i + 1] == second:
+                    new_word.append(first + second)
+                    i += 2
+                else:
+                    new_word.append(word[i])
+                    i += 1
+            word = tuple(new_word)
+            if len(word) == 1:
+                break
+            pairs = get_pairs(word)
+        out = " ".join(word)
+        self._cache[token] = out
+        return out
+
+    def tokenize(self, text: str) -> List[int]:
+        """Text → raw BPE ids (no special tokens)."""
+        text = _whitespace_clean(text).lower()
+        ids: List[int] = []
+        for tok in re.findall(_PAT, text):
+            tok = "".join(self.byte_encoder[b] for b in tok.encode("utf-8"))
+            for bpe_tok in self.bpe(tok).split(" "):
+                ids.append(self.encoder[bpe_tok])
+        return ids
+
+    def __call__(
+        self,
+        text: str,
+        max_length: Optional[int] = None,
+        truncation: bool = True,
+        padding: bool = False,
+    ) -> Dict[str, List[int]]:
+        """HF-compatible call: BOS + ids + EOS, optional pad-to-max with EOS.
+
+        Matches ``transformers.CLIPTokenizer`` so the reference's token-match
+        semantics (reference `paint_with_words.py:222-227, 259-268`) carry over.
+        """
+        max_length = max_length or self.model_max_length
+        ids = self.tokenize(text)
+        if truncation:
+            ids = ids[: max_length - 2]
+        ids = [self.bos_token_id] + ids + [self.eos_token_id]
+        if padding and len(ids) < max_length:
+            # CLIP pads with eos token
+            ids = ids + [self.eos_token_id] * (max_length - len(ids))
+        return {"input_ids": ids}
+
+    def decode(self, ids: Sequence[int]) -> str:
+        text = "".join(self.decoder.get(i, "") for i in ids)
+        raw = bytearray(self.byte_decoder.get(c, 32) for c in text)
+        return raw.decode("utf-8", errors="replace").replace("</w>", " ")
+
+
+def toy_tokenizer(vocab_size: int = 1000) -> CLIPTokenizer:
+    """Deterministic synthetic tokenizer for tests (no vocab files needed).
+
+    Every lowercase ASCII word hashes to a stable id in [3, vocab_size);
+    multi-character determinism mirrors real BPE's multi-token labels by
+    splitting words longer than 6 chars into two tokens.
+    """
+
+    class _Toy(CLIPTokenizer):
+        def __init__(self, n):
+            self.n = n
+            self.bos_token_id = 0
+            self.eos_token_id = 1
+            self.model_max_length = MAX_LENGTH
+
+        def _word_ids(self, w: str) -> List[int]:
+            def h(s):
+                v = 5381
+                for ch in s:
+                    v = (v * 33 + ord(ch)) % (self.n - 3)
+                return v + 3
+
+            if len(w) > 6:
+                return [h(w[:4]), h(w[4:])]
+            return [h(w)]
+
+        def tokenize(self, text):
+            text = _whitespace_clean(text).lower()
+            ids = []
+            for w in re.findall(r"[a-z0-9]+|[^\sa-z0-9]", text):
+                ids.extend(self._word_ids(w))
+            return ids
+
+        def decode(self, ids):  # pragma: no cover
+            return " ".join(str(i) for i in ids)
+
+    return _Toy(vocab_size)
+
+
+def pad_to_length(ids: List[int], length: int, pad_id: int) -> List[int]:
+    return (ids + [pad_id] * length)[:length]

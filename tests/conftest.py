@@ -1,0 +1,21 @@
+"""Test config: run everything on a virtual 8-device CPU mesh.
+
+This is the standard JAX fake-backend trick (SURVEY.md §4): multi-chip
+sharding logic is validated on host CPU without TPU pods.
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
