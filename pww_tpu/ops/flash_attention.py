@@ -24,6 +24,11 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
+def _use_interpret() -> bool:
+    """Pallas TPU kernels run in interpreter mode on non-TPU backends (tests)."""
+    return jax.default_backend() != "tpu"
+
+
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *, scale, n_kv):
     ki = pl.program_id(2)
 
@@ -107,6 +112,7 @@ def flash_self_attention(
             pltpu.VMEM((block_q, 128), jnp.float32),
             pltpu.VMEM((block_q, d_pad), jnp.float32),
         ],
+        interpret=_use_interpret(),
         cost_estimate=pl.CostEstimate(
             flops=4 * bh * l * l * d_pad,
             bytes_accessed=3 * bh * l * d_pad * q.dtype.itemsize

@@ -80,7 +80,8 @@ class WeightFunction:
 
     def __call__(self, w, sigma, qk):
         """Reference-signature escape hatch: full bias tensor (batch size 1)."""
-        return self.sigma_coef(sigma) * self.reduce_qk(qk, batch_axes=0) * w
+        r = jnp.squeeze(self.reduce_qk(qk, batch_axes=0))  # scalar
+        return self.sigma_coef(sigma) * r * w
 
 
 @dataclasses.dataclass(frozen=True)

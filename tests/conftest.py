@@ -5,12 +5,22 @@ sharding logic is validated on host CPU without TPU pods.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU regardless of the ambient JAX_PLATFORMS (the driver environment
+# pre-sets a TPU platform; unit tests must be deterministic f32 CPU).
+if os.environ.get("PWW_TEST_TPU") != "1":
+    os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+if os.environ.get("PWW_TEST_TPU") != "1":
+    # The environment's sitecustomize force-selects the TPU backend via
+    # jax.config (overriding JAX_PLATFORMS); undo it for unit tests.
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

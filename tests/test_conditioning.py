@@ -1,0 +1,133 @@
+"""Color-context parsing + rasterization parity tests.
+
+The rasterized bias pyramid is compared against a literal numpy/torch replica
+of the reference's per-region loop (`_tokens_img_attention_weight` +
+`_img_importance_flatten`, reference paint_with_words.py:38-45, 247-276).
+"""
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from pww_tpu.conditioning.color_context import (
+    Region,
+    always_round,
+    extract_seed_and_sigma,
+    parse_color,
+    separate_image_context,
+    token_match_matrix,
+)
+from pww_tpu.conditioning.rasterize import numpy_pyramid, pyramid_level_shape
+from pww_tpu.tokenizer.clip_bpe import toy_tokenizer
+
+
+def _reference_rasterize(regions, match, h, w, ratio):
+    """Literal re-implementation of the reference's loop for cross-checking."""
+    h_r, w_r = always_round(h / ratio), always_round(w / ratio)
+    n_tok = match.shape[1]
+    out = np.zeros((h_r * w_r, n_tok), np.float32)
+    for r, region in enumerate(regions):
+        down = F.interpolate(
+            torch.from_numpy(region.mask)[None, None], size=(h_r, w_r),
+            mode="bilinear", align_corners=True,
+        )[0, 0].numpy().reshape(-1, 1)
+        out += down * match[r][None, :]
+    return out
+
+
+def test_always_round_quirk():
+    # even int(x): round half down; odd: banker's round
+    assert always_round(2.4) == 2
+    assert always_round(2.5) == 3
+    assert always_round(3.5) == 4
+    assert always_round(3.4) == 3
+    assert always_round(64.0) == 64
+
+
+def test_parse_color_hex_and_tuple():
+    assert parse_color("#ff00aa") == (255, 0, 170)
+    assert parse_color((1, 2, 3)) == (1, 2, 3)
+
+
+@pytest.mark.parametrize(
+    "ctx,want",
+    [
+        ("cat,0.5", ("cat,0.5", None, None)),
+        ("cat,0.5,42", ("cat,0.5", 42, None)),
+        ("cat,0.5,42,8.0", ("cat,0.5", 42, 8.0)),
+        ("cat,0.5,-1", ("cat,0.5", None, None)),  # ignore_seed sentinel
+        ("a cat, very fluffy,0.7", ("a cat, very fluffy,0.7", None, None)),
+    ],
+)
+def test_extract_seed_and_sigma(ctx, want):
+    assert extract_seed_and_sigma(ctx) == want
+
+
+def test_separate_image_context_masks(rng):
+    tok = toy_tokenizer()
+    img = np.zeros((32, 48, 3), np.uint8)
+    img[:16] = (255, 0, 0)
+    img[16:] = (0, 255, 0)
+    ctx = {(255, 0, 0): "cat,0.5", "#00ff00": "dog,2.0,7"}
+    regions, w, h = separate_image_context(img, ctx, tok)
+    assert (w, h) == (48, 32)
+    assert regions[0].mask.max() == 0.5 and regions[0].mask.sum() == 0.5 * 16 * 48
+    assert regions[1].mask.max() == 2.0
+    assert regions[1].seed == 7
+
+
+def test_empty_context_zero_mask():
+    tok = toy_tokenizer()
+    regions, w, h = separate_image_context(None, {}, tok)
+    assert (w, h) == (512, 512)
+    assert regions[0].token_ids == [-1]
+    assert regions[0].mask.sum() == 0
+
+
+def test_token_match_multi_occurrence():
+    r = Region((0, 0, 0), "x", 1.0, [5, 6], np.zeros((4, 4), np.float32))
+    ids = [0, 5, 6, 9, 5, 6, 5, 1]
+    m = token_match_matrix([r], ids, 8)
+    # occurrences at 1 and 4; lone 5 at index 6 doesn't match [5, 6]
+    np.testing.assert_array_equal(m[0], [0, 1, 1, 0, 1, 1, 0, 0])
+
+
+def test_token_match_overlapping_adds():
+    r = Region((0, 0, 0), "x", 1.0, [5, 5], np.zeros((2, 2), np.float32))
+    m = token_match_matrix([r], [5, 5, 5], 3)
+    # matches at 0 and 1 overlap on index 1 -> additive (reference += loop)
+    np.testing.assert_array_equal(m[0], [1, 2, 1])
+
+
+def test_rasterize_matches_reference_loop(rng):
+    h, w, n_tok = 64, 64, 12
+    masks = []
+    for lo, hi, s in ((0, 32, 0.5), (32, 64, 1.5)):
+        m = np.zeros((h, w), np.float32)
+        m[lo:hi] = s
+        masks.append(m)
+    regions = [
+        Region((0, 0, 0), "a", 1.0, [3], masks[0]),
+        Region((1, 1, 1), "b", 1.0, [4, 5], masks[1]),
+    ]
+    match = np.zeros((2, n_tok), np.float32)
+    match[0, 2] = 1
+    match[1, 5:7] = 1
+    pyr, orig = numpy_pyramid(np.stack(masks), match, h, w)
+    for ratio in (8, 16, 32, 64):
+        h_r, w_r = pyramid_level_shape(h, w, ratio)
+        want = _reference_rasterize(regions, match, h, w, ratio)
+        np.testing.assert_allclose(pyr[h_r * w_r], want, atol=1e-5, rtol=1e-4)
+    # ORIG level: (H, W, T) full-res
+    assert orig.shape == (h, w, n_tok)
+    np.testing.assert_allclose(orig[:32, :, 2], 0.5, atol=1e-6)
+
+
+def test_rasterize_nonsquare(rng):
+    h, w = 96, 64
+    mask = rng.random((1, h, w)).astype(np.float32)
+    match = np.ones((1, 7), np.float32)
+    pyr, orig = numpy_pyramid(mask, match, h, w)
+    h8, w8 = pyramid_level_shape(h, w, 8)
+    assert (h8, w8) == (12, 8)
+    assert pyr[96].shape == (96, 7)
