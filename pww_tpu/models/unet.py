@@ -166,13 +166,14 @@ class Transformer2D(nn.Module):
     head_dim: int
     depth: int = 1
     use_flash: bool = False
+    groups: int = 32
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, context, pww):
         b, h, w, c = x.shape
         residual = x
-        z = nn.GroupNorm(32, epsilon=1e-6, dtype=jnp.float32, name="norm")(x)
+        z = nn.GroupNorm(self.groups, epsilon=1e-6, dtype=jnp.float32, name="norm")(x)
         z = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_in")(z.astype(self.dtype))
         z = z.reshape(b, h * w, c)
         for i in range(self.depth):
@@ -255,7 +256,8 @@ class UNet2DCondition(nn.Module):
                 if has_attn:
                     x = Transformer2D(
                         heads, ch // heads, use_flash=cfg.flash_attention,
-                        dtype=self.dtype, name=f"down_{bi}_attn_{li}",
+                        groups=cfg.norm_num_groups, dtype=self.dtype,
+                        name=f"down_{bi}_attn_{li}",
                     )(x, ctx, pww)
                 skips.append(x)
             if bi < len(cfg.block_out_channels) - 1:
@@ -270,8 +272,8 @@ class UNet2DCondition(nn.Module):
         ch = cfg.block_out_channels[-1]
         x = ResnetBlock(ch, cfg.norm_num_groups, self.dtype, name="mid_resnet_0")(x, temb)
         x = Transformer2D(
-            heads, ch // heads, use_flash=cfg.flash_attention, dtype=self.dtype,
-            name="mid_attn",
+            heads, ch // heads, use_flash=cfg.flash_attention,
+            groups=cfg.norm_num_groups, dtype=self.dtype, name="mid_attn",
         )(x, ctx, pww)
         x = ResnetBlock(ch, cfg.norm_num_groups, self.dtype, name="mid_resnet_1")(x, temb)
         if mid_block_residual is not None:
@@ -290,7 +292,8 @@ class UNet2DCondition(nn.Module):
                 if has_attn:
                     x = Transformer2D(
                         heads, ch // heads, use_flash=cfg.flash_attention,
-                        dtype=self.dtype, name=f"up_{bi}_attn_{li}",
+                        groups=cfg.norm_num_groups, dtype=self.dtype,
+                        name=f"up_{bi}_attn_{li}",
                     )(x, ctx, pww)
             if bi < len(rev_channels) - 1:
                 x = Upsample(ch, self.dtype, name=f"up_{bi}_upsample")(x)

@@ -74,6 +74,25 @@ class CLIPTokenizer:
         self.eos_token_id = self.encoder.get("<|endoftext|>", 49407)
         self.model_max_length = MAX_LENGTH
         self._cache: Dict[str, str] = {}
+        self.added_tokens: Dict[str, int] = {}
+
+    def add_tokens(self, token: str) -> int:
+        """Register an atomic extra token (textual-inversion placeholder).
+
+        Mirrors ``tokenizer.add_tokens`` in the reference's TI notebook
+        (reference `contents/notebooks/paint_with_words_textual_inversion.ipynb`).
+        Returns the new vocabulary size.
+        """
+        if token not in self.added_tokens:
+            new_id = len(self.encoder) + len(self.added_tokens)
+            self.added_tokens[token] = new_id
+            self.decoder[new_id] = token
+        return len(self.encoder) + len(self.added_tokens)
+
+    def convert_tokens_to_ids(self, token: str) -> int:
+        if token in self.added_tokens:
+            return self.added_tokens[token]
+        return self.encoder[token]
 
     # -- loading -------------------------------------------------------------
     @classmethod
@@ -147,11 +166,20 @@ class CLIPTokenizer:
     def tokenize(self, text: str) -> List[int]:
         """Text → raw BPE ids (no special tokens)."""
         text = _whitespace_clean(text).lower()
+        if self.added_tokens:
+            pattern = "(" + "|".join(re.escape(t) for t in self.added_tokens) + ")"
+            parts = re.split(pattern, text)
+        else:
+            parts = [text]
         ids: List[int] = []
-        for tok in re.findall(_PAT, text):
-            tok = "".join(self.byte_encoder[b] for b in tok.encode("utf-8"))
-            for bpe_tok in self.bpe(tok).split(" "):
-                ids.append(self.encoder[bpe_tok])
+        for part in parts:
+            if part in self.added_tokens:
+                ids.append(self.added_tokens[part])
+                continue
+            for tok in re.findall(_PAT, part):
+                tok = "".join(self.byte_encoder[b] for b in tok.encode("utf-8"))
+                for bpe_tok in self.bpe(tok).split(" "):
+                    ids.append(self.encoder[bpe_tok])
         return ids
 
     def __call__(
@@ -196,6 +224,13 @@ def toy_tokenizer(vocab_size: int = 1000) -> CLIPTokenizer:
             self.bos_token_id = 0
             self.eos_token_id = 1
             self.model_max_length = MAX_LENGTH
+            self.added_tokens = {}
+            self.encoder = {}  # base vocab is implicit (hash-based)
+
+        def add_tokens(self, token: str) -> int:
+            if token not in self.added_tokens:
+                self.added_tokens[token] = self.n + len(self.added_tokens)
+            return self.n + len(self.added_tokens)
 
         def _word_ids(self, w: str) -> List[int]:
             def h(s):
@@ -210,9 +245,18 @@ def toy_tokenizer(vocab_size: int = 1000) -> CLIPTokenizer:
 
         def tokenize(self, text):
             text = _whitespace_clean(text).lower()
+            if self.added_tokens:
+                pattern = "(" + "|".join(re.escape(t) for t in self.added_tokens) + ")"
+                parts = re.split(pattern, text)
+            else:
+                parts = [text]
             ids = []
-            for w in re.findall(r"[a-z0-9]+|[^\sa-z0-9]", text):
-                ids.extend(self._word_ids(w))
+            for part in parts:
+                if part in self.added_tokens:
+                    ids.append(self.added_tokens[part])
+                    continue
+                for w in re.findall(r"[a-z0-9]+|[^\sa-z0-9]", part):
+                    ids.extend(self._word_ids(w))
             return ids
 
         def decode(self, ids):  # pragma: no cover

@@ -1,0 +1,240 @@
+"""LDM/A1111 single-file checkpoint → Flax pipeline params.
+
+TPU-native equivalent of the reference's vendored converter
+(reference `change_model_path.py:51-943`, documented at `README.md:269-299`):
+the same key-renaming tables (LDM ``model.diffusion_model.* /
+first_stage_model.* / cond_stage_model.*`` → diffusers layout) re-derived,
+then routed through :mod:`pww_tpu.weights.loader`'s diffusers→Flax mapping —
+so ``.ckpt`` and single-file ``.safetensors`` models load directly.
+
+EMA weights: pass ``extract_ema=True`` to prefer ``model_ema.*`` shadows,
+mirroring the reference CLI's ``--extract_ema`` (change_model_path.py:828).
+"""
+from __future__ import annotations
+
+import re
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SDModelConfig
+from .loader import (
+    clip_key,
+    fill_params,
+    read_state_dict,
+    unet_key,
+    vae_keys,
+)
+
+# -- resnet / attention internals ------------------------------------------
+
+_UNET_RES = {
+    "in_layers.0": "norm1",
+    "in_layers.2": "conv1",
+    "emb_layers.1": "time_emb_proj",
+    "out_layers.0": "norm2",
+    "out_layers.3": "conv2",
+    "skip_connection": "conv_shortcut",
+}
+
+_VAE_RES = {
+    "norm1": "norm1",
+    "conv1": "conv1",
+    "norm2": "norm2",
+    "conv2": "conv2",
+    "nin_shortcut": "conv_shortcut",
+}
+
+_VAE_ATTN = {
+    "norm": "group_norm",
+    "q": "query",
+    "k": "key",
+    "v": "value",
+    "proj_out": "proj_attn",
+}
+
+
+def _map_unet_key(key: str, layers_per_block: int = 2) -> Optional[str]:
+    """``model.diffusion_model.X`` → diffusers UNet key (or None to skip)."""
+    if key.startswith("time_embed.0."):
+        return key.replace("time_embed.0.", "time_embedding.linear_1.")
+    if key.startswith("time_embed.2."):
+        return key.replace("time_embed.2.", "time_embedding.linear_2.")
+    if key.startswith("input_blocks.0.0."):
+        return key.replace("input_blocks.0.0.", "conv_in.")
+    if key.startswith("out.0."):
+        return key.replace("out.0.", "conv_norm_out.")
+    if key.startswith("out.2."):
+        return key.replace("out.2.", "conv_out.")
+
+    per = layers_per_block + 1
+    m = re.match(r"input_blocks\.(\d+)\.(\d+)\.(.+)", key)
+    if m:
+        i, sub, rest = int(m[1]), int(m[2]), m[3]
+        block_id, layer = (i - 1) // per, (i - 1) % per
+        if layer == layers_per_block:  # downsample slot
+            assert rest.startswith("op."), key
+            return f"down_blocks.{block_id}.downsamplers.0.conv.{rest[3:]}"
+        if sub == 0:
+            for src, dst in _UNET_RES.items():
+                if rest.startswith(src + "."):
+                    rest = dst + rest[len(src):]
+                    break
+            return f"down_blocks.{block_id}.resnets.{layer}.{rest}"
+        return f"down_blocks.{block_id}.attentions.{layer}.{rest}"
+
+    m = re.match(r"middle_block\.(\d+)\.(.+)", key)
+    if m:
+        sub, rest = int(m[1]), m[2]
+        if sub in (0, 2):
+            for src, dst in _UNET_RES.items():
+                if rest.startswith(src + "."):
+                    rest = dst + rest[len(src):]
+                    break
+            return f"mid_block.resnets.{0 if sub == 0 else 1}.{rest}"
+        return f"mid_block.attentions.0.{rest}"
+
+    m = re.match(r"output_blocks\.(\d+)\.(\d+)\.(.+)", key)
+    if m:
+        i, sub, rest = int(m[1]), int(m[2]), m[3]
+        block_id, layer = i // per, i % per
+        if rest.startswith("conv.") and sub >= 1 and layer == layers_per_block:
+            # upsampler: last module of the block (index 1 w/o attn, 2 with)
+            return f"up_blocks.{block_id}.upsamplers.0.{rest}"
+        if sub == 0:
+            for src, dst in _UNET_RES.items():
+                if rest.startswith(src + "."):
+                    rest = dst + rest[len(src):]
+                    break
+            return f"up_blocks.{block_id}.resnets.{layer}.{rest}"
+        return f"up_blocks.{block_id}.attentions.{layer}.{rest}"
+    return None
+
+
+def _map_vae_key(key: str, num_blocks: int = 4) -> Optional[str]:
+    """``first_stage_model.X`` → diffusers VAE key."""
+    if key.startswith("quant_conv.") or key.startswith("post_quant_conv."):
+        return key
+
+    def side(prefix: str, k: str, decoder: bool) -> Optional[str]:
+        if not k.startswith(prefix + "."):
+            return None
+        k = k[len(prefix) + 1:]
+        if k.startswith("conv_in.") or k.startswith("conv_out."):
+            return f"{prefix}.{k}"
+        if k.startswith("norm_out."):
+            return f"{prefix}.conv_norm_out.{k[len('norm_out.'):]}"
+        m = re.match(r"(down|up)\.(\d+)\.block\.(\d+)\.(.+)", k)
+        if m:
+            i, j, rest = int(m[2]), int(m[3]), m[4]
+            for src, dst in _VAE_RES.items():
+                if rest.startswith(src + "."):
+                    rest = dst + rest[len(src):]
+                    break
+            if decoder:  # LDM decoder.up is outermost-last; diffusers reversed
+                i = num_blocks - 1 - i
+            return f"{prefix}.{m[1]}_blocks.{i}.resnets.{j}.{rest}"
+        m = re.match(r"down\.(\d+)\.downsample\.conv\.(.+)", k)
+        if m:
+            return f"{prefix}.down_blocks.{m[1]}.downsamplers.0.conv.{m[2]}"
+        m = re.match(r"up\.(\d+)\.upsample\.conv\.(.+)", k)
+        if m:
+            i = num_blocks - 1 - int(m[1])
+            return f"{prefix}.up_blocks.{i}.upsamplers.0.conv.{m[2]}"
+        m = re.match(r"mid\.block_(\d)\.(.+)", k)
+        if m:
+            rest = m[2]
+            for src, dst in _VAE_RES.items():
+                if rest.startswith(src + "."):
+                    rest = dst + rest[len(src):]
+                    break
+            return f"{prefix}.mid_block.resnets.{int(m[1]) - 1}.{rest}"
+        m = re.match(r"mid\.attn_1\.(.+)", k)
+        if m:
+            rest = m[1]
+            for src, dst in _VAE_ATTN.items():
+                if rest.startswith(src + "."):
+                    rest = dst + rest[len(src):]
+                    break
+            return f"{prefix}.mid_block.attentions.0.{rest}"
+        return None
+
+    return side("encoder", key, False) or side("decoder", key, True)
+
+
+def convert_ldm_state_dict(
+    state: Dict[str, np.ndarray], extract_ema: bool = False
+) -> Tuple[Dict[str, np.ndarray], Dict[str, np.ndarray], Dict[str, np.ndarray]]:
+    """Split + rename an LDM state dict into (unet, vae, clip) diffusers dicts."""
+    if extract_ema:
+        ema = {
+            k[len("model_ema."):].replace(".", ""): k for k in state
+            if k.startswith("model_ema.")
+        }
+        # model_ema keys flatten dots; match by squashed name
+        remapped = {}
+        for k in list(state):
+            if k.startswith("model.diffusion_model."):
+                flat = k[len("model."):].replace(".", "")
+                if flat in ema:
+                    remapped[k] = state[ema[flat]]
+        state = {**state, **remapped}
+
+    unet, vae, clip = {}, {}, {}
+    for k, v in state.items():
+        if k.startswith("model.diffusion_model."):
+            nk = _map_unet_key(k[len("model.diffusion_model."):])
+            if nk:
+                unet[nk] = v
+        elif k.startswith("first_stage_model."):
+            nk = _map_vae_key(k[len("first_stage_model."):])
+            if nk:
+                # LDM VAE attention q/k/v/proj are 1x1 convs; diffusers linear
+                if any(
+                    s in nk for s in (".query.", ".key.", ".value.", ".proj_attn.")
+                ) and v.ndim == 4:
+                    v = v[:, :, 0, 0]
+                vae[nk] = v
+        elif k.startswith("cond_stage_model.transformer."):
+            clip[k[len("cond_stage_model.transformer."):]] = v
+    return unet, vae, clip
+
+
+def load_ldm_checkpoint(path: str, extract_ema: bool = False):
+    """Single-file ``.ckpt``/``.safetensors`` → (config, params, tokenizer)."""
+    from ..models.clip import CLIPTextEncoder
+    from ..models.unet import UNet2DCondition
+    from ..models.vae import AutoencoderKL
+    from ..tokenizer.clip_bpe import toy_tokenizer
+
+    state = read_state_dict(path)
+    unet_sd, vae_sd, clip_sd = convert_ldm_state_dict(state, extract_ema)
+
+    in_channels = unet_sd["conv_in.weight"].shape[1]
+    from ..config import UNetConfig
+
+    config = SDModelConfig(unet=UNetConfig.sd15(in_channels=in_channels))
+    rng = jax.random.PRNGKey(0)
+
+    unet = UNet2DCondition(config.unet)
+    lat = jnp.zeros((1, 8, 8, config.unet.in_channels))
+    ctx = jnp.zeros((1, 77, config.unet.cross_attention_dim))
+    unet_shapes = jax.eval_shape(unet.init, rng, lat, jnp.zeros((1,)), ctx)
+    unet_params = fill_params(unet_shapes, unet_sd, unet_key, name="unet(ldm)")
+
+    vae = AutoencoderKL(config.vae)
+    img = jnp.zeros((1, 16, 16, 3))
+    vae_shapes = jax.eval_shape(vae.init, rng, img)
+    vae_params = fill_params(vae_shapes, vae_sd, vae_keys, multi=True, name="vae(ldm)")
+
+    clip = CLIPTextEncoder(config.clip)
+    ids = jnp.zeros((1, 77), jnp.int32)
+    clip_shapes = jax.eval_shape(clip.init, rng, ids)
+    clip_params = fill_params(clip_shapes, clip_sd, clip_key, name="clip(ldm)")
+
+    params = {"unet": unet_params, "vae": vae_params, "clip": clip_params}
+    # single-file checkpoints carry no tokenizer assets
+    tokenizer = toy_tokenizer(config.clip.vocab_size)
+    return config, params, tokenizer

@@ -1,0 +1,378 @@
+"""Checkpoint loading: diffusers-layout SD checkpoints → Flax param pytrees.
+
+The reference defers to ``*.from_pretrained`` (reference
+`paint_with_words/paint_with_words.py:149-189`); here the mapping is explicit:
+for every parameter in our Flax modules we derive the corresponding
+diffusers/transformers state-dict key plus the layout transform
+(torch OIHW conv → flax HWIO; torch (out,in) linear → flax (in,out)).
+
+Works with ``.safetensors`` (preferred, no torch needed) and torch ``.bin``
+pickles (CPU torch). Config is read from the checkpoint's ``config.json``
+files so 4-channel SD and 9-channel inpainting UNets both load
+(reference `paint_with_words_inpaint.py:216-227` channel check).
+"""
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import CLIPTextConfig, SDModelConfig, UNetConfig, VAEConfig
+
+# ---------------------------------------------------------------------------
+# state-dict reading
+# ---------------------------------------------------------------------------
+
+
+def read_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Load a single checkpoint file into numpy arrays."""
+    if path.endswith(".safetensors"):
+        from safetensors.numpy import load_file
+
+        return load_file(path)
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if "state_dict" in sd:
+        sd = sd["state_dict"]
+    return {k: v.float().numpy() for k, v in sd.items() if hasattr(v, "numpy")}
+
+
+def _find_weights_file(subdir: str) -> str:
+    for name in (
+        "diffusion_pytorch_model.safetensors",
+        "model.safetensors",
+        "diffusion_pytorch_model.bin",
+        "pytorch_model.bin",
+    ):
+        p = os.path.join(subdir, name)
+        if os.path.exists(p):
+            return p
+    raise FileNotFoundError(f"no weights file in {subdir}")
+
+
+# ---------------------------------------------------------------------------
+# transforms: torch layout -> flax layout
+# ---------------------------------------------------------------------------
+
+
+def t_conv(x: np.ndarray) -> np.ndarray:
+    """(O, I, kh, kw) → (kh, kw, I, O)."""
+    return np.transpose(x, (2, 3, 1, 0))
+
+
+def t_dense(x: np.ndarray) -> np.ndarray:
+    """(out, in) → (in, out)."""
+    return np.transpose(x, (1, 0))
+
+
+def t_id(x: np.ndarray) -> np.ndarray:
+    return x
+
+
+# ---------------------------------------------------------------------------
+# flax-path → diffusers-key mapping
+# ---------------------------------------------------------------------------
+
+_LEAF = {
+    # (our leaf name) -> (torch leaf name, transform-for-weight)
+    "kernel": ("weight", None),  # transform decided by param rank
+    "bias": ("bias", t_id),
+    "scale": ("weight", t_id),  # Group/LayerNorm scale
+    "embedding": ("weight", t_id),  # nn.Embed
+}
+
+
+def _leaf_key(leaf: str, rank: int) -> Tuple[str, Callable]:
+    torch_leaf, tf = _LEAF[leaf]
+    if tf is None:
+        tf = t_conv if rank == 4 else (t_dense if rank == 2 else t_id)
+    return torch_leaf, tf
+
+
+def _unet_module_key(name: str) -> str:
+    """Translate one of our UNet flax module names to its diffusers prefix."""
+    m = re.fullmatch(r"down_(\d+)_resnet_(\d+)", name)
+    if m:
+        return f"down_blocks.{m[1]}.resnets.{m[2]}"
+    m = re.fullmatch(r"down_(\d+)_attn_(\d+)", name)
+    if m:
+        return f"down_blocks.{m[1]}.attentions.{m[2]}"
+    m = re.fullmatch(r"down_(\d+)_downsample", name)
+    if m:
+        return f"down_blocks.{m[1]}.downsamplers.0"
+    m = re.fullmatch(r"up_(\d+)_resnet_(\d+)", name)
+    if m:
+        return f"up_blocks.{m[1]}.resnets.{m[2]}"
+    m = re.fullmatch(r"up_(\d+)_attn_(\d+)", name)
+    if m:
+        return f"up_blocks.{m[1]}.attentions.{m[2]}"
+    m = re.fullmatch(r"up_(\d+)_upsample", name)
+    if m:
+        return f"up_blocks.{m[1]}.upsamplers.0"
+    m = re.fullmatch(r"mid_resnet_(\d+)", name)
+    if m:
+        return f"mid_block.resnets.{m[1]}"
+    if name == "mid_attn":
+        return "mid_block.attentions.0"
+    m = re.fullmatch(r"blocks_(\d+)", name)
+    if m:
+        return f"transformer_blocks.{m[1]}"
+    # transformer internals
+    fixed = {
+        "to_out": "to_out.0",
+        "ff": "ff",
+        "proj_in": "proj_in",
+        "proj_out": "proj_out",
+    }
+    return fixed.get(name, name)
+
+
+def unet_key(path: Tuple[str, ...], rank: int) -> Tuple[str, Callable]:
+    """('down_0_attn_1', 'blocks_0', 'attn2', 'to_q', 'kernel') →
+    ('down_blocks.0.attentions.1.transformer_blocks.0.attn2.to_q.weight', t)."""
+    *mods, leaf = path
+    parts = []
+    for i, m in enumerate(mods):
+        # FeedForward GEGLU naming: ff.proj_in -> ff.net.0.proj, ff.proj_out -> ff.net.2
+        if i > 0 and mods[i - 1] == "ff":
+            parts.append({"proj_in": "net.0.proj", "proj_out": "net.2"}[m])
+        else:
+            parts.append(_unet_module_key(m))
+    torch_leaf, tf = _leaf_key(leaf, rank)
+    return ".".join(parts + [torch_leaf]), tf
+
+
+def clip_key(path: Tuple[str, ...], rank: int) -> Tuple[str, Callable]:
+    *mods, leaf = path
+    if mods and mods[0] == "token_embedding":
+        return "text_model.embeddings.token_embedding.weight", t_id
+    if leaf == "position_embedding":
+        return "text_model.embeddings.position_embedding.weight", t_id
+    parts = []
+    for m in mods:
+        mm = re.fullmatch(r"layers_(\d+)", m)
+        parts.append(f"encoder.layers.{mm[1]}" if mm else m)
+    torch_leaf, tf = _leaf_key(leaf, rank)
+    return "text_model." + ".".join(parts + [torch_leaf]), tf
+
+
+_VAE_ATTN = {"norm": "group_norm", "q": "query", "k": "key", "v": "value",
+             "proj_out": "proj_attn"}
+_VAE_ATTN_NEW = {"norm": "group_norm", "q": "to_q", "k": "to_k", "v": "to_v",
+                 "proj_out": "to_out.0"}
+
+
+def vae_keys(path: Tuple[str, ...], rank: int) -> Tuple[Tuple[str, ...], Callable]:
+    """Returns candidate diffusers keys (old + new attention naming)."""
+    *mods, leaf = path
+    torch_leaf, tf = _leaf_key(leaf, rank)
+
+    def translate(attn_map) -> str:
+        parts = []
+        in_attn = False
+        top = mods[0] if mods else ""
+        for i, m in enumerate(mods):
+            if m in ("encoder", "decoder"):
+                parts.append(m)
+                continue
+            if m == "quant_conv" or m == "post_quant_conv":
+                return f"{m}.{torch_leaf}"  # top-level in diffusers
+            mm = re.fullmatch(r"down_(\d+)_resnet_(\d+)", m)
+            if mm:
+                parts.append(f"down_blocks.{mm[1]}.resnets.{mm[2]}")
+                continue
+            mm = re.fullmatch(r"down_(\d+)_downsample", m)
+            if mm:
+                parts.append(f"down_blocks.{mm[1]}.downsamplers.0.conv")
+                continue
+            mm = re.fullmatch(r"up_(\d+)_resnet_(\d+)", m)
+            if mm:
+                parts.append(f"up_blocks.{mm[1]}.resnets.{mm[2]}")
+                continue
+            mm = re.fullmatch(r"up_(\d+)_upsample", m)
+            if mm:
+                parts.append(f"up_blocks.{mm[1]}.upsamplers.0.conv")
+                continue
+            mm = re.fullmatch(r"mid_resnet_(\d+)", m)
+            if mm:
+                parts.append(f"mid_block.resnets.{mm[1]}")
+                continue
+            if m == "mid_attn":
+                parts.append("mid_block.attentions.0")
+                in_attn = True
+                continue
+            if in_attn and m in attn_map:
+                parts.append(attn_map[m])
+                continue
+            parts.append(m)
+        return ".".join(parts + [torch_leaf])
+
+    return (translate(_VAE_ATTN), translate(_VAE_ATTN_NEW)), tf
+
+
+# ---------------------------------------------------------------------------
+# generic tree filling
+# ---------------------------------------------------------------------------
+
+
+def fill_params(
+    target_shapes,
+    state: Dict[str, np.ndarray],
+    key_fn: Callable[[Tuple[str, ...], int], Any],
+    multi: bool = False,
+    strict: bool = True,
+    name: str = "",
+):
+    """Walk a flax param-shape tree; pull+transform each tensor from ``state``."""
+    flat = jax.tree_util.tree_flatten_with_path(target_shapes)[0]
+    treedef = jax.tree_util.tree_structure(target_shapes)
+    leaves = []
+    missing = []
+    for keypath, shape_leaf in flat:
+        path = tuple(
+            p.key if hasattr(p, "key") else str(p) for p in keypath
+        )
+        # drop the top-level 'params' collection name
+        path = tuple(p for p in path if p != "params")
+        rank = len(shape_leaf.shape)
+        keys, tf = key_fn(path, rank)
+        if not multi:
+            keys = (keys,)
+        src = None
+        for k in keys:
+            if k in state:
+                src = state[k]
+                break
+        if src is None:
+            missing.append((path, keys))
+            leaves.append(jnp.zeros(shape_leaf.shape, shape_leaf.dtype))
+            continue
+        arr = tf(src)
+        # torch convs sometimes store 1x1 convs as linear (proj_in variants)
+        if arr.shape != tuple(shape_leaf.shape):
+            if arr.ndim == 2 and len(shape_leaf.shape) == 4:
+                arr = arr[None, None]  # (I,O) -> (1,1,I,O)
+            elif arr.ndim == 4 and len(shape_leaf.shape) == 2 and arr.shape[:2] == (1, 1):
+                arr = arr[0, 0]
+        if arr.shape != tuple(shape_leaf.shape):
+            raise ValueError(
+                f"{name}: shape mismatch at {'.'.join(path)}: checkpoint "
+                f"{arr.shape} vs model {tuple(shape_leaf.shape)} (keys {keys})"
+            )
+        leaves.append(jnp.asarray(arr, shape_leaf.dtype))
+    if missing and strict:
+        lines = "; ".join(".".join(p) + "←" + "|".join(k) for p, k in missing[:8])
+        raise KeyError(f"{name}: {len(missing)} params missing from checkpoint: {lines}")
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+# ---------------------------------------------------------------------------
+# config + full-pipeline loading
+# ---------------------------------------------------------------------------
+
+
+def _read_json(path: str) -> Optional[dict]:
+    if os.path.exists(path):
+        with open(path) as f:
+            return json.load(f)
+    return None
+
+
+def config_from_checkpoint(model_path: str) -> SDModelConfig:
+    """Derive SDModelConfig from the checkpoint's config.json files."""
+    unet_cfg = _read_json(os.path.join(model_path, "unet", "config.json")) or {}
+    clip_cfg = _read_json(os.path.join(model_path, "text_encoder", "config.json")) or {}
+    vae_cfg = _read_json(os.path.join(model_path, "vae", "config.json")) or {}
+
+    unet = UNetConfig(
+        in_channels=unet_cfg.get("in_channels", 4),
+        out_channels=unet_cfg.get("out_channels", 4),
+        sample_size=unet_cfg.get("sample_size", 64),
+        block_out_channels=tuple(
+            unet_cfg.get("block_out_channels", (320, 640, 1280, 1280))
+        ),
+        layers_per_block=unet_cfg.get("layers_per_block", 2),
+        num_attention_heads=(
+            unet_cfg.get("attention_head_dim", 8)
+            if isinstance(unet_cfg.get("attention_head_dim", 8), int)
+            else 8
+        ),
+        cross_attention_dim=unet_cfg.get("cross_attention_dim", 768),
+        norm_num_groups=unet_cfg.get("norm_num_groups", 32),
+        down_block_has_attn=tuple(
+            t == "CrossAttnDownBlock2D"
+            for t in unet_cfg.get(
+                "down_block_types",
+                ("CrossAttnDownBlock2D",) * 3 + ("DownBlock2D",),
+            )
+        ),
+    )
+    clip = CLIPTextConfig(
+        vocab_size=clip_cfg.get("vocab_size", 49408),
+        hidden_size=clip_cfg.get("hidden_size", 768),
+        intermediate_size=clip_cfg.get("intermediate_size", 3072),
+        num_layers=clip_cfg.get("num_hidden_layers", 12),
+        num_heads=clip_cfg.get("num_attention_heads", 12),
+        max_position_embeddings=clip_cfg.get("max_position_embeddings", 77),
+        hidden_act=clip_cfg.get("hidden_act", "quick_gelu"),
+    )
+    vae = VAEConfig(
+        latent_channels=vae_cfg.get("latent_channels", 4),
+        block_out_channels=tuple(vae_cfg.get("block_out_channels", (128, 256, 512, 512))),
+        layers_per_block=vae_cfg.get("layers_per_block", 2),
+        norm_num_groups=vae_cfg.get("norm_num_groups", 32),
+        scaling_factor=vae_cfg.get("scaling_factor", 0.18215),
+    )
+    return SDModelConfig(clip=clip, unet=unet, vae=vae)
+
+
+def load_pipeline_checkpoint(model_path: str):
+    """Load (config, params, tokenizer) from a diffusers-layout directory.
+
+    Single-file LDM ``.ckpt``/``.safetensors`` checkpoints are routed through
+    :mod:`pww_tpu.weights.ldm_convert` first (A1111-style models, reference
+    `change_model_path.py` / `README.md:269-299`).
+    """
+    if os.path.isfile(model_path):
+        from .ldm_convert import load_ldm_checkpoint
+
+        return load_ldm_checkpoint(model_path)
+
+    from ..models.clip import CLIPTextEncoder
+    from ..models.unet import UNet2DCondition
+    from ..models.vae import AutoencoderKL
+    from ..tokenizer.clip_bpe import CLIPTokenizer
+
+    config = config_from_checkpoint(model_path)
+    rng = jax.random.PRNGKey(0)
+
+    unet = UNet2DCondition(config.unet)
+    lat = jnp.zeros((1, 8, 8, config.unet.in_channels))
+    ctx = jnp.zeros((1, config.clip.max_position_embeddings, config.unet.cross_attention_dim))
+    unet_shapes = jax.eval_shape(unet.init, rng, lat, jnp.zeros((1,)), ctx)
+    unet_state = read_state_dict(_find_weights_file(os.path.join(model_path, "unet")))
+    unet_params = fill_params(unet_shapes, unet_state, unet_key, name="unet")
+
+    clip = CLIPTextEncoder(config.clip)
+    ids = jnp.zeros((1, config.clip.max_position_embeddings), jnp.int32)
+    clip_shapes = jax.eval_shape(clip.init, rng, ids)
+    clip_state = read_state_dict(
+        _find_weights_file(os.path.join(model_path, "text_encoder"))
+    )
+    clip_params = fill_params(clip_shapes, clip_state, clip_key, name="clip")
+
+    vae = AutoencoderKL(config.vae)
+    img = jnp.zeros((1, config.vae.scale_factor * 2, config.vae.scale_factor * 2, 3))
+    vae_shapes = jax.eval_shape(vae.init, rng, img)
+    vae_state = read_state_dict(_find_weights_file(os.path.join(model_path, "vae")))
+    vae_params = fill_params(vae_shapes, vae_state, vae_keys, multi=True, name="vae")
+
+    tokenizer = CLIPTokenizer.from_dir(model_path)
+    params = {"unet": unet_params, "clip": clip_params, "vae": vae_params}
+    return config, params, tokenizer
