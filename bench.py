@@ -1,0 +1,95 @@
+"""Benchmark: SD-1.5 512² 30-step paint-with-words on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The reference publishes no quantitative numbers (BASELINE.md); the north-star
+target is < 2 s/image (0.5 img/s) for SD-1.5 512², 30 steps, PwW active, on
+TPU v5e. vs_baseline is measured images/sec divided by that 0.5 img/s target.
+
+Weights are randomly initialized (no checkpoints ship in this environment);
+FLOPs, memory traffic, and program structure are identical to real weights.
+"""
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tiny", action="store_true", help="CPU smoke config")
+    ap.add_argument("--size", type=int, default=512)
+    ap.add_argument("--steps", type=int, default=30)
+    ap.add_argument("--batch", type=int, default=1, help="images per call")
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--scheduler", default="lms")
+    args = ap.parse_args()
+
+    import jax
+
+    from pww_tpu.config import SDModelConfig
+    from pww_tpu.pipeline.pipeline import PwwPipeline
+
+    if args.tiny:
+        cfg = SDModelConfig.tiny()
+        size = 128
+        steps = 3
+    else:
+        cfg = SDModelConfig.sd15()
+        size = args.size
+        steps = args.steps
+
+    print(f"devices: {jax.devices()}", file=sys.stderr)
+    t0 = time.time()
+    pipe = PwwPipeline(config=cfg, scheduler=args.scheduler)
+    print(f"init: {time.time() - t0:.1f}s", file=sys.stderr)
+
+    # the reference's canonical cat/dog example geometry (runner.py:9-25)
+    cm = np.zeros((size, size, 3), np.uint8)
+    cm[:, : size // 2] = (255, 0, 0)
+    cm[:, size // 2 :] = (0, 0, 255)
+    kwargs = dict(
+        prompt="a cat sitting next to a dog, realistic photo",
+        color_map_image=cm,
+        color_context={(255, 0, 0): "cat,0.5", (0, 0, 255): "dog,0.5"},
+        num_inference_steps=steps,
+        guidance_scale=7.5,
+        num_samples=args.batch,
+        output_type="np",
+    )
+
+    t0 = time.time()
+    pipe.generate(seed=0, **kwargs)  # compile + warmup
+    print(f"warmup (incl. compile): {time.time() - t0:.1f}s", file=sys.stderr)
+
+    times = []
+    for i in range(args.repeats):
+        t0 = time.time()
+        pipe.generate(seed=i + 1, **kwargs)
+        times.append(time.time() - t0)
+    per_call = float(np.median(times))
+    per_image = per_call / args.batch
+    ips = args.batch / per_call
+
+    print(
+        f"p50 latency/image: {per_image:.3f}s  images/s/chip: {ips:.3f}  "
+        f"(times: {['%.2f' % t for t in times]})",
+        file=sys.stderr,
+    )
+    baseline_ips = 0.5  # north star: < 2 s/image
+    print(
+        json.dumps(
+            {
+                "metric": "images_per_sec_per_chip_sd15_512px_30step_pww",
+                "value": round(ips, 4),
+                "unit": "img/s/chip",
+                "vs_baseline": round(ips / baseline_ips, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,76 @@
+"""Multi-device sharding tests on the 8-virtual-CPU-device mesh (SURVEY.md §4:
+the standard JAX fake-backend trick — validates dp/tp program correctness
+without TPU pods)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pww_tpu.config import SDModelConfig
+from pww_tpu.models.unet import UNet2DCondition
+from pww_tpu.ops.weight_functions import WeightFunction
+from pww_tpu.parallel.mesh import make_mesh, param_pspec, replicate, shard_batch, shard_params
+from pww_tpu.types import PwwState
+
+
+def test_eight_virtual_devices_present():
+    assert len(jax.devices()) >= 8
+
+
+def test_param_pspec_rules():
+    from jax.sharding import PartitionSpec as P
+
+    assert param_pspec("down_0_attn_0/blocks_0/attn1/to_q/kernel") == P(None, "tp")
+    assert param_pspec("mid_attn/blocks_0/attn2/to_out/kernel") == P("tp", None)
+    assert param_pspec("up_1_attn_2/blocks_0/ff/proj_in/kernel") == P(None, "tp")
+    assert param_pspec("down_0_resnet_0/conv1/kernel") == P()
+
+
+@pytest.mark.parametrize("dp,tp", [(8, 1), (4, 2), (2, 4)])
+def test_sharded_unet_matches_single_device(dp, tp):
+    """dp×tp sharded forward must equal the unsharded forward bitwise-ish."""
+    cfg = SDModelConfig.tiny()
+    unet = UNet2DCondition(cfg.unet)
+    h = w = 8
+    n = 8  # batch divisible by every dp
+    rng = jax.random.PRNGKey(0)
+    params = unet.init(
+        rng, jnp.zeros((1, h, w, 4)), jnp.zeros((1,)),
+        jnp.zeros((1, 77, cfg.clip.hidden_size)),
+    )
+    lat = jax.random.normal(jax.random.PRNGKey(1), (n, h, w, 4))
+    text = jax.random.normal(jax.random.PRNGKey(2), (n, 77, cfg.clip.hidden_size))
+    weights = {
+        h * w: jax.random.uniform(jax.random.PRNGKey(3), (n, h * w, 77)),
+        h * w // 4: jax.random.uniform(jax.random.PRNGKey(4), (n, h * w // 4, 77)),
+    }
+    pww = PwwState(weights=weights, weight_orig=None, sigma=jnp.float32(2.0),
+                   weight_fn=WeightFunction())
+
+    want = np.asarray(unet.apply(params, lat, jnp.float32(10.0), text, pww=pww))
+
+    mesh = make_mesh(dp=dp, tp=tp, devices=jax.devices()[:8])
+    sp = shard_params(params, mesh)
+    slat = shard_batch(lat, mesh)
+    stext = shard_batch(text, mesh)
+    spww = PwwState(
+        weights={k: shard_batch(v, mesh) for k, v in weights.items()},
+        weight_orig=None, sigma=jnp.float32(2.0), weight_fn=WeightFunction(),
+    )
+
+    @jax.jit
+    def fwd(p, l, t, pw):
+        return unet.apply(p, l, jnp.float32(10.0), t, pww=pw)
+
+    with mesh:
+        got = np.asarray(fwd(sp, slat, stext, spww))
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-3)
+
+
+def test_dryrun_multichip_entry():
+    import sys, os
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
