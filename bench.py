@@ -10,6 +10,7 @@ Weights are randomly initialized (no checkpoints ship in this environment);
 FLOPs, memory traffic, and program structure are identical to real weights.
 """
 import argparse
+import os
 import json
 import sys
 import time
@@ -28,6 +29,14 @@ def main():
     args = ap.parse_args()
 
     import jax
+
+    # Persistent compilation cache: remote-compile backends (tunneled TPU)
+    # pay tens of seconds per program; cache across runs.
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("PWW_JAX_CACHE", os.path.join(os.path.dirname(__file__), ".jax_cache")),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from pww_tpu.config import SDModelConfig
     from pww_tpu.pipeline.pipeline import PwwPipeline

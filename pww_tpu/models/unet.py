@@ -23,6 +23,7 @@ from flax import linen as nn
 
 from ..config import UNetConfig
 from ..ops.attention import merge_heads, pww_attention, split_heads
+from ..ops.weight_functions import CustomWeightFunction
 from ..types import PwwState
 
 
@@ -130,6 +131,21 @@ class CrossAttention(nn.Module):
             from ..ops.flash_attention import flash_self_attention
 
             out = flash_self_attention(q, k, v)
+        elif (
+            bias_w is not None
+            and self.use_flash
+            and q.shape[2] >= 256
+            and not isinstance(weight_fn, CustomWeightFunction)
+        ):
+            # two-pass fused kernel: jnp reduce, Pallas bias+softmax+V epilogue
+            from ..ops.cross_attention_kernel import (
+                fused_pww_cross_attention,
+                pww_cross_attention_reduce,
+            )
+
+            r = pww_cross_attention_reduce(q, k, weight_fn)
+            coef = weight_fn.sigma_coef(sigma) * r
+            out = fused_pww_cross_attention(q, k, v, bias_w, coef)
         else:
             out = pww_attention(
                 q, k, v, bias_w=bias_w, weight_fn=weight_fn, sigma=sigma
@@ -152,7 +168,7 @@ class TransformerBlock(nn.Module):
         )(h.astype(self.dtype))
         h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(x)
         x = x + CrossAttention(
-            self.num_heads, self.head_dim, False, self.dtype, name="attn2"
+            self.num_heads, self.head_dim, self.use_flash, self.dtype, name="attn2"
         )(h.astype(self.dtype), context=context, pww=pww)
         h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm3")(x)
         x = x + FeedForwardGEGLU(dim, dtype=self.dtype, name="ff")(h.astype(self.dtype))

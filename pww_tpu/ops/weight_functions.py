@@ -75,7 +75,9 @@ class WeightFunction:
             var = jnp.sum((x - mean) ** 2, axis=axes, keepdims=True) / max(n - 1, 1)
             r = jnp.sqrt(var)
         else:
-            r = jnp.ones((1,) * qk.ndim, jnp.float32)
+            r = jnp.ones(
+                qk.shape[:batch_axes] + (1,) * (qk.ndim - batch_axes), jnp.float32
+            )
         return r
 
     def __call__(self, w, sigma, qk):

@@ -41,7 +41,9 @@ LATENT_SCALE = 0.18215  # SD VAE scaling (reference paint_with_words.py:49, 463)
 # --------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("unet", "t_start", "cfg_batched"))
+@functools.partial(
+    jax.jit, static_argnames=("unet", "controlnet", "t_start", "cfg_batched")
+)
 def run_denoise(
     unet: UNet2DCondition,
     unet_params,
@@ -51,6 +53,10 @@ def run_denoise(
     schedule: Schedule,
     guidance_scale: jnp.ndarray,
     extra_channels: Optional[jnp.ndarray] = None,  # (N, h, w, E) inpaint concat
+    controlnet=None,  # static ControlNet module
+    controlnet_params=None,
+    control_hint: Optional[jnp.ndarray] = None,  # (N, H, W, 3)
+    controlnet_scale: jnp.ndarray = 1.0,
     t_start: int = 0,
     cfg_batched: bool = True,
 ) -> jnp.ndarray:
@@ -65,13 +71,22 @@ def run_denoise(
 
     def unet_eps(lat_in, t, pww_t):
         lat_in = lat_in.astype(compute_dtype)
+        lat2 = jnp.concatenate([lat_in, lat_in], axis=0)
+        down_res = mid_res = None
+        if controlnet is not None:
+            hint2 = jnp.concatenate([control_hint, control_hint], axis=0)
+            down_res, mid_res = controlnet.apply(
+                controlnet_params, lat2, t, text_states,
+                hint2.astype(compute_dtype), pww=pww_t,
+                conditioning_scale=controlnet_scale,
+            )
         if extra_channels is not None:
             ec = jnp.concatenate([extra_channels] * 2, axis=0)
-            lat2 = jnp.concatenate([lat_in, lat_in], axis=0)
             lat2 = jnp.concatenate([lat2, ec.astype(compute_dtype)], axis=-1)
-        else:
-            lat2 = jnp.concatenate([lat_in, lat_in], axis=0)
-        eps = unet.apply(unet_params, lat2, t, text_states, pww=pww_t)
+        eps = unet.apply(
+            unet_params, lat2, t, text_states, pww=pww_t,
+            down_block_residuals=down_res, mid_block_residual=mid_res,
+        )
         eps_uncond, eps_text = eps[:n].astype(jnp.float32), eps[n:].astype(jnp.float32)
         return eps_uncond + guidance_scale * (eps_text - eps_uncond)
 
@@ -139,6 +154,8 @@ class PwwPipeline:
 
             tokenizer = toy_tokenizer(self.config.clip.vocab_size)
         self.tokenizer = tokenizer
+        self.controlnet = None
+        self.controlnet_params = None
         if params is None:
             params = self.init_params(seed)
         if weights_dtype is not None:
@@ -185,6 +202,38 @@ class PwwPipeline:
             config=config, params=params, tokenizer=tokenizer,
             scheduler=scheduler, **kwargs,
         )
+
+    # -- controlnet ------------------------------------------------------------
+    def load_controlnet(self, source=None, params=None, seed: int = 0):
+        """Attach a ControlNet stage (BASELINE config #4, reference C19).
+
+        ``source``: a diffusers controlnet checkpoint dir, or None to random-
+        init (tests/bench). The ControlNet shares the UNet's config family and
+        the PwW-biased attention, so region + structural control compose.
+        """
+        from ..models.controlnet import ControlNet
+
+        self.controlnet = ControlNet(self.config.unet, dtype=self.compute_dtype)
+        if params is not None:
+            self.controlnet_params = params
+        elif source is not None:
+            from ..weights.loader import load_controlnet_checkpoint
+
+            self.controlnet_params = load_controlnet_checkpoint(
+                source, self.config
+            )
+        else:
+            h = w = 2 ** (len(self.config.unet.block_out_channels) - 1)
+            sf = self.config.vae.scale_factor
+            self.controlnet_params = self.controlnet.init(
+                jax.random.PRNGKey(seed),
+                jnp.zeros((1, h, w, self.config.unet.in_channels)),
+                jnp.zeros((1,)),
+                jnp.zeros((1, self.config.clip.max_position_embeddings,
+                           self.config.unet.cross_attention_dim)),
+                jnp.zeros((1, h * sf, w * sf, 3)),
+            )
+        return self
 
     # -- stages ----------------------------------------------------------------
     def encode_text(self, ids: jnp.ndarray) -> jnp.ndarray:
@@ -240,6 +289,8 @@ class PwwPipeline:
         init_image=None,  # img2img when set
         strength: float = 0.5,
         mask_image=None,  # inpaint when set (with init_image)
+        control_image=None,  # ControlNet hint (requires load_controlnet first)
+        controlnet_conditioning_scale: float = 1.0,
         num_samples: int = 1,
         noise_mode: str = "jax",
         output_type: str = "pil",
@@ -311,6 +362,19 @@ class PwwPipeline:
                 noise = make_noise(seed, init_lat.shape, noise_mode)
                 latents = schedule.add_noise(init_lat, noise, jnp.int32(t_start))
 
+        controlnet = controlnet_params = hint = None
+        if control_image is not None:
+            if getattr(self, "controlnet", None) is None:
+                raise ValueError(
+                    "control_image given but no ControlNet loaded; call "
+                    "pipeline.load_controlnet(...) first"
+                )
+            controlnet = self.controlnet
+            controlnet_params = self.controlnet_params
+            arr = _to_numpy_image(control_image).astype(np.float32) / 255.0
+            hint = jnp.asarray(arr)[None] if arr.ndim == 3 else jnp.asarray(arr)
+            hint = jnp.repeat(hint, n, axis=0)
+
         text_states, pww = self._tile_cfg(enc, n)
         latents = run_denoise(
             self.unet,
@@ -321,6 +385,10 @@ class PwwPipeline:
             schedule,
             jnp.float32(guidance_scale),
             extra_channels=extra,
+            controlnet=controlnet,
+            controlnet_params=controlnet_params,
+            control_hint=hint,
+            controlnet_scale=jnp.float32(controlnet_conditioning_scale),
             t_start=t_start,
         )
         images = run_decode(self.vae, self.params["vae"], latents)

@@ -216,6 +216,48 @@ def vae_keys(path: Tuple[str, ...], rank: int) -> Tuple[Tuple[str, ...], Callabl
     return (translate(_VAE_ATTN), translate(_VAE_ATTN_NEW)), tf
 
 
+def controlnet_key(path: Tuple[str, ...], rank: int) -> Tuple[str, Callable]:
+    """Our ControlNet flax paths → diffusers ControlNetModel keys."""
+    *mods, leaf = path
+    torch_leaf, tf = _leaf_key(leaf, rank)
+    m0 = mods[0] if mods else ""
+    m = re.fullmatch(r"zero_conv_(\d+)", m0)
+    if m:
+        return f"controlnet_down_blocks.{m[1]}.{torch_leaf}", tf
+    if m0 == "zero_conv_mid":
+        return f"controlnet_mid_block.{torch_leaf}", tf
+    if m0 == "cond_embedding":
+        inner = mods[1]
+        if inner == "conv_in":
+            return f"controlnet_cond_embedding.conv_in.{torch_leaf}", tf
+        if inner == "conv_out":
+            return f"controlnet_cond_embedding.conv_out.{torch_leaf}", tf
+        mm = re.fullmatch(r"blocks_(\d+)", inner)
+        return f"controlnet_cond_embedding.blocks.{mm[1]}.{torch_leaf}", tf
+    return unet_key(path, rank)
+
+
+def load_controlnet_checkpoint(path: str, config) -> dict:
+    """diffusers ControlNetModel dir/file → Flax param pytree."""
+    from ..models.controlnet import ControlNet
+
+    if os.path.isdir(path):
+        state = read_state_dict(_find_weights_file(path))
+    else:
+        state = read_state_dict(path)
+    cn = ControlNet(config.unet)
+    h = w = 2 ** (len(config.unet.block_out_channels) - 1)
+    sf = config.vae.scale_factor
+    shapes = jax.eval_shape(
+        cn.init, jax.random.PRNGKey(0),
+        jnp.zeros((1, h, w, config.unet.in_channels)), jnp.zeros((1,)),
+        jnp.zeros((1, config.clip.max_position_embeddings,
+                   config.unet.cross_attention_dim)),
+        jnp.zeros((1, h * sf, w * sf, 3)),
+    )
+    return fill_params(shapes, state, controlnet_key, name="controlnet")
+
+
 # ---------------------------------------------------------------------------
 # generic tree filling
 # ---------------------------------------------------------------------------

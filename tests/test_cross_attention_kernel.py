@@ -1,0 +1,64 @@
+"""Fused PwW cross-attention kernel vs the dense reference path."""
+import jax.numpy as jnp
+import numpy as np
+
+from pww_tpu.ops.attention import pww_attention
+from pww_tpu.ops.cross_attention_kernel import (
+    fused_pww_cross_attention,
+    pww_cross_attention_reduce,
+)
+from pww_tpu.ops.weight_functions import WeightFunction
+
+
+def _data(rng, b=2, h=2, lq=256, lk=77, dh=40):
+    q = rng.standard_normal((b, h, lq, dh)).astype(np.float32)
+    k = rng.standard_normal((b, h, lk, dh)).astype(np.float32)
+    v = rng.standard_normal((b, h, lk, dh)).astype(np.float32)
+    w = np.zeros((b, lq, lk), np.float32)
+    w[1] = rng.random((lq, lk))  # row 0 = uncond (zero weights)
+    return (jnp.asarray(x) for x in (q, k, v, w))
+
+
+def test_fused_matches_dense_max(rng):
+    q, k, v, w = _data(rng)
+    wf = WeightFunction(0.1, "log1p_sigma", "max")
+    sigma = jnp.float32(5.0)
+    want = np.asarray(pww_attention(q, k, v, bias_w=w, weight_fn=wf, sigma=sigma))
+    r = pww_cross_attention_reduce(q, k, wf)
+    coef = wf.sigma_coef(sigma) * r
+    got = np.asarray(fused_pww_cross_attention(q, k, v, w, coef))
+    np.testing.assert_allclose(got, want, atol=3e-5, rtol=1e-3)
+
+
+def test_fused_matches_dense_std(rng):
+    q, k, v, w = _data(rng, lq=512)
+    wf = WeightFunction(0.3, "log1p_sigma2", "std")
+    sigma = jnp.float32(2.0)
+    want = np.asarray(pww_attention(q, k, v, bias_w=w, weight_fn=wf, sigma=sigma))
+    r = pww_cross_attention_reduce(q, k, wf)
+    coef = wf.sigma_coef(sigma) * r
+    got = np.asarray(fused_pww_cross_attention(q, k, v, w, coef))
+    np.testing.assert_allclose(got, want, atol=3e-5, rtol=1e-3)
+
+
+def test_fused_uncond_rows_are_plain_attention(rng):
+    """coef·w = 0 on the uncond row — must equal bias-free attention there."""
+    q, k, v, w = _data(rng)
+    wf = WeightFunction(0.1, "log1p_sigma", "max")
+    r = pww_cross_attention_reduce(q, k, wf)
+    coef = wf.sigma_coef(jnp.float32(3.0)) * r
+    got = np.asarray(fused_pww_cross_attention(q, k, v, w, coef))
+    plain = np.asarray(pww_attention(q, k, v))
+    np.testing.assert_allclose(got[0], plain[0], atol=3e-5, rtol=1e-3)
+    assert not np.allclose(got[1], plain[1], atol=1e-3)  # cond row is biased
+
+
+def test_dense_fallback_for_odd_lq(rng):
+    q, k, v, w = _data(rng, lq=100)  # not blockable -> fallback path
+    wf = WeightFunction(0.1, "log1p_sigma", "max")
+    sigma = jnp.float32(5.0)
+    r = pww_cross_attention_reduce(q, k, wf)
+    coef = wf.sigma_coef(sigma) * r
+    got = np.asarray(fused_pww_cross_attention(q, k, v, w, coef))
+    want = np.asarray(pww_attention(q, k, v, bias_w=w, weight_fn=wf, sigma=sigma))
+    np.testing.assert_allclose(got, want, atol=3e-5, rtol=1e-3)
