@@ -40,7 +40,8 @@ def _kernel(q_ref, k_ref, v_ref, w_ref, coef_ref, o_ref, *, scale, lk_real, head
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # (Bq, Lk_pad)
 
-    coef = coef_ref[0]  # scalar f32 = sigma_coef * reduce(QK^T) for this sample
+    b_idx = pl.program_id(0) // heads
+    coef = coef_ref[b_idx]  # f32 = sigma_coef * reduce(QK^T) for this sample
     bias = coef * w_ref[0]  # (Bq, Lk_pad); padded cols are zero in w
     s = (s + bias) * scale
 
@@ -90,7 +91,7 @@ def fused_pww_cross_attention(
     kp = jnp.pad(k.reshape(bh, lk, dh), ((0, 0), (0, lk_pad - lk), (0, d_pad - dh)))
     vp = jnp.pad(v.reshape(bh, lk, dh), ((0, 0), (0, lk_pad - lk), (0, d_pad - dh)))
     wp = jnp.pad(w.astype(jnp.float32), ((0, 0), (0, 0), (0, lk_pad - lk)))
-    coef_arr = coef.astype(jnp.float32).reshape(b, 1)
+    coef_arr = coef.astype(jnp.float32).reshape(b)
 
     grid = (bh, lq // block_q)
     out = pl.pallas_call(
@@ -105,8 +106,7 @@ def fused_pww_cross_attention(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_q, lk_pad), lambda bhi, qi, _h=h: (bhi // _h, qi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda bhi, qi, _h=h: (bhi // _h, 0),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # full (B,) coef vector
         ],
         out_specs=pl.BlockSpec(
             (1, block_q, d_pad), lambda bhi, qi: (bhi, qi, 0),

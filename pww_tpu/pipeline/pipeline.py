@@ -101,8 +101,71 @@ def run_denoise(
 
     sch_state = schedule.init_state(latents.shape, latents.dtype)
     steps = jnp.arange(t_start, schedule.num_steps)
-    (latents, _), _ = jax.lax.scan(body, (latents, sch_state), steps)
-    return latents
+    (latents, sch_state), _ = jax.lax.scan(body, (latents, sch_state), steps)
+    return latents, sch_state
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("unet", "controlnet", "seg_len", "cfg_batched"),
+)
+def run_denoise_segment(
+    unet,
+    unet_params,
+    latents,
+    text_states,
+    pww,
+    schedule,
+    guidance_scale,
+    sch_state,
+    start_index,  # traced device scalar: segment start step
+    extra_channels=None,
+    controlnet=None,
+    controlnet_params=None,
+    control_hint=None,
+    controlnet_scale=1.0,
+    seg_len: int = 1,
+    cfg_batched: bool = True,
+):
+    """A ``seg_len``-step slice of the denoise loop with explicit scheduler
+    state — lets the host observe latents between segments (per-step
+    ``callback`` support, reference `paint_with_words.py:823-826`). The start
+    index is traced, so all equal-length segments share ONE compilation."""
+    n = latents.shape[0]
+    latents = latents.astype(jnp.float32)
+    compute_dtype = unet.dtype
+
+    def unet_eps(lat_in, t, pww_t):
+        lat_in = lat_in.astype(compute_dtype)
+        lat2 = jnp.concatenate([lat_in, lat_in], axis=0)
+        down_res = mid_res = None
+        if controlnet is not None:
+            hint2 = jnp.concatenate([control_hint, control_hint], axis=0)
+            down_res, mid_res = controlnet.apply(
+                controlnet_params, lat2, t, text_states,
+                hint2.astype(compute_dtype), pww=pww_t,
+                conditioning_scale=controlnet_scale,
+            )
+        if extra_channels is not None:
+            ec = jnp.concatenate([extra_channels] * 2, axis=0)
+            lat2 = jnp.concatenate([lat2, ec.astype(compute_dtype)], axis=-1)
+        eps = unet.apply(
+            unet_params, lat2, t, text_states, pww=pww_t,
+            down_block_residuals=down_res, mid_block_residual=mid_res,
+        )
+        eu, et = eps[:n].astype(jnp.float32), eps[n:].astype(jnp.float32)
+        return eu + guidance_scale * (et - eu)
+
+    def body(carry, i):
+        lat, st = carry
+        lat_in = schedule.scale_model_input(lat, i)
+        eps = unet_eps(lat_in, schedule.timesteps[i], pww.with_sigma(schedule.sigma(i)))
+        lat, st = schedule.step(eps, i, lat, st)
+        return (lat, st), None
+
+    steps = jnp.arange(seg_len) + start_index
+    (latents, sch_state), _ = jax.lax.scan(body, (latents, sch_state), steps)
+    return latents, sch_state
 
 
 @functools.partial(jax.jit, static_argnames=("vae",))
@@ -291,6 +354,8 @@ class PwwPipeline:
         mask_image=None,  # inpaint when set (with init_image)
         control_image=None,  # ControlNet hint (requires load_controlnet first)
         controlnet_conditioning_scale: float = 1.0,
+        callback=None,  # callback(step_index, timestep, latents) every callback_steps
+        callback_steps: int = 1,
         num_samples: int = 1,
         noise_mode: str = "jax",
         output_type: str = "pil",
@@ -376,21 +441,33 @@ class PwwPipeline:
             hint = jnp.repeat(hint, n, axis=0)
 
         text_states, pww = self._tile_cfg(enc, n)
-        latents = run_denoise(
-            self.unet,
-            self.params["unet"],
-            latents,
-            text_states,
-            pww,
-            schedule,
-            jnp.float32(guidance_scale),
+        denoise_kwargs = dict(
             extra_channels=extra,
             controlnet=controlnet,
             controlnet_params=controlnet_params,
             control_hint=hint,
             controlnet_scale=jnp.float32(controlnet_conditioning_scale),
-            t_start=t_start,
         )
+        if callback is None:
+            latents, _ = run_denoise(
+                self.unet, self.params["unet"], latents, text_states, pww,
+                schedule, jnp.float32(guidance_scale), t_start=t_start,
+                **denoise_kwargs,
+            )
+        else:
+            # segmented scan: host observes latents every callback_steps
+            sch_state = schedule.init_state(latents.shape, jnp.float32)
+            latents = latents.astype(jnp.float32)
+            i = t_start
+            while i < schedule.num_steps:
+                j = min(i + callback_steps, schedule.num_steps)
+                latents, sch_state = run_denoise_segment(
+                    self.unet, self.params["unet"], latents, text_states, pww,
+                    schedule, jnp.float32(guidance_scale), sch_state,
+                    jnp.int32(i), seg_len=j - i, **denoise_kwargs,
+                )
+                callback(j - 1, float(schedule.timesteps[j - 1]), latents)
+                i = j
         images = run_decode(self.vae, self.params["vae"], latents)
         images = np.asarray(images)
         if output_type == "np":

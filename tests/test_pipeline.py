@@ -138,3 +138,23 @@ def test_facade_kwargs_parity(pipe):
         preloaded_utils=pipe,
     )
     assert isinstance(img, Image.Image)
+
+
+def test_callback_observes_every_step(pipe):
+    seen = []
+    pipe.generate(
+        prompt="a cat", color_map_image=_cm(), color_context=dict(CTX),
+        num_inference_steps=4, seed=0, output_type="np",
+        callback=lambda i, t, lat: seen.append((i, lat.shape)),
+        callback_steps=1,
+    )
+    assert [s[0] for s in seen] == [0, 1, 2, 3]
+    assert all(s[1] == (1, 8, 8, 4) for s in seen)
+
+
+def test_callback_chunked_matches_plain(pipe):
+    kw = dict(prompt="a cat", color_map_image=_cm(), color_context=dict(CTX),
+              num_inference_steps=4, seed=11, output_type="np")
+    plain = pipe.generate(**kw)
+    chunked = pipe.generate(callback=lambda *a: None, callback_steps=2, **kw)
+    np.testing.assert_array_equal(plain, chunked)
