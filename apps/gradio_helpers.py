@@ -19,24 +19,22 @@ PIXEL_FRACTION_THRESHOLD = 0.01  # >1% of pixels (reference :78-85)
 
 
 def unique_colors(img: np.ndarray, threshold: float = PIXEL_FRACTION_THRESHOLD) -> List[Tuple[int, int, int]]:
-    """Colors covering more than ``threshold`` of the image, most-common first."""
-    flat = img.reshape(-1, img.shape[-1])[:, :3]
-    colors, counts = np.unique(flat, axis=0, return_counts=True)
-    order = np.argsort(-counts)
-    total = flat.shape[0]
-    return [
-        tuple(int(c) for c in colors[i])
-        for i in order
-        if counts[i] / total > threshold
-    ][:MAX_NUM_COLORS]
+    """Colors covering more than ``threshold`` of the image, most-common first.
+
+    Uses the native single-pass histogram (pww_tpu.native) when available.
+    """
+    from pww_tpu.native import unique_colors as _native_unique
+
+    return [c for c, _ in _native_unique(img, threshold, MAX_NUM_COLORS)]
 
 
 def get_color_mask(
     color: Sequence[int], img: np.ndarray, threshold: float = COLOR_DIST_THRESHOLD
 ) -> np.ndarray:
     """Boolean mask of pixels within squared distance ``threshold`` of color."""
-    diff = img[..., :3].astype(np.int64) - np.asarray(color, np.int64)
-    return (diff * diff).sum(axis=-1) < threshold
+    from pww_tpu.native import color_mask_sqdist
+
+    return color_mask_sqdist(img, color, threshold)
 
 
 def extract_color_textboxes(img: np.ndarray) -> Dict[Tuple[int, int, int], str]:

@@ -95,6 +95,7 @@ def separate_image_context(
     regions: List[Region] = []
     if img is not None:
         h, w = img.shape[:2]
+        parsed = []
         for color_key, ctx in color_context.items():
             body, seed, blur_sigma = extract_seed_and_sigma(ctx, ignore_seed)
             label = ",".join(body.split(",")[:-1])
@@ -102,23 +103,30 @@ def separate_image_context(
             token_ids = tokenizer(
                 label, max_length=tokenizer.model_max_length, truncation=True
             )["input_ids"][1:-1]
-            color = parse_color(color_key)
-            mask = (img == np.array(color, dtype=img.dtype)).all(axis=-1)
-            if not mask.sum() > 0:
-                warnings.warn(
-                    f"color {color} not found in the color map image", stacklevel=2
-                )
-            regions.append(
-                Region(
-                    color=color,
-                    label=label,
-                    strength=strength,
-                    token_ids=token_ids,
-                    mask=mask.astype(np.float32) * strength,
-                    seed=seed,
-                    blur_sigma=blur_sigma,
-                )
+            parsed.append(
+                (parse_color(color_key), label, strength, token_ids, seed, blur_sigma)
             )
+        if parsed:
+            from ..native import color_masks
+
+            colors = np.array([p[0] for p in parsed], np.uint8)
+            strengths = np.array([p[2] for p in parsed], np.float32)
+            masks, counts = color_masks(np.asarray(img), colors, strengths)
+            for (color, label, strength, token_ids, seed, blur_sigma), mask, cnt in zip(
+                parsed, masks, counts
+            ):
+                if cnt == 0:
+                    warnings.warn(
+                        f"color {color} not found in the color map image",
+                        stacklevel=2,
+                    )
+                regions.append(
+                    Region(
+                        color=color, label=label, strength=strength,
+                        token_ids=token_ids, mask=mask, seed=seed,
+                        blur_sigma=blur_sigma,
+                    )
+                )
     else:
         w = h = 512
 
@@ -141,17 +149,18 @@ def token_match_matrix(
     occurrences of region ``r``'s token ids in the prompt — additive multi-
     occurrence semantics identical to the reference's ``+=`` loop.
     """
-    ids = list(prompt_ids)
+    from ..native import token_match_row
+
+    ids = np.asarray(list(prompt_ids), np.int64)
+    padded = np.zeros((n_tokens,), np.int64)
+    padded[: len(ids)] = ids[:n_tokens]
     mat = np.zeros((len(regions), n_tokens), np.float32)
     for r, region in enumerate(regions):
-        sub = region.token_ids
-        found = False
-        for i in range(len(ids) - len(sub) + 1):
-            if ids[i : i + len(sub)] == sub:
-                found = True
-                mat[r, i : i + len(sub)] += 1.0
-        if not found:
+        row, hits = token_match_row(padded[: len(ids)], region.token_ids)
+        mat[r, : len(ids)] = row
+        if hits == 0:
             warnings.warn(
-                f"tokens {sub} ({region.label!r}) not found in prompt", stacklevel=2
+                f"tokens {region.token_ids} ({region.label!r}) not found in prompt",
+                stacklevel=2,
             )
     return mat
