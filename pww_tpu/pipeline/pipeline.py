@@ -479,6 +479,78 @@ class PwwPipeline:
 
     __call__ = generate
 
+    def generate_batch(
+        self,
+        requests: Sequence[Dict],
+        num_inference_steps: int = 30,
+        guidance_scale: float = 7.5,
+        weight_function: Optional[AnyWeightFunction] = None,
+        noise_mode: str = "jax",
+        output_type: str = "pil",
+    ):
+        """Heterogeneous-prompt batch: N independent PwW requests, ONE compiled
+        denoise call (BASELINE config #5: batched multi-prompt PwW).
+
+        Each request dict: ``prompt``, ``color_map_image``, ``color_context``,
+        ``seed``, optional ``negative_prompt``. All requests in a batch share
+        resolution, steps, guidance, and the (static) weight function — the
+        serving batcher groups by that compatibility key. The reference serves
+        multi-request work as a serial host loop reloading models each time
+        (reference `gradio_pww.py:31-45`).
+        """
+        wf = as_weight_function(weight_function)
+        encs = []
+        for r in requests:
+            cm = _to_numpy_image(r.get("color_map_image"))
+            encs.append(
+                self.encode_inputs(
+                    r.get("prompt", ""), cm, r.get("color_context") or {},
+                    r.get("negative_prompt", ""), wf,
+                )
+            )
+        h0, w0 = encs[0].height, encs[0].width
+        for e in encs[1:]:
+            if (e.height, e.width) != (h0, w0):
+                raise ValueError("all requests in a batch must share resolution")
+
+        n = len(requests)
+        # rows: [uncond_0..uncond_{n-1}, cond_0..cond_{n-1}]
+        text_states = jnp.concatenate(
+            [e.text_states[:1] for e in encs] + [e.text_states[1:] for e in encs]
+        )
+        keys = encs[0].pww.weights.keys()
+        weights = {
+            k: jnp.concatenate(
+                [e.pww.weights[k][:1] for e in encs]
+                + [e.pww.weights[k][1:] for e in encs]
+            )
+            for k in keys
+        }
+        pww = PwwState(
+            weights=weights, weight_orig=None, sigma=jnp.float32(0.0),
+            weight_fn=wf,
+        )
+
+        schedule = self.scheduler.set_timesteps(num_inference_steps)
+        sf = self.config.vae.scale_factor
+        shape = (1, h0 // sf, w0 // sf, self.config.vae.latent_channels)
+        lats = []
+        for r, e in zip(requests, encs):
+            lat = make_noise(int(r.get("seed", 0)), shape, noise_mode)
+            lats.append(regional_seed_latents(lat, e.regions, noise_mode))
+        latents = jnp.concatenate(lats) * schedule.init_noise_sigma
+
+        latents, _ = run_denoise(
+            self.unet, self.params["unet"], latents, text_states, pww,
+            schedule, jnp.float32(guidance_scale),
+        )
+        images = np.asarray(run_decode(self.vae, self.params["vae"], latents))
+        if output_type == "np":
+            return images
+        from PIL import Image
+
+        return [Image.fromarray(im) for im in images]
+
     def _prepare_inpaint_channels(self, init, mask_image, n: int) -> jnp.ndarray:
         """mask + VAE(masked image) latents, concat channels (reference
         `paint_with_words_inpaint.py:20-134`)."""

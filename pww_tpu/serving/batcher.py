@@ -1,0 +1,114 @@
+"""Request micro-batching for production serving.
+
+The reference's serving path is a serial host loop that reloads every model
+per request (reference `gradio_pww.py:31-45`). Here requests are coalesced:
+a worker thread drains the queue, groups requests by compatibility key
+(resolution, steps, guidance, scheduler, weight-function), and issues ONE
+batched ``generate_batch`` per group — so concurrent users share a single
+compiled denoise program and the chip runs at batch efficiency.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Tuple
+
+
+@dataclass
+class _Pending:
+    request: Dict
+    key: Tuple
+    future: Future = field(default_factory=Future)
+
+
+def compat_key(req: Dict) -> Tuple:
+    cm = req.get("color_map_image")
+    shape = tuple(cm.shape[:2]) if cm is not None else (512, 512)
+    return (
+        shape,
+        int(req.get("num_inference_steps", 30)),
+        float(req.get("guidance_scale", 7.5)),
+        repr(req.get("weight_function")),
+    )
+
+
+class Batcher:
+    """Coalesces requests into ``pipeline.generate_batch`` calls.
+
+    Args:
+      pipeline: a :class:`~pww_tpu.pipeline.pipeline.PwwPipeline`.
+      max_batch: max requests fused into one device call.
+      max_wait_ms: linger time — how long the first request in a group waits
+        for company before the batch launches.
+    """
+
+    def __init__(self, pipeline, max_batch: int = 8, max_wait_ms: float = 25.0):
+        self.pipeline = pipeline
+        self.max_batch = max_batch
+        self.max_wait = max_wait_ms / 1000.0
+        self._q: "queue.Queue[_Pending]" = queue.Queue()
+        self._stop = threading.Event()
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+        self.stats = {"requests": 0, "batches": 0, "batched_requests": 0}
+
+    def submit(self, request: Dict) -> Future:
+        """Enqueue a request dict (generate_batch schema); returns a Future
+        resolving to a PIL image."""
+        p = _Pending(request=request, key=compat_key(request))
+        self.stats["requests"] += 1
+        self._q.put(p)
+        return p.future
+
+    def close(self):
+        self._stop.set()
+        self._worker.join(timeout=5)
+
+    # -- worker --------------------------------------------------------------
+    def _drain_group(self, first: _Pending) -> List[_Pending]:
+        group = [first]
+        deadline = time.monotonic() + self.max_wait
+        leftovers: List[_Pending] = []
+        while len(group) < self.max_batch:
+            timeout = deadline - time.monotonic()
+            if timeout <= 0:
+                break
+            try:
+                nxt = self._q.get(timeout=timeout)
+            except queue.Empty:
+                break
+            if nxt.key == first.key:
+                group.append(nxt)
+            else:
+                leftovers.append(nxt)
+        for lo in leftovers:  # push back foreign-key requests
+            self._q.put(lo)
+        return group
+
+    def _run(self):
+        while not self._stop.is_set():
+            try:
+                first = self._q.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            group = self._drain_group(first)
+            self.stats["batches"] += 1
+            self.stats["batched_requests"] += len(group)
+            try:
+                images = self.pipeline.generate_batch(
+                    [p.request for p in group],
+                    num_inference_steps=group[0].request.get(
+                        "num_inference_steps", 30
+                    ),
+                    guidance_scale=group[0].request.get("guidance_scale", 7.5),
+                    weight_function=group[0].request.get("weight_function"),
+                )
+                for p, img in zip(group, images):
+                    p.future.set_result(img)
+            except Exception as e:  # propagate to every waiter
+                for p in group:
+                    if not p.future.done():
+                        p.future.set_exception(e)

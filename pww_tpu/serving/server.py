@@ -1,0 +1,131 @@
+"""Stdlib HTTP inference server with request micro-batching.
+
+POST /generate  {"prompt": ..., "color_context": {"#ff0000": "cat,1.0"},
+                 "color_map_png_b64": ..., "seed": 0, "steps": 30,
+                 "guidance_scale": 7.5}
+  → {"image_png_b64": ..., "latency_s": ...}
+GET  /healthz   → {"ok": true, "stats": {...}}
+
+Run: ``python -m pww_tpu.serving.server --model /path/to/sd15 --port 8000``.
+Compiled programs are shared across requests (the reference's Gradio path
+reloads all models per request, `gradio_pww.py:31-45`); concurrent requests
+with compatible shapes are fused by :mod:`pww_tpu.serving.batcher`.
+"""
+from __future__ import annotations
+
+import argparse
+import base64
+import io
+import json
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from .batcher import Batcher
+
+
+def _decode_image(b64: str) -> np.ndarray:
+    from PIL import Image
+
+    raw = base64.b64decode(b64)
+    return np.asarray(Image.open(io.BytesIO(raw)).convert("RGB"))
+
+
+def _encode_image(img) -> str:
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    return base64.b64encode(buf.getvalue()).decode()
+
+
+def _parse_context(ctx: dict) -> dict:
+    out = {}
+    for k, v in ctx.items():
+        if isinstance(k, str) and not k.startswith("#"):
+            k = tuple(int(x) for x in k.strip("()").split(","))
+        out[k] = v
+    return out
+
+
+def make_handler(batcher: Batcher):
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, code: int, payload: dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._send(200, {"ok": True, "stats": batcher.stats})
+            else:
+                self._send(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            if self.path != "/generate":
+                self._send(404, {"error": "unknown path"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(length))
+                color_map = None
+                if req.get("color_map_png_b64"):
+                    color_map = _decode_image(req["color_map_png_b64"])
+                t0 = time.time()
+                fut = batcher.submit(
+                    {
+                        "prompt": req.get("prompt", ""),
+                        "negative_prompt": req.get("negative_prompt", ""),
+                        "color_context": _parse_context(req.get("color_context", {})),
+                        "color_map_image": color_map,
+                        "seed": int(req.get("seed", 0)),
+                        "num_inference_steps": int(req.get("steps", 30)),
+                        "guidance_scale": float(req.get("guidance_scale", 7.5)),
+                    }
+                )
+                img = fut.result(timeout=600)
+                self._send(
+                    200,
+                    {
+                        "image_png_b64": _encode_image(img),
+                        "latency_s": round(time.time() - t0, 3),
+                    },
+                )
+            except Exception as e:  # noqa: BLE001 - surface to client
+                self._send(500, {"error": repr(e)})
+
+        def log_message(self, fmt, *args):  # quiet
+            pass
+
+    return Handler
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default=None)
+    ap.add_argument("--port", type=int, default=8000)
+    ap.add_argument("--max-batch", type=int, default=8)
+    ap.add_argument("--max-wait-ms", type=float, default=25.0)
+    ap.add_argument("--tiny", action="store_true", help="random tiny config")
+    args = ap.parse_args()
+
+    from ..config import SDModelConfig
+    from ..pipeline.pipeline import PwwPipeline
+
+    if args.model:
+        pipe = PwwPipeline.from_pretrained(args.model)
+    elif args.tiny:
+        pipe = PwwPipeline(config=SDModelConfig.tiny())
+    else:
+        pipe = PwwPipeline()
+
+    batcher = Batcher(pipe, max_batch=args.max_batch, max_wait_ms=args.max_wait_ms)
+    server = ThreadingHTTPServer(("0.0.0.0", args.port), make_handler(batcher))
+    print(f"serving on :{args.port}")
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

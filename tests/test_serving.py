@@ -1,0 +1,84 @@
+"""Serving batcher + multi-prompt batch generation tests."""
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from pww_tpu import PwwPipeline
+from pww_tpu.config import SDModelConfig
+from pww_tpu.serving.batcher import Batcher, compat_key
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    return PwwPipeline(config=SDModelConfig.tiny())
+
+
+def _req(prompt, seed, size=64):
+    cm = np.zeros((size, size, 3), np.uint8)
+    cm[:, : size // 2] = (255, 0, 0)
+    return {
+        "prompt": prompt,
+        "color_map_image": cm,
+        "color_context": {(255, 0, 0): f"{prompt.split()[-1]},1.0"},
+        "seed": seed,
+        "num_inference_steps": 2,
+    }
+
+
+def test_generate_batch_multi_prompt(pipe):
+    out = pipe.generate_batch(
+        [_req("a cat", 0), _req("a dog", 1), _req("a boat", 2)],
+        num_inference_steps=2, output_type="np",
+    )
+    assert out.shape == (3, 64, 64, 3)
+    # different prompts/seeds → different images
+    assert np.abs(out[0].astype(int) - out[1].astype(int)).mean() > 0
+
+
+def test_generate_batch_matches_single(pipe):
+    """Batching must not change a request's output vs running it alone."""
+    single = pipe.generate_batch([_req("a cat", 7)], num_inference_steps=2,
+                                 output_type="np")[0]
+    batched = pipe.generate_batch(
+        [_req("a dog", 3), _req("a cat", 7)], num_inference_steps=2,
+        output_type="np",
+    )[1]
+    np.testing.assert_array_equal(single, batched)
+
+
+def test_generate_batch_rejects_mixed_resolution(pipe):
+    with pytest.raises(ValueError, match="resolution"):
+        pipe.generate_batch([_req("a", 0, 64), _req("b", 1, 128)],
+                            num_inference_steps=2)
+
+
+def test_batcher_fuses_concurrent_requests(pipe):
+    b = Batcher(pipe, max_batch=4, max_wait_ms=300.0)
+    try:
+        futs = [b.submit(_req(p, i)) for i, p in enumerate(["a cat", "a dog", "a fox"])]
+        imgs = [f.result(timeout=300) for f in futs]
+        assert all(im.size == (64, 64) for im in imgs)
+        assert b.stats["requests"] == 3
+        assert b.stats["batches"] < 3  # at least some fusion happened
+    finally:
+        b.close()
+
+
+def test_batcher_separates_incompatible_keys(pipe):
+    assert compat_key(_req("a", 0, 64)) != compat_key(_req("a", 0, 128))
+    k1 = compat_key({"num_inference_steps": 2, "color_map_image": None})
+    k2 = compat_key({"num_inference_steps": 3, "color_map_image": None})
+    assert k1 != k2
+
+
+def test_batcher_propagates_errors(pipe):
+    b = Batcher(pipe, max_batch=2, max_wait_ms=10.0)
+    try:
+        bad = {"prompt": "x", "color_map_image": "not-an-image",
+               "color_context": {}, "seed": 0, "num_inference_steps": 2}
+        with pytest.raises(Exception):
+            b.submit(bad).result(timeout=60)
+    finally:
+        b.close()
