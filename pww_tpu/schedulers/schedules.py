@@ -89,6 +89,7 @@ class Schedule(flax.struct.PyTreeNode):
     alphas_cumprod_t: jnp.ndarray  # (N,) ᾱ at each step's timestep
     alphas_cumprod_prev: jnp.ndarray  # (N,) ᾱ at the *next* (previous-noise) step
     lms_coeffs: Optional[jnp.ndarray]  # (N, LMS_ORDER) or None
+    pndm_tables: Optional[dict] = None  # PLMS per-step coefficient tables
     kind: str = flax.struct.field(pytree_node=False, default="lms")
     num_steps: int = flax.struct.field(pytree_node=False, default=30)
 
@@ -103,9 +104,13 @@ class Schedule(flax.struct.PyTreeNode):
         return sample  # ddim/pndm: identity
 
     def init_state(self, shape: Tuple[int, ...], dtype) -> jnp.ndarray:
-        """Scan-carried scheduler state (LMS derivative history; else empty)."""
+        """Scan-carried scheduler state (LMS derivative history / PLMS eps
+        history + warmup sample; else empty)."""
         if self.kind == "lms":
             return jnp.zeros((LMS_ORDER,) + tuple(shape), dtype)
+        if self.kind == "pndm":
+            # rows 0..3 = eps history (most recent first), row 4 = cur_sample
+            return jnp.zeros((5,) + tuple(shape), dtype)
         return jnp.zeros((0,) + tuple(shape), dtype)
 
     def step(
@@ -141,6 +146,32 @@ class Schedule(flax.struct.PyTreeNode):
                 raise ValueError("euler_ancestral requires rng")
             noise = jax.random.normal(rng, sample.shape, sample.dtype)
             return prev + noise * sigma_up.astype(sample.dtype), state
+
+        if self.kind == "pndm":
+            # PLMS (pseudo linear multistep, skip_prk variant — what SD uses).
+            # All per-step branching is host-precomputed into coefficient
+            # tables so the device step is pure arithmetic:
+            #   eps' = a[i]·eps + Σ_j c[i,j]·ets[j]   (Adams–Bashforth blend)
+            #   x_prev = sc[i]·x − ad[i]·eps' / dn[i]
+            tab = self.pndm_tables
+            ets, cur = state[:4], state[4]
+            push = tab["push"][i] > 0
+            new_ets = jnp.where(
+                push,
+                jnp.concatenate([model_output[None], ets[:-1]], axis=0),
+                ets,
+            )
+            new_cur = jnp.where(tab["set_cur"][i] > 0, sample, cur)
+            c = tab["c"][i].astype(sample.dtype)
+            eps_prime = tab["a"][i].astype(sample.dtype) * model_output + (
+                jnp.tensordot(c, new_ets, axes=1)
+            )
+            base = jnp.where(tab["use_cur"][i] > 0, cur, sample)
+            prev = (
+                tab["sample_coeff"][i] * base
+                - tab["alpha_diff"][i] * eps_prime / tab["denom"][i]
+            ).astype(sample.dtype)
+            return prev, jnp.concatenate([new_ets, new_cur[None]], axis=0)
 
         if self.kind == "ddim":
             a_t = self.alphas_cumprod_t[i].astype(jnp.float32)
@@ -202,6 +233,8 @@ class Scheduler:
             sigmas = np.concatenate([sigmas, [0.0]])
             init_noise_sigma = 1.0
             lms = None
+        elif self.kind == "pndm":
+            return self._set_timesteps_pndm(num_steps, alphas_cumprod)
         else:
             raise ValueError(f"unknown scheduler kind {self.kind!r}")
 
@@ -218,6 +251,82 @@ class Scheduler:
             lms_coeffs=None if lms is None else jnp.asarray(lms, jnp.float32),
             kind=self.kind,
             num_steps=num_steps,
+        )
+
+
+    def _set_timesteps_pndm(self, num_steps: int, alphas_cumprod: np.ndarray) -> Schedule:
+        """PLMS trajectory: the second timestep is visited twice (pseudo
+        improved-Euler warmup refining from the ORIGINAL sample), then 2nd/3rd/
+        4th-order Adams–Bashforth blends of the eps history. ``set_alpha_to_one
+        = False`` (SD convention): the final 'previous' alpha clamps to
+        ᾱ[0]."""
+        cfg = self.config
+        ratio = cfg.num_train_timesteps // num_steps
+        base = (np.arange(num_steps) * ratio).round().astype(np.int64) + cfg.steps_offset
+        # ascending [t0..t_{N-1}] → PLMS order (descending, t_{N-2} doubled)
+        plms = np.concatenate([base[:-1], base[-2:-1], base[-1:]])[::-1].copy()
+        n = len(plms)  # num_steps + 1 (for num_steps > 1)
+
+        t_cur = plms.astype(np.int64).copy()
+        t_prev = t_cur - ratio
+        if n > 1:
+            # warmup refinement step: same (t, t_prev) pair as step 0
+            t_prev[1] = t_cur[1]
+            t_cur[1] = t_cur[1] + ratio
+
+        final_alpha = alphas_cumprod[0]
+        a_t = alphas_cumprod[np.clip(t_cur, 0, cfg.num_train_timesteps - 1)]
+        a_prev = np.where(
+            t_prev >= 0,
+            alphas_cumprod[np.clip(t_prev, 0, cfg.num_train_timesteps - 1)],
+            final_alpha,
+        )
+        sample_coeff = np.sqrt(a_prev / a_t)
+        denom = a_t * np.sqrt(1.0 - a_prev) + np.sqrt(a_t * (1.0 - a_t) * a_prev)
+        alpha_diff = a_prev - a_t
+
+        # eps-blend tables (push first except warmup; history most-recent-first)
+        a = np.zeros((n,), np.float64)
+        c = np.zeros((n, 4), np.float64)
+        push = np.ones((n,), np.float64)
+        use_cur = np.zeros((n,), np.float64)
+        set_cur = np.zeros((n,), np.float64)
+        for i in range(n):
+            if i == 0:
+                c[i, 0] = 1.0
+                set_cur[i] = 1.0
+            elif i == 1:
+                push[i] = 0.0
+                a[i] = 0.5
+                c[i, 0] = 0.5
+                use_cur[i] = 1.0
+            elif i == 2:
+                c[i, :2] = (1.5, -0.5)
+            elif i == 3:
+                c[i, :3] = np.array([23.0, -16.0, 5.0]) / 12.0
+            else:
+                c[i, :4] = np.array([55.0, -59.0, 37.0, -9.0]) / 24.0
+
+        sigmas = np.sqrt((1.0 - a_t) / a_t)
+        return Schedule(
+            timesteps=jnp.asarray(plms, jnp.float32),
+            sigmas=jnp.asarray(np.concatenate([sigmas, [0.0]]), jnp.float32),
+            init_noise_sigma=jnp.asarray(1.0, jnp.float32),
+            alphas_cumprod_t=jnp.asarray(a_t, jnp.float32),
+            alphas_cumprod_prev=jnp.asarray(a_prev, jnp.float32),
+            lms_coeffs=None,
+            pndm_tables={
+                "a": jnp.asarray(a, jnp.float32),
+                "c": jnp.asarray(c, jnp.float32),
+                "push": jnp.asarray(push, jnp.float32),
+                "use_cur": jnp.asarray(use_cur, jnp.float32),
+                "set_cur": jnp.asarray(set_cur, jnp.float32),
+                "sample_coeff": jnp.asarray(sample_coeff, jnp.float32),
+                "denom": jnp.asarray(denom, jnp.float32),
+                "alpha_diff": jnp.asarray(alpha_diff, jnp.float32),
+            },
+            kind="pndm",
+            num_steps=n,
         )
 
 

@@ -125,3 +125,75 @@ def test_all_schedulers_expose_sigmas():
         sch = make_scheduler(kind).set_timesteps(5)
         assert sch.sigmas.shape == (6,)
         assert float(sch.sigma(jnp.int32(0))) > 0
+
+
+def _reference_plms_trajectory(num_steps, eps_fn, x0, cfg=SchedulerConfig()):
+    """Stateful PLMS re-derivation (the diffusers skip_prk update rule)."""
+    betas = make_betas(cfg)
+    ac = np.cumprod(1.0 - betas)
+    ratio = cfg.num_train_timesteps // num_steps
+    base = (np.arange(num_steps) * ratio).round().astype(np.int64) + cfg.steps_offset
+    plms = np.concatenate([base[:-1], base[-2:-1], base[-1:]])[::-1].copy()
+    final_alpha = ac[0]
+
+    def get_prev(sample, t, t_prev, eps):
+        a_t = ac[t]
+        a_prev = ac[t_prev] if t_prev >= 0 else final_alpha
+        sc = np.sqrt(a_prev / a_t)
+        denom = a_t * np.sqrt(1 - a_prev) + np.sqrt(a_t * (1 - a_t) * a_prev)
+        return sc * sample - (a_prev - a_t) * eps / denom
+
+    ets, cur, x = [], None, x0
+    for counter, t in enumerate(plms):
+        eps = eps_fn(counter)
+        t_prev = t - ratio
+        if counter != 1:
+            ets = ets[-3:] + [eps]
+        else:
+            t_prev = t
+            t = t + ratio
+        if len(ets) == 1 and counter == 0:
+            ep, cur = eps, x
+        elif len(ets) == 1 and counter == 1:
+            ep, x = (eps + ets[-1]) / 2, cur
+        elif len(ets) == 2:
+            ep = (3 * ets[-1] - ets[-2]) / 2
+        elif len(ets) == 3:
+            ep = (23 * ets[-1] - 16 * ets[-2] + 5 * ets[-3]) / 12
+        else:
+            ep = (55 * ets[-1] - 59 * ets[-2] + 37 * ets[-3] - 9 * ets[-4]) / 24
+        x = get_prev(x, int(t), int(t_prev), ep)
+    return x
+
+
+def test_pndm_scan_matches_reference_math(rng):
+    num_steps = 7
+    shape = (1, 4, 4, 2)
+    x0 = rng.standard_normal(shape).astype(np.float32)
+    eps_seq = [rng.standard_normal(shape).astype(np.float32) * 0.1
+               for _ in range(num_steps + 1)]
+
+    sch = make_scheduler("pndm").set_timesteps(num_steps)
+    assert sch.num_steps == num_steps + 1  # duplicated warmup timestep
+    x = jnp.asarray(x0)
+    state = sch.init_state(shape, jnp.float32)
+    for i in range(sch.num_steps):
+        x, state = sch.step(jnp.asarray(eps_seq[i]), jnp.int32(i), x, state)
+
+    want = _reference_plms_trajectory(num_steps, lambda i: eps_seq[i], x0)
+    np.testing.assert_allclose(np.asarray(x), want, rtol=2e-4, atol=2e-4)
+
+
+def test_pndm_end_to_end():
+    from pww_tpu import PwwPipeline
+    from pww_tpu.config import SDModelConfig
+
+    pipe = PwwPipeline(config=SDModelConfig.tiny(), scheduler="pndm")
+    cm = np.zeros((64, 64, 3), np.uint8)
+    cm[:, :32] = (255, 0, 0)
+    out = pipe.generate(
+        prompt="a cat", color_map_image=cm,
+        color_context={(255, 0, 0): "cat,1.0"},
+        num_inference_steps=3, seed=0, output_type="np",
+    )
+    assert out.shape == (1, 64, 64, 3)
