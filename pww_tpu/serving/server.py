@@ -73,6 +73,18 @@ def make_handler(batcher: Batcher):
                 color_map = None
                 if req.get("color_map_png_b64"):
                     color_map = _decode_image(req["color_map_png_b64"])
+                    from PIL import Image
+
+                    from ..utils.buckets import snap_resolution
+
+                    h, w = color_map.shape[:2]
+                    bw, bh = snap_resolution(w, h)
+                    if (bh, bw) != (h, w):  # bucket to bound recompiles
+                        color_map = np.asarray(
+                            Image.fromarray(color_map).resize(
+                                (bw, bh), Image.NEAREST
+                            )
+                        )
                 t0 = time.time()
                 fut = batcher.submit(
                     {

@@ -67,3 +67,12 @@ def test_annotate_and_fig():
         [out, out],
     )
     assert fig.width >= 3 * 100 and fig.height > 100
+
+
+def test_snap_resolution_buckets():
+    from pww_tpu.utils.buckets import bucket_count, snap_resolution
+
+    assert snap_resolution(512, 512) == (512, 512)
+    assert snap_resolution(500, 700) == (512, 704)
+    assert snap_resolution(100, 2000) == (256, 1024)  # clamped
+    assert bucket_count() == 13 * 13
