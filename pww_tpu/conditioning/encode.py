@@ -40,10 +40,13 @@ def encode_text_color_inputs(
     prompt: str,
     negative_prompt: str = "",
     weight_function: Optional[AnyWeightFunction] = None,
+    text_cache: Optional[Dict] = None,
 ) -> EncodedInputs:
     """Host prologue: parse, tokenize, rasterize, CLIP-encode.
 
     ``encode_text``: jitted CLIP apply taking (B, 77) int32 ids.
+    ``text_cache``: optional dict caching CLIP outputs by (prompt, negative)
+    — repeated serving prompts skip the text encoder entirely.
     """
     max_len = tokenizer.model_max_length
     prompt_ids = tokenizer(
@@ -79,8 +82,16 @@ def encode_text_color_inputs(
     weights = {k: cfg_pair(v) for k, v in pyramid.items()}
     weight_orig = cfg_pair(orig)
 
-    ids = jnp.asarray([uncond_ids, prompt_ids], jnp.int32)
-    text_states = encode_text(ids)  # (2, T, D)
+    cache_key = (prompt, negative_prompt)
+    if text_cache is not None and cache_key in text_cache:
+        text_states = text_cache[cache_key]
+    else:
+        ids = jnp.asarray([uncond_ids, prompt_ids], jnp.int32)
+        text_states = encode_text(ids)  # (2, T, D)
+        if text_cache is not None:
+            if len(text_cache) > 256:
+                text_cache.pop(next(iter(text_cache)))
+            text_cache[cache_key] = text_states
 
     pww = PwwState(
         weights=weights,

@@ -219,6 +219,7 @@ class PwwPipeline:
         self.tokenizer = tokenizer
         self.controlnet = None
         self.controlnet_params = None
+        self._text_cache: Dict = {}
         if params is None:
             params = self.init_params(seed)
         if weights_dtype is not None:
@@ -318,6 +319,7 @@ class PwwPipeline:
             prompt,
             negative_prompt,
             weight_function,
+            text_cache=self._text_cache,
         )
 
     def _tile_cfg(self, enc: EncodedInputs, n: int):

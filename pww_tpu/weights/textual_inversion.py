@@ -85,4 +85,6 @@ def apply_textual_inversion(pipeline, path: str, token: Optional[str] = None) ->
         path, pipeline.params["clip"], pipeline.tokenizer, token
     )
     pipeline.params = {**pipeline.params, "clip": new_clip}
+    if hasattr(pipeline, "_text_cache"):
+        pipeline._text_cache.clear()  # embeddings changed
     return placeholder
