@@ -361,6 +361,8 @@ class PwwPipeline:
         num_samples: int = 1,
         noise_mode: str = "jax",
         output_type: str = "pil",
+        latents: Optional[jnp.ndarray] = None,  # pre-drawn initial noise
+        return_latents: bool = False,
         rng: Optional[jax.Array] = None,
     ):
         """Unified txt2img / img2img / inpaint entry point.
@@ -397,8 +399,16 @@ class PwwPipeline:
         t_start = 0
 
         if init_image is None:
-            latents = make_noise(seed, latent_shape, noise_mode)
-            latents = regional_seed_latents(latents, enc.regions, noise_mode)
+            if latents is not None:  # caller-supplied noise (reference
+                # pipeline-class `latents:` kwarg, paint_with_words.py:647)
+                latents = jnp.asarray(latents)
+                if latents.shape != latent_shape:
+                    raise ValueError(
+                        f"latents shape {latents.shape} != {latent_shape}"
+                    )
+            else:
+                latents = make_noise(seed, latent_shape, noise_mode)
+                latents = regional_seed_latents(latents, enc.regions, noise_mode)
             latents = latents * schedule.init_noise_sigma
         else:
             init = _preprocess_image(init_image)  # (1, H', W', 3) in [-1, 1]
@@ -470,6 +480,8 @@ class PwwPipeline:
                 )
                 callback(j - 1, float(schedule.timesteps[j - 1]), latents)
                 i = j
+        if return_latents:
+            return latents
         images = run_decode(self.vae, self.params["vae"], latents)
         images = np.asarray(images)
         if output_type == "np":

@@ -238,3 +238,59 @@ def load_ldm_checkpoint(path: str, extract_ema: bool = False):
     # single-file checkpoints carry no tokenizer assets
     tokenizer = toy_tokenizer(config.clip.vocab_size)
     return config, params, tokenizer
+
+
+# ---------------------------------------------------------------------------
+# CLI (parity with the reference converter's interface,
+# reference change_model_path.py:812-943)
+# ---------------------------------------------------------------------------
+
+
+def _cli():
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        description="Convert an LDM/A1111 .ckpt or .safetensors checkpoint "
+        "to a pww-tpu Flax params file."
+    )
+    ap.add_argument("--checkpoint_path", required=True)
+    ap.add_argument("--dump_path", required=True,
+                    help="output directory (params.msgpack + config.json)")
+    ap.add_argument("--extract_ema", action="store_true")
+    ap.add_argument(
+        "--scheduler_type", default="lms",
+        choices=["lms", "euler", "euler_ancestral", "ddim", "pndm"],
+        help="recorded as the default scheduler for the converted model",
+    )
+    args = ap.parse_args()
+
+    import dataclasses
+    import json
+    import os
+
+    import flax.serialization
+    import jax
+
+    config, params, _ = load_ldm_checkpoint(
+        args.checkpoint_path, extract_ema=args.extract_ema
+    )
+    os.makedirs(args.dump_path, exist_ok=True)
+    with open(os.path.join(args.dump_path, "params.msgpack"), "wb") as f:
+        f.write(flax.serialization.to_bytes(
+            jax.tree.map(lambda x: jax.device_get(x), params)
+        ))
+    with open(os.path.join(args.dump_path, "config.json"), "w") as f:
+        json.dump(
+            {
+                "model": dataclasses.asdict(config),
+                "scheduler_type": args.scheduler_type,
+                "source": os.path.basename(args.checkpoint_path),
+                "extract_ema": args.extract_ema,
+            },
+            f, indent=2,
+        )
+    print(f"wrote {args.dump_path}/params.msgpack + config.json")
+
+
+if __name__ == "__main__":
+    _cli()

@@ -374,6 +374,65 @@ def config_from_checkpoint(model_path: str) -> SDModelConfig:
     return SDModelConfig(clip=clip, unet=unet, vae=vae)
 
 
+def _load_native_checkpoint(model_path: str):
+    """Load a dir produced by the ldm_convert CLI (params.msgpack + config.json)."""
+    import flax.serialization
+
+    from ..config import CLIPTextConfig, UNetConfig, VAEConfig
+    from ..models.clip import CLIPTextEncoder
+    from ..models.unet import UNet2DCondition
+    from ..models.vae import AutoencoderKL
+    from ..tokenizer.clip_bpe import CLIPTokenizer, toy_tokenizer
+
+    with open(os.path.join(model_path, "config.json")) as f:
+        meta = json.load(f)
+    m = meta["model"]
+    config = SDModelConfig(
+        clip=CLIPTextConfig(**m["clip"]),
+        unet=UNetConfig(
+            **{**m["unet"], "block_out_channels": tuple(m["unet"]["block_out_channels"]),
+               "down_block_has_attn": tuple(m["unet"]["down_block_has_attn"])}
+        ),
+        vae=VAEConfig(
+            **{**m["vae"], "block_out_channels": tuple(m["vae"]["block_out_channels"])}
+        ),
+    )
+    rng = jax.random.PRNGKey(0)
+    clip = CLIPTextEncoder(config.clip)
+    unet = UNet2DCondition(config.unet)
+    vae = AutoencoderKL(config.vae)
+    h = w = 2 ** (len(config.unet.block_out_channels) - 1)
+    shapes = {
+        "unet": jax.eval_shape(
+            unet.init, rng, jnp.zeros((1, h, w, config.unet.in_channels)),
+            jnp.zeros((1,)),
+            jnp.zeros((1, config.clip.max_position_embeddings,
+                       config.unet.cross_attention_dim)),
+        ),
+        "vae": jax.eval_shape(
+            vae.init, rng,
+            jnp.zeros((1, config.vae.scale_factor * 2,
+                       config.vae.scale_factor * 2, config.vae.in_channels)),
+        ),
+        "clip": jax.eval_shape(
+            clip.init, rng,
+            jnp.zeros((1, config.clip.max_position_embeddings), jnp.int32),
+        ),
+    }
+    import flax.serialization as ser
+
+    with open(os.path.join(model_path, "params.msgpack"), "rb") as f:
+        params = ser.from_bytes(
+            jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), shapes), f.read()
+        )
+    params = jax.tree.map(jnp.asarray, params)
+    try:
+        tokenizer = CLIPTokenizer.from_dir(model_path)
+    except FileNotFoundError:
+        tokenizer = toy_tokenizer(config.clip.vocab_size)
+    return config, params, tokenizer
+
+
 def load_pipeline_checkpoint(model_path: str):
     """Load (config, params, tokenizer) from a diffusers-layout directory.
 
@@ -385,6 +444,10 @@ def load_pipeline_checkpoint(model_path: str):
         from .ldm_convert import load_ldm_checkpoint
 
         return load_ldm_checkpoint(model_path)
+
+    msgpack = os.path.join(model_path, "params.msgpack")
+    if os.path.exists(msgpack):
+        return _load_native_checkpoint(model_path)
 
     from ..models.clip import CLIPTextEncoder
     from ..models.unet import UNet2DCondition

@@ -158,3 +158,29 @@ def test_callback_chunked_matches_plain(pipe):
     plain = pipe.generate(**kw)
     chunked = pipe.generate(callback=lambda *a: None, callback_steps=2, **kw)
     np.testing.assert_array_equal(plain, chunked)
+
+
+def test_caller_supplied_latents(pipe):
+    """Reference pipeline-class `latents:` kwarg parity: same latents → same
+    image; also powers deterministic resume (latents fully describe state)."""
+    lat = np.random.default_rng(3).standard_normal((1, 8, 8, 4)).astype(np.float32)
+    kw = dict(prompt="a cat", color_map_image=_cm(), color_context=dict(CTX),
+              num_inference_steps=2, output_type="np")
+    a = pipe.generate(latents=lat, **kw)
+    b = pipe.generate(latents=lat, **kw)
+    np.testing.assert_array_equal(a, b)
+    with pytest.raises(ValueError, match="latents shape"):
+        pipe.generate(latents=lat[:, :4], **kw)
+
+
+def test_negative_region_strength(pipe):
+    """Negative strengths push attention AWAY from a region — the reference
+    README's unimplemented 'negative region' TODO (README.md:465), which the
+    bias formulation here supports directly."""
+    kw = dict(prompt="a cat", color_map_image=_cm(), num_inference_steps=2,
+              seed=4, output_type="np")
+    pos = pipe.generate(color_context={(255, 0, 0): "cat,2.0"}, **kw)
+    neg = pipe.generate(color_context={(255, 0, 0): "cat,-2.0"}, **kw)
+    zero = pipe.generate(color_context={(255, 0, 0): "cat,0.0"}, **kw)
+    assert np.abs(pos.astype(int) - neg.astype(int)).mean() > 0
+    assert np.abs(neg.astype(int) - zero.astype(int)).mean() > 0
