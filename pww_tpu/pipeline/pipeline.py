@@ -204,6 +204,7 @@ class PwwPipeline:
         scheduler: str = "lms",
         compute_dtype=jnp.bfloat16,
         weights_dtype=jnp.bfloat16,
+        mesh=None,  # jax.sharding.Mesh with ("dp","tp") axes for multi-chip
         seed: int = 0,
     ):
         self.config = config or SDModelConfig.sd15()
@@ -229,6 +230,11 @@ class PwwPipeline:
                 else x,
                 params,
             )
+        self.mesh = mesh
+        if mesh is not None:
+            from ..parallel.mesh import shard_params
+
+            params = shard_params(params, mesh)
         self.params = params
 
     # -- construction ---------------------------------------------------------
@@ -453,6 +459,16 @@ class PwwPipeline:
             hint = jnp.repeat(hint, n, axis=0)
 
         text_states, pww = self._tile_cfg(enc, n)
+        if self.mesh is not None:
+            from ..parallel.mesh import shard_batch
+
+            latents = shard_batch(latents, self.mesh)
+            text_states = shard_batch(text_states, self.mesh)
+            pww = pww.replace(
+                weights={k: shard_batch(v, self.mesh) for k, v in pww.weights.items()},
+                weight_orig=None if pww.weight_orig is None
+                else shard_batch(pww.weight_orig, self.mesh),
+            )
         denoise_kwargs = dict(
             extra_channels=extra,
             controlnet=controlnet,
