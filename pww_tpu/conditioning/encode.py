@@ -9,7 +9,7 @@ with the rasterization running as one jit'd stage and CFG batched as
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Dict, List, Optional, Tuple
+from typing import Callable, Dict, List, Optional
 
 import jax.numpy as jnp
 import numpy as np

@@ -13,7 +13,7 @@ default is pure ``jax.random`` (fold_in per region, deterministic under jit).
 """
 from __future__ import annotations
 
-from typing import Dict, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

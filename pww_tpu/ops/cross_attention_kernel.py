@@ -70,10 +70,8 @@ def fused_pww_cross_attention(
 
     block_q = 512 if lq % 512 == 0 else (256 if lq % 256 == 0 else None)
     if block_q is None or lq < 256:
-        from .attention import pww_attention  # shapes too odd: dense fallback
-        from .weight_functions import WeightFunction
-
-        # reconstruct bias = coef * w directly (coef already includes reduce)
+        # shapes too odd to tile: dense fallback, bias = coef·w inlined
+        # (coef already includes the per-sample reduce)
         s = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
         s = (s + coef[:, None, None, None] * w[:, None].astype(jnp.float32)) * scale
         p = jax.nn.softmax(s, axis=-1)

@@ -14,7 +14,6 @@ shape-static and batched over leading dims via vmap-free broadcasting.
 """
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 

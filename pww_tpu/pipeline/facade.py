@@ -10,7 +10,6 @@ weight functions.
 """
 from __future__ import annotations
 
-import math
 from typing import Callable, Dict, Optional, Tuple
 
 from ..ops.weight_functions import (
@@ -122,7 +121,6 @@ def paint_with_words_inpaint(
     are resized to the init image's size as in the reference (:171-173).
     Default weight function: ``0.15 · w · log(1+σ) · max(QKᵀ)``.
     """
-    import numpy as np
     from PIL import Image
 
     pipe = preloaded_utils or pww_load_tools(

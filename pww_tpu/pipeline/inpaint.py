@@ -12,7 +12,7 @@ posterior noise of the reference.
 """
 from __future__ import annotations
 
-from typing import Tuple, Union
+from typing import Tuple
 
 import jax.numpy as jnp
 import numpy as np

@@ -29,7 +29,7 @@ from ..models.clip import CLIPTextEncoder
 from ..models.unet import UNet2DCondition
 from ..models.vae import AutoencoderKL, sample_from_moments
 from ..ops.weight_functions import AnyWeightFunction, as_weight_function
-from ..schedulers.schedules import Schedule, Scheduler, make_scheduler
+from ..schedulers.schedules import Schedule, make_scheduler
 from ..types import PwwState
 
 LATENT_SCALE = 0.18215  # SD VAE scaling (reference paint_with_words.py:49, 463)

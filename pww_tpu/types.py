@@ -14,7 +14,7 @@ import flax.struct
 import jax.numpy as jnp
 
 from .ops.resize import resize_bilinear, resize_nearest_1d
-from .ops.weight_functions import AnyWeightFunction, WeightFunction, ZERO
+from .ops.weight_functions import AnyWeightFunction, WeightFunction
 
 
 class PwwState(flax.struct.PyTreeNode):

@@ -9,7 +9,7 @@ C13: keep as-is).
 from __future__ import annotations
 
 import textwrap
-from typing import Dict, List, Optional, Sequence, Union
+from typing import Dict, List, Sequence, Union
 
 import numpy as np
 from PIL import Image, ImageDraw, ImageFont

@@ -376,8 +376,6 @@ def config_from_checkpoint(model_path: str) -> SDModelConfig:
 
 def _load_native_checkpoint(model_path: str):
     """Load a dir produced by the ldm_convert CLI (params.msgpack + config.json)."""
-    import flax.serialization
-
     from ..config import CLIPTextConfig, UNetConfig, VAEConfig
     from ..models.clip import CLIPTextEncoder
     from ..models.unet import UNet2DCondition

@@ -80,10 +80,23 @@ def load_learned_embed_in_clip(
 
 
 def apply_textual_inversion(pipeline, path: str, token: Optional[str] = None) -> str:
-    """Convenience: mutate a :class:`PwwPipeline` in place; returns placeholder."""
+    """Convenience: mutate a :class:`PwwPipeline` in place; returns placeholder.
+
+    The embedding table grows, so the (static-shape) CLIP module and config
+    are rebuilt with the new vocab size — flax validates param shapes against
+    the module at apply time.
+    """
+    import dataclasses
+
+    from ..models.clip import CLIPTextEncoder
+
     new_clip, placeholder = load_learned_embed_in_clip(
         path, pipeline.params["clip"], pipeline.tokenizer, token
     )
+    new_vocab = new_clip["params"]["token_embedding"]["embedding"].shape[0]
+    clip_cfg = dataclasses.replace(pipeline.config.clip, vocab_size=new_vocab)
+    pipeline.config = dataclasses.replace(pipeline.config, clip=clip_cfg)
+    pipeline.clip = CLIPTextEncoder(clip_cfg, dtype=pipeline.compute_dtype)
     pipeline.params = {**pipeline.params, "clip": new_clip}
     if hasattr(pipeline, "_text_cache"):
         pipeline._text_cache.clear()  # embeddings changed

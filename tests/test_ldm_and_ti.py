@@ -108,3 +108,33 @@ def test_textual_inversion_injection():
     # tokenizer now emits the new id for the placeholder
     tid = pipe.tokenizer.tokenize("a photo of <my-cat> here")
     assert pipe.tokenizer.added_tokens["<my-cat>"] in tid
+
+
+def test_textual_inversion_generates_end_to_end():
+    """TI injection must survive an actual generation (the embedding table
+    grows, so the CLIP module/config must be rebuilt — regression for the
+    nn.Embed shape-validation failure)."""
+    import os
+    import tempfile
+
+    import torch
+
+    from pww_tpu.pipeline.pipeline import PwwPipeline
+    from pww_tpu.weights.textual_inversion import apply_textual_inversion
+
+    pipe = PwwPipeline(config=SDModelConfig.tiny())
+    vec = torch.randn(pipe.config.clip.hidden_size) * 0.01
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "emb.bin")
+        torch.save({"<thing>": vec}, p)
+        placeholder = apply_textual_inversion(pipe, p)
+
+    cm = np.zeros((64, 64, 3), np.uint8)
+    cm[:, :32] = (255, 0, 0)
+    out = pipe.generate(
+        prompt=f"a photo of {placeholder}",
+        color_map_image=cm,
+        color_context={(255, 0, 0): f"{placeholder},1.0"},
+        num_inference_steps=2, seed=0, output_type="np",
+    )
+    assert out.shape == (1, 64, 64, 3)
