@@ -59,7 +59,12 @@ class UNetConfig:
     # Which down/up blocks carry cross-attention transformers. SD-1.x: all but
     # the innermost down block / outermost up block.
     down_block_has_attn: Tuple[bool, ...] = (True, True, True, False)
-    flash_attention: bool = True  # use Pallas flash self-attention on TPU
+    # Pallas kernels, measured at 512² on v5e (full-UNet step, bf16):
+    #   XLA-dense everything 54 ms · +fused cross-attn 32 ms · +flash 26 ms.
+    # Isolated op micro-benchmarks invert this ordering (dispatch overhead +
+    # no HBM pressure) — trust the in-context numbers (docs/ARCHITECTURE.md).
+    flash_attention: bool = True  # Pallas flash self-attention (L >= 1024)
+    fused_cross_attention: bool = True  # Pallas PwW bias+softmax+V epilogue
 
     @property
     def up_block_has_attn(self) -> Tuple[bool, ...]:

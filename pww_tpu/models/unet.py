@@ -102,6 +102,7 @@ class CrossAttention(nn.Module):
     num_heads: int
     head_dim: int
     use_flash: bool = False
+    use_fused_cross: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -133,7 +134,7 @@ class CrossAttention(nn.Module):
             out = flash_self_attention(q, k, v)
         elif (
             bias_w is not None
-            and self.use_flash
+            and self.use_fused_cross
             and q.shape[2] >= 256
             and not isinstance(weight_fn, CustomWeightFunction)
         ):
@@ -157,6 +158,7 @@ class TransformerBlock(nn.Module):
     num_heads: int
     head_dim: int
     use_flash: bool = False
+    use_fused_cross: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -164,11 +166,13 @@ class TransformerBlock(nn.Module):
         dim = x.shape[-1]
         h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(x)
         x = x + CrossAttention(
-            self.num_heads, self.head_dim, self.use_flash, self.dtype, name="attn1"
+            self.num_heads, self.head_dim, self.use_flash,
+            dtype=self.dtype, name="attn1",
         )(h.astype(self.dtype))
         h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(x)
         x = x + CrossAttention(
-            self.num_heads, self.head_dim, self.use_flash, self.dtype, name="attn2"
+            self.num_heads, self.head_dim, self.use_flash,
+            use_fused_cross=self.use_fused_cross, dtype=self.dtype, name="attn2",
         )(h.astype(self.dtype), context=context, pww=pww)
         h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm3")(x)
         x = x + FeedForwardGEGLU(dim, dtype=self.dtype, name="ff")(h.astype(self.dtype))
@@ -182,6 +186,7 @@ class Transformer2D(nn.Module):
     head_dim: int
     depth: int = 1
     use_flash: bool = False
+    use_fused_cross: bool = True
     groups: int = 32
     dtype: Any = jnp.float32
 
@@ -194,8 +199,8 @@ class Transformer2D(nn.Module):
         z = z.reshape(b, h * w, c)
         for i in range(self.depth):
             z = TransformerBlock(
-                self.num_heads, self.head_dim, self.use_flash, self.dtype,
-                name=f"blocks_{i}",
+                self.num_heads, self.head_dim, self.use_flash,
+                self.use_fused_cross, self.dtype, name=f"blocks_{i}",
             )(z, context, pww)
         z = z.reshape(b, h, w, c)
         z = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_out")(z)
@@ -272,6 +277,7 @@ class UNet2DCondition(nn.Module):
                 if has_attn:
                     x = Transformer2D(
                         heads, ch // heads, use_flash=cfg.flash_attention,
+                        use_fused_cross=cfg.fused_cross_attention,
                         groups=cfg.norm_num_groups, dtype=self.dtype,
                         name=f"down_{bi}_attn_{li}",
                     )(x, ctx, pww)
@@ -289,6 +295,7 @@ class UNet2DCondition(nn.Module):
         x = ResnetBlock(ch, cfg.norm_num_groups, self.dtype, name="mid_resnet_0")(x, temb)
         x = Transformer2D(
             heads, ch // heads, use_flash=cfg.flash_attention,
+            use_fused_cross=cfg.fused_cross_attention,
             groups=cfg.norm_num_groups, dtype=self.dtype, name="mid_attn",
         )(x, ctx, pww)
         x = ResnetBlock(ch, cfg.norm_num_groups, self.dtype, name="mid_resnet_1")(x, temb)
@@ -308,6 +315,7 @@ class UNet2DCondition(nn.Module):
                 if has_attn:
                     x = Transformer2D(
                         heads, ch // heads, use_flash=cfg.flash_attention,
+                        use_fused_cross=cfg.fused_cross_attention,
                         groups=cfg.norm_num_groups, dtype=self.dtype,
                         name=f"up_{bi}_attn_{li}",
                     )(x, ctx, pww)
