@@ -273,6 +273,39 @@ class PwwPipeline:
             scheduler=scheduler, **kwargs,
         )
 
+    def save_pretrained(self, path: str) -> None:
+        """Write the pipeline to ``path`` in the native format
+        (params.msgpack + config.json [+ tokenizer assets if real BPE]);
+        reloadable via :meth:`from_pretrained`."""
+        import dataclasses
+        import json
+        import os
+
+        import flax.serialization
+
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "params.msgpack"), "wb") as f:
+            f.write(flax.serialization.to_bytes(
+                jax.tree.map(lambda x: jax.device_get(x), self.params)
+            ))
+        with open(os.path.join(path, "config.json"), "w") as f:
+            json.dump(
+                {"model": dataclasses.asdict(self.config),
+                 "scheduler_type": self.scheduler.kind},
+                f, indent=2,
+            )
+        enc = getattr(self.tokenizer, "encoder", None)
+        ranks = getattr(self.tokenizer, "bpe_ranks", None)
+        if enc and ranks is not None:
+            tdir = os.path.join(path, "tokenizer")
+            os.makedirs(tdir, exist_ok=True)
+            with open(os.path.join(tdir, "vocab.json"), "w") as f:
+                json.dump(enc, f)
+            merges = sorted(ranks.items(), key=lambda kv: kv[1])
+            with open(os.path.join(tdir, "merges.txt"), "w") as f:
+                f.write("#version: 0.2\n")
+                f.writelines(f"{a} {b}\n" for (a, b), _ in merges)
+
     # -- controlnet ------------------------------------------------------------
     def load_controlnet(self, source=None, params=None, seed: int = 0):
         """Attach a ControlNet stage (BASELINE config #4, reference C19).

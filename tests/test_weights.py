@@ -136,3 +136,22 @@ def test_vae_new_attention_naming_accepted(rng):
         state[keys[-1]] = _inverse(tf, arr)  # use the NEW naming only
     params = fill_params(shapes, state, vae_keys, multi=True, name="vae")
     assert params is not None
+
+
+def test_save_pretrained_roundtrip(tmp_path):
+    """save_pretrained → from_pretrained must reproduce generations exactly."""
+    import numpy as np
+
+    from pww_tpu.pipeline.pipeline import PwwPipeline
+
+    pipe = PwwPipeline(config=SDModelConfig.tiny())
+    d = str(tmp_path / "ckpt")
+    pipe.save_pretrained(d)
+
+    pipe2 = PwwPipeline.from_pretrained(d)
+    cm = np.zeros((64, 64, 3), np.uint8)
+    cm[:, :32] = (255, 0, 0)
+    kw = dict(prompt="a cat", color_map_image=cm,
+              color_context={(255, 0, 0): "cat,1.0"},
+              num_inference_steps=2, seed=0, output_type="np")
+    np.testing.assert_array_equal(pipe.generate(**kw), pipe2.generate(**kw))
