@@ -454,6 +454,12 @@ class PwwPipeline:
             t_start = _t_start_from_strength(
                 num_inference_steps, strength, cfg.scheduler.steps_offset
             )
+            if t_start > 0 and schedule.kind == "pndm":
+                raise ValueError(
+                    "img2img strength truncation is not supported with the "
+                    "pndm scheduler (its warmup refinement step assumes a "
+                    "full trajectory); use lms/euler/ddim"
+                )
             moments = run_encode_image(self.vae, self.params["vae"], init)
             key = rng if rng is not None else jax.random.PRNGKey(seed)
             k_sample, k_noise = jax.random.split(key)

@@ -131,3 +131,30 @@ def test_rasterize_nonsquare(rng):
     h8, w8 = pyramid_level_shape(h, w, 8)
     assert (h8, w8) == (12, 8)
     assert pyr[96].shape == (96, 7)
+
+
+def test_pwwstate_orig_fallback_resize(rng):
+    """Attention sizes missing from the pyramid fall back to resizing the
+    full-res ORIG map (reference paint_with_words.py:96-103: bilinear
+    align_corners=True at floor(size/ratio), then 1-D nearest to q_len)."""
+    import jax.numpy as jnp
+    import torch
+    import torch.nn.functional as F
+
+    from pww_tpu.ops.weight_functions import WeightFunction
+    from pww_tpu.types import PwwState
+
+    h, w, nc = 24, 24, 7
+    orig = rng.random((1, h, w, nc)).astype(np.float32)
+    st = PwwState(weights={}, weight_orig=jnp.asarray(orig),
+                  sigma=jnp.float32(1.0), weight_fn=WeightFunction())
+    q_len = 100  # not a pyramid key; ratio = sqrt(576/100) = 2.4
+    got = np.asarray(st.bias_for(q_len))
+
+    t = torch.from_numpy(orig[0]).permute(2, 0, 1).unsqueeze(0)
+    ratio = (h * w / q_len) ** 0.5
+    t2 = F.interpolate(t, scale_factor=1 / ratio, mode="bilinear",
+                       align_corners=True)
+    t3 = F.interpolate(t2.reshape(1, nc, -1), size=(q_len,), mode="nearest")
+    want = t3[0].permute(1, 0).numpy()
+    np.testing.assert_allclose(got[0], want, atol=1e-5, rtol=1e-4)
