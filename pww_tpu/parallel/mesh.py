@@ -91,6 +91,19 @@ def shard_batch(tree, mesh: Mesh):
     return jax.tree_util.tree_map(place, tree)
 
 
+def shard_spatial(latents, mesh: Mesh):
+    """Shard the latent HEIGHT axis over the dp axis — single-image model
+    parallelism for high resolutions (the honest CP analogue for images,
+    SURVEY.md §5 long-context row). GSPMD inserts the conv halo exchanges and
+    attention all-gathers automatically; verified equal to single-device to
+    ~1e-6 relative (tests/test_sharding.py)."""
+    if latents.shape[1] % mesh.shape[DP_AXIS] != 0:
+        return jax.device_put(latents, NamedSharding(mesh, P()))
+    return jax.device_put(
+        latents, NamedSharding(mesh, P(None, DP_AXIS, None, None))
+    )
+
+
 def replicate(tree, mesh: Mesh):
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, NamedSharding(mesh, P())), tree

@@ -402,6 +402,7 @@ class PwwPipeline:
         output_type: str = "pil",
         latents: Optional[jnp.ndarray] = None,  # pre-drawn initial noise
         return_latents: bool = False,
+        sharding: str = "batch",  # "batch" (dp over samples) | "spatial"
         rng: Optional[jax.Array] = None,
     ):
         """Unified txt2img / img2img / inpaint entry point.
@@ -499,15 +500,24 @@ class PwwPipeline:
 
         text_states, pww = self._tile_cfg(enc, n)
         if self.mesh is not None:
-            from ..parallel.mesh import shard_batch
+            from ..parallel.mesh import replicate, shard_batch, shard_spatial
 
-            latents = shard_batch(latents, self.mesh)
-            text_states = shard_batch(text_states, self.mesh)
-            pww = pww.replace(
-                weights={k: shard_batch(v, self.mesh) for k, v in pww.weights.items()},
-                weight_orig=None if pww.weight_orig is None
-                else shard_batch(pww.weight_orig, self.mesh),
-            )
+            if sharding == "spatial":
+                # single-image parallelism: latent height over dp (high-res)
+                latents = shard_spatial(latents, self.mesh)
+                text_states = replicate(text_states, self.mesh)
+                pww = replicate(pww, self.mesh)
+            else:
+                latents = shard_batch(latents, self.mesh)
+                text_states = shard_batch(text_states, self.mesh)
+                pww = pww.replace(
+                    weights={
+                        k: shard_batch(v, self.mesh)
+                        for k, v in pww.weights.items()
+                    },
+                    weight_orig=None if pww.weight_orig is None
+                    else shard_batch(pww.weight_orig, self.mesh),
+                )
         denoise_kwargs = dict(
             extra_channels=extra,
             controlnet=controlnet,

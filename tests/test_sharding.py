@@ -110,3 +110,27 @@ def test_pipeline_with_mesh_end_to_end():
     )
     rel = np.abs(lat_sharded - lat_ref).mean() / np.abs(lat_ref).mean()
     assert rel < 1e-4, rel
+
+
+def test_spatial_sharding_pipeline():
+    """sharding='spatial': latent height sharded over dp — single-image model
+    parallelism for high resolutions; f32 output equals unsharded to ~1e-5."""
+    import numpy as np
+
+    from pww_tpu.pipeline.pipeline import PwwPipeline
+
+    mesh = make_mesh(dp=4, tp=1, devices=jax.devices()[:4])
+    cm = np.zeros((64, 64, 3), np.uint8)
+    cm[:, :32] = (255, 0, 0)
+    kw = dict(prompt="a cat", color_map_image=cm,
+              color_context={(255, 0, 0): "cat,1.0"},
+              num_inference_steps=2, seed=0, return_latents=True)
+    f32 = dict(weights_dtype=None, compute_dtype=jnp.float32)
+    ref = np.asarray(PwwPipeline(config=SDModelConfig.tiny(), **f32).generate(**kw))
+    got = np.asarray(
+        PwwPipeline(config=SDModelConfig.tiny(), mesh=mesh, **f32).generate(
+            sharding="spatial", **kw
+        )
+    )
+    rel = np.abs(got - ref).mean() / np.abs(ref).mean()
+    assert rel < 1e-4, rel
