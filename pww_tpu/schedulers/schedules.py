@@ -111,6 +111,8 @@ class Schedule(flax.struct.PyTreeNode):
         if self.kind == "pndm":
             # rows 0..3 = eps history (most recent first), row 4 = cur_sample
             return jnp.zeros((5,) + tuple(shape), dtype)
+        if self.kind == "dpmpp_2m":
+            return jnp.zeros((1,) + tuple(shape), dtype)  # previous x0
         return jnp.zeros((0,) + tuple(shape), dtype)
 
     def step(
@@ -172,6 +174,23 @@ class Schedule(flax.struct.PyTreeNode):
                 - tab["alpha_diff"][i] * eps_prime / tab["denom"][i]
             ).astype(sample.dtype)
             return prev, jnp.concatenate([new_ets, new_cur[None]], axis=0)
+
+        if self.kind == "dpmpp_2m":
+            # DPM-Solver++ 2M (multistep, data-prediction). Per-step constants
+            # precomputed host-side; state row 0 carries the previous x0.
+            tab = self.pndm_tables  # reused table slot
+            a_t = tab["alpha_t"][i]
+            s_t = tab["sigma_t"][i]
+            x = sample.astype(jnp.float32)
+            x0 = (x - s_t * model_output.astype(jnp.float32)) / a_t
+            prev_x0 = state[0].astype(jnp.float32)
+            c0, c1 = tab["c0"][i], tab["c1"][i]  # blend coeffs (1st order: 1,0)
+            d = c0 * x0 + c1 * prev_x0
+            prev = tab["x_coeff"][i] * x + tab["d_coeff"][i] * d
+            new_state = jnp.concatenate(
+                [x0[None].astype(state.dtype), state[1:]], axis=0
+            )
+            return prev.astype(sample.dtype), new_state
 
         if self.kind == "ddim":
             a_t = self.alphas_cumprod_t[i].astype(jnp.float32)
@@ -235,6 +254,8 @@ class Scheduler:
             lms = None
         elif self.kind == "pndm":
             return self._set_timesteps_pndm(num_steps, alphas_cumprod)
+        elif self.kind == "dpmpp_2m":
+            return self._set_timesteps_dpmpp(num_steps, alphas_cumprod)
         else:
             raise ValueError(f"unknown scheduler kind {self.kind!r}")
 
@@ -327,6 +348,60 @@ class Scheduler:
             },
             kind="pndm",
             num_steps=n,
+        )
+
+
+    def _set_timesteps_dpmpp(self, num_steps: int, alphas_cumprod: np.ndarray) -> Schedule:
+        """DPM-Solver++ 2M: second-order multistep in λ = log(α/σ) space with
+        x0 (data) prediction. All exponential-integrator coefficients are
+        precomputed so the device step is two multiplies and a blend:
+            D_i = c0·x0_i + c1·x0_{i-1}
+            x_{i+1} = (σ_{i+1}/σ_i)·x_i − α_{i+1}(e^{−h}−1)·D_i
+        First and final steps run first order (lower_order_final stability).
+        """
+        cfg = self.config
+        t_int = np.linspace(
+            0, cfg.num_train_timesteps - 1, num_steps
+        ).round().astype(np.int64)[::-1].copy()
+        t_prev = np.concatenate([t_int[1:], [0]])
+
+        ac_t = alphas_cumprod[t_int]
+        ac_p = alphas_cumprod[t_prev]
+        alpha_t, sigma_t = np.sqrt(ac_t), np.sqrt(1 - ac_t)
+        alpha_p, sigma_p = np.sqrt(ac_p), np.sqrt(1 - ac_p)
+        lam_t = np.log(alpha_t) - np.log(sigma_t)
+        lam_p = np.log(alpha_p) - np.log(sigma_p)
+        h = lam_p - lam_t  # step size in λ space (positive: λ grows)
+        h_last = np.concatenate([[np.nan], h[:-1]])
+
+        x_coeff = sigma_p / sigma_t
+        d_coeff = -alpha_p * (np.exp(-h) - 1.0)
+
+        c0 = np.ones(num_steps)
+        c1 = np.zeros(num_steps)
+        for i in range(1, num_steps - 1):  # 2nd order on interior steps
+            r = h_last[i] / h[i]
+            c0[i] = 1.0 + 1.0 / (2.0 * r)
+            c1[i] = -1.0 / (2.0 * r)
+
+        sigmas = np.sqrt((1 - ac_t) / ac_t)  # PwW weight-fn sigma interface
+        return Schedule(
+            timesteps=jnp.asarray(t_int, jnp.float32),
+            sigmas=jnp.asarray(np.concatenate([sigmas, [0.0]]), jnp.float32),
+            init_noise_sigma=jnp.asarray(1.0, jnp.float32),
+            alphas_cumprod_t=jnp.asarray(ac_t, jnp.float32),
+            alphas_cumprod_prev=jnp.asarray(ac_p, jnp.float32),
+            lms_coeffs=None,
+            pndm_tables={
+                "alpha_t": jnp.asarray(alpha_t, jnp.float32),
+                "sigma_t": jnp.asarray(sigma_t, jnp.float32),
+                "x_coeff": jnp.asarray(x_coeff, jnp.float32),
+                "d_coeff": jnp.asarray(d_coeff, jnp.float32),
+                "c0": jnp.asarray(c0, jnp.float32),
+                "c1": jnp.asarray(c1, jnp.float32),
+            },
+            kind="dpmpp_2m",
+            num_steps=num_steps,
         )
 
 

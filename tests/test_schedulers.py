@@ -197,3 +197,43 @@ def test_pndm_end_to_end():
         num_inference_steps=3, seed=0, output_type="np",
     )
     assert out.shape == (1, 64, 64, 3)
+
+
+def test_dpmpp_2m_exact_for_constant_x0(rng):
+    """DPM-Solver++ is an exponential integrator: if the model's implied x0 is
+    constant, the update is EXACT — the trajectory must land on
+    alpha_N*x0 + sigma_N*c for any noise direction c."""
+    sch = make_scheduler("dpmpp_2m").set_timesteps(8)
+    shape = (1, 4, 4, 2)
+    x0 = rng.standard_normal(shape).astype(np.float32)
+    c = rng.standard_normal(shape).astype(np.float32)
+
+    a0 = np.sqrt(float(sch.alphas_cumprod_t[0]))
+    s0 = np.sqrt(1 - float(sch.alphas_cumprod_t[0]))
+    x = jnp.asarray(a0 * x0 + s0 * c)
+    state = sch.init_state(shape, jnp.float32)
+    for i in range(sch.num_steps):
+        a_i = np.sqrt(float(sch.alphas_cumprod_t[i]))
+        s_i = np.sqrt(1 - float(sch.alphas_cumprod_t[i]))
+        eps = (np.asarray(x) - a_i * x0) / s_i  # implied eps for constant x0
+        x, state = sch.step(jnp.asarray(eps), jnp.int32(i), x, state)
+
+    a_n = np.sqrt(float(sch.alphas_cumprod_prev[-1]))
+    s_n = np.sqrt(1 - float(sch.alphas_cumprod_prev[-1]))
+    np.testing.assert_allclose(np.asarray(x), a_n * x0 + s_n * c,
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_dpmpp_2m_end_to_end():
+    from pww_tpu import PwwPipeline
+    from pww_tpu.config import SDModelConfig
+
+    pipe = PwwPipeline(config=SDModelConfig.tiny(), scheduler="dpmpp_2m")
+    cm = np.zeros((64, 64, 3), np.uint8)
+    cm[:, :32] = (255, 0, 0)
+    out = pipe.generate(
+        prompt="a cat", color_map_image=cm,
+        color_context={(255, 0, 0): "cat,1.0"},
+        num_inference_steps=4, seed=0, output_type="np",
+    )
+    assert out.shape == (1, 64, 64, 3)
