@@ -1,0 +1,81 @@
+"""Serving load test: micro-batched vs serial request handling.
+
+Quantifies the batcher's win over the reference's serving model (serial loop,
+reference `gradio_pww.py:31-45`). Fires N concurrent requests at a
+:class:`Batcher` and compares wall time against running them one by one.
+
+  python benchmarks/serve_load.py --tiny           # CPU
+  python benchmarks/serve_load.py --n 8            # TPU, SD-1.5
+"""
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--n", type=int, default=6, help="concurrent requests")
+    ap.add_argument("--steps", type=int, default=30)
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(__file__), "..", ".jax_cache"),
+    )
+
+    from pww_tpu import PwwPipeline
+    from pww_tpu.config import SDModelConfig
+    from pww_tpu.serving.batcher import Batcher
+
+    if args.tiny:
+        pipe = PwwPipeline(config=SDModelConfig.tiny())
+        size, steps = 64, 2
+    else:
+        pipe = PwwPipeline()
+        size, steps = 512, args.steps
+
+    def req(i):
+        cm = np.zeros((size, size, 3), np.uint8)
+        cm[:, : size // 2] = (255, 0, 0)
+        return {
+            "prompt": f"a cat number {i}",
+            "color_map_image": cm,
+            "color_context": {(255, 0, 0): "cat,1.0"},
+            "seed": i,
+            "num_inference_steps": steps,
+        }
+
+    # warm the compiled programs at batch sizes 1 and n
+    pipe.generate_batch([req(0)], num_inference_steps=steps)
+    pipe.generate_batch([req(i) for i in range(args.n)], num_inference_steps=steps)
+
+    t0 = time.time()
+    for i in range(args.n):
+        pipe.generate_batch([req(i)], num_inference_steps=steps)
+    serial = time.time() - t0
+
+    batcher = Batcher(pipe, max_batch=args.n, max_wait_ms=200.0)
+    try:
+        t0 = time.time()
+        futs = [batcher.submit(req(i)) for i in range(args.n)]
+        for f in futs:
+            f.result(timeout=600)
+        batched = time.time() - t0
+    finally:
+        batcher.close()
+
+    print(f"requests: {args.n}  serial: {serial:.2f}s  "
+          f"batched: {batched:.2f}s  speedup: {serial / batched:.2f}x  "
+          f"(batches formed: {batcher.stats['batches']})")
+
+
+if __name__ == "__main__":
+    main()

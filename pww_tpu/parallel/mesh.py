@@ -27,6 +27,28 @@ DP_AXIS = "dp"
 TP_AXIS = "tp"
 
 
+def init_multihost(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> int:
+    """Initialize multi-host execution (DCN across slices, ICI within).
+
+    Thin wrapper over ``jax.distributed.initialize`` — on Cloud TPU pods the
+    arguments auto-detect from the metadata server; pass them explicitly for
+    manual clusters. Call once per process before any jax op; then
+    :func:`make_mesh` over ``jax.devices()`` spans every host's chips and the
+    pjit-inserted collectives ride ICI within a slice / DCN across slices.
+    Returns this process's index.
+    """
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    return jax.process_index()
+
+
 def make_mesh(
     dp: Optional[int] = None, tp: int = 1, devices=None
 ) -> Mesh:
