@@ -69,8 +69,7 @@ def run_denoise(
     latents = latents.astype(jnp.float32)
     compute_dtype = unet.dtype
 
-    def unet_eps(lat_in, t, pww_t):
-        lat_in = lat_in.astype(compute_dtype)
+    def unet_eps_batched(lat_in, t, pww_t):
         lat2 = jnp.concatenate([lat_in, lat_in], axis=0)
         down_res = mid_res = None
         if controlnet is not None:
@@ -87,15 +86,48 @@ def run_denoise(
             unet_params, lat2, t, text_states, pww=pww_t,
             down_block_residuals=down_res, mid_block_residual=mid_res,
         )
-        eps_uncond, eps_text = eps[:n].astype(jnp.float32), eps[n:].astype(jnp.float32)
-        return eps_uncond + guidance_scale * (eps_text - eps_uncond)
+        return eps[:n].astype(jnp.float32), eps[n:].astype(jnp.float32)
+
+    def unet_eps_split(lat_in, t, pww_t):
+        """Two sequential forwards, uncond with NO bias at all — the
+        reference's exact semantics (zero weight-fn for the uncond pass,
+        `paint_with_words.py:491-499`). Used for custom weight functions
+        whose bias need not vanish at w = 0."""
+        cond_pww = pww_t.replace(
+            weights={k: v[n:] for k, v in pww_t.weights.items()},
+            weight_orig=None if pww_t.weight_orig is None
+            else pww_t.weight_orig[n:],
+        )
+        eps = []
+        for half, p in ((slice(0, n), None), (slice(n, 2 * n), cond_pww)):
+            down_res = mid_res = None
+            li = lat_in
+            if controlnet is not None:
+                down_res, mid_res = controlnet.apply(
+                    controlnet_params, li, t, text_states[half],
+                    control_hint.astype(compute_dtype), pww=p,
+                    conditioning_scale=controlnet_scale,
+                )
+            if extra_channels is not None:
+                li = jnp.concatenate(
+                    [li, extra_channels.astype(compute_dtype)], axis=-1
+                )
+            eps.append(
+                unet.apply(
+                    unet_params, li, t, text_states[half], pww=p,
+                    down_block_residuals=down_res, mid_block_residual=mid_res,
+                ).astype(jnp.float32)
+            )
+        return eps[0], eps[1]
 
     def body(carry, i):
         lat, sch_state = carry
         sigma = schedule.sigma(i)
         t = schedule.timesteps[i]
-        lat_in = schedule.scale_model_input(lat, i)
-        eps = unet_eps(lat_in, t, pww.with_sigma(sigma))
+        lat_in = schedule.scale_model_input(lat, i).astype(compute_dtype)
+        fn = unet_eps_batched if cfg_batched else unet_eps_split
+        eps_uncond, eps_text = fn(lat_in, t, pww.with_sigma(sigma))
+        eps = eps_uncond + guidance_scale * (eps_text - eps_uncond)
         lat, sch_state = schedule.step(eps, i, lat, sch_state)
         return (lat, sch_state), None
 
@@ -525,10 +557,18 @@ class PwwPipeline:
             control_hint=hint,
             controlnet_scale=jnp.float32(controlnet_conditioning_scale),
         )
+        # Custom weight functions get the reference's exact two-forward CFG
+        # (uncond bias-free); the structured family is mathematically
+        # identical batched, so it takes the fast single-call path.
+        from ..ops.weight_functions import CustomWeightFunction
+
+        cfg_batched = not isinstance(pww.weight_fn, CustomWeightFunction)
+
         if callback is None:
             latents, _ = run_denoise(
                 self.unet, self.params["unet"], latents, text_states, pww,
                 schedule, jnp.float32(guidance_scale), t_start=t_start,
+                cfg_batched=cfg_batched,
                 **denoise_kwargs,
             )
         else:

@@ -184,3 +184,25 @@ def test_negative_region_strength(pipe):
     zero = pipe.generate(color_context={(255, 0, 0): "cat,0.0"}, **kw)
     assert np.abs(pos.astype(int) - neg.astype(int)).mean() > 0
     assert np.abs(neg.astype(int) - zero.astype(int)).mean() > 0
+
+
+def test_custom_weight_fn_matches_equivalent_family(pipe):
+    """Custom callables run the reference's exact split CFG (uncond bias-free,
+    reduce over cond scores only). For a w-multiplicative callable this must
+    agree with the mathematically-equivalent structured WeightFunction."""
+    import jax.numpy as jnp
+
+    from pww_tpu import WeightFunction
+
+    kw = dict(prompt="a cat", color_map_image=_cm(),
+              color_context={(255, 0, 0): "cat,1.5"},
+              num_inference_steps=2, seed=9, output_type="np")
+    a = pipe.generate(
+        weight_function=lambda w, s, qk: 0.3 * w * jnp.log1p(s) * jnp.max(qk),
+        **kw,
+    )
+    b = pipe.generate(
+        weight_function=WeightFunction(0.3, "log1p_sigma", "max"), **kw
+    )
+    diff = np.abs(a.astype(int) - b.astype(int))
+    assert diff.mean() < 1.0, diff.mean()  # same math, different kernels
