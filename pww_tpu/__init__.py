@@ -31,5 +31,7 @@ from .pipeline.facade import (  # noqa: F401
     paint_with_words_inpaint,
     pww_load_tools,
 )
+from .parallel.mesh import make_mesh  # noqa: F401
 from .pipeline.pipeline import PwwPipeline  # noqa: F401
 from .types import PwwState  # noqa: F401
+from .weights.textual_inversion import apply_textual_inversion  # noqa: F401

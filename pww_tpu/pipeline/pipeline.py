@@ -237,6 +237,7 @@ class PwwPipeline:
         compute_dtype=jnp.bfloat16,
         weights_dtype=jnp.bfloat16,
         mesh=None,  # jax.sharding.Mesh with ("dp","tp") axes for multi-chip
+        profile: bool = False,  # record per-phase timings in self.timers
         seed: int = 0,
     ):
         self.config = config or SDModelConfig.sd15()
@@ -253,6 +254,10 @@ class PwwPipeline:
         self.controlnet = None
         self.controlnet_params = None
         self._text_cache: Dict = {}
+        self.profile = profile
+        from ..utils.profiling import PhaseTimer
+
+        self.timers = PhaseTimer()
         if params is None:
             params = self.init_params(seed)
         if weights_dtype is not None:
@@ -445,13 +450,19 @@ class PwwPipeline:
         """
         cfg = self.config
         color_map = _to_numpy_image(color_map_image)
-        enc = self.encode_inputs(
-            prompt,
-            color_map,
-            color_context or {},
-            negative_prompt,
-            weight_function,
+        import contextlib
+
+        phase = self.timers.phase if self.profile else (
+            lambda name, sync=None: contextlib.nullcontext()
         )
+        with phase("encode"):
+            enc = self.encode_inputs(
+                prompt,
+                color_map,
+                color_context or {},
+                negative_prompt,
+                weight_function,
+            )
         height, width = (
             (enc.height, enc.width)
             if color_map is not None
@@ -565,12 +576,15 @@ class PwwPipeline:
         cfg_batched = not isinstance(pww.weight_fn, CustomWeightFunction)
 
         if callback is None:
-            latents, _ = run_denoise(
-                self.unet, self.params["unet"], latents, text_states, pww,
-                schedule, jnp.float32(guidance_scale), t_start=t_start,
-                cfg_batched=cfg_batched,
-                **denoise_kwargs,
-            )
+            with phase("denoise"):
+                latents, _ = run_denoise(
+                    self.unet, self.params["unet"], latents, text_states, pww,
+                    schedule, jnp.float32(guidance_scale), t_start=t_start,
+                    cfg_batched=cfg_batched,
+                    **denoise_kwargs,
+                )
+                if self.profile:
+                    jax.block_until_ready(latents)
         else:
             # segmented scan: host observes latents every callback_steps
             sch_state = schedule.init_state(latents.shape, jnp.float32)
@@ -587,8 +601,9 @@ class PwwPipeline:
                 i = j
         if return_latents:
             return latents
-        images = run_decode(self.vae, self.params["vae"], latents)
-        images = np.asarray(images)
+        with phase("decode"):
+            images = run_decode(self.vae, self.params["vae"], latents)
+            images = np.asarray(images)
         if output_type == "np":
             return images
         from PIL import Image

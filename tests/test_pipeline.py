@@ -206,3 +206,15 @@ def test_custom_weight_fn_matches_equivalent_family(pipe):
     )
     diff = np.abs(a.astype(int) - b.astype(int))
     assert diff.mean() < 1.0, diff.mean()  # same math, different kernels
+
+
+def test_profile_records_phases():
+    from pww_tpu.config import SDModelConfig
+
+    p = PwwPipeline(config=SDModelConfig.tiny(), profile=True)
+    p.generate(prompt="a cat", color_map_image=_cm(),
+               color_context=dict(CTX), num_inference_steps=2, seed=0,
+               output_type="np")
+    s = p.timers.summary()
+    assert set(s) >= {"encode", "denoise", "decode"}
+    assert all(v["count"] == 1 for v in s.values())
