@@ -8,7 +8,7 @@ as static jit arguments.
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+from typing import Optional, Tuple
 
 
 @dataclasses.dataclass(frozen=True)
@@ -52,8 +52,12 @@ class UNetConfig:
     block_out_channels: Tuple[int, ...] = (320, 640, 1280, 1280)
     layers_per_block: int = 2
     # SD-1.x: 8 attention heads at every resolution; head_dim = channels // 8.
+    # SD-2.x instead fixes head_dim=64 (set attention_head_dim; it wins).
     num_attention_heads: int = 8
+    attention_head_dim: Optional[int] = None
     cross_attention_dim: int = 768
+    # "epsilon" (SD-1.x) or "v_prediction" (SD-2.x 768-v)
+    prediction_type: str = "epsilon"
     norm_num_groups: int = 32
     time_embed_mult: int = 4
     # Which down/up blocks carry cross-attention transformers. SD-1.x: all but
@@ -69,6 +73,23 @@ class UNetConfig:
     @property
     def up_block_has_attn(self) -> Tuple[bool, ...]:
         return tuple(reversed(self.down_block_has_attn))
+
+    def heads_for(self, channels: int) -> Tuple[int, int]:
+        """(num_heads, head_dim) at a resolution. SD-1.x: fixed head count;
+        SD-2.x: fixed head_dim=64 via ``attention_head_dim``."""
+        if self.attention_head_dim is not None:
+            return channels // self.attention_head_dim, self.attention_head_dim
+        return self.num_attention_heads, channels // self.num_attention_heads
+
+    @staticmethod
+    def sd21(v_prediction: bool = True) -> "UNetConfig":
+        """SD-2.1 (768-v by default): head_dim 64, 1024-dim OpenCLIP context."""
+        return UNetConfig(
+            attention_head_dim=64,
+            cross_attention_dim=1024,
+            sample_size=96 if v_prediction else 64,
+            prediction_type="v_prediction" if v_prediction else "epsilon",
+        )
 
     @staticmethod
     def sd15(in_channels: int = 4) -> "UNetConfig":
@@ -159,6 +180,16 @@ class SDModelConfig:
     @staticmethod
     def sd15() -> "SDModelConfig":
         return SDModelConfig()
+
+    @staticmethod
+    def sd21(v_prediction: bool = True) -> "SDModelConfig":
+        return SDModelConfig(
+            clip=CLIPTextConfig(
+                vocab_size=49408, hidden_size=1024, intermediate_size=4096,
+                num_layers=23, num_heads=16, hidden_act="gelu",
+            ),
+            unet=UNetConfig.sd21(v_prediction),
+        )
 
     @staticmethod
     def sd15_inpaint() -> "SDModelConfig":

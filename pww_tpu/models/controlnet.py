@@ -83,7 +83,6 @@ class ControlNet(nn.Module):
         conditioning_scale: float = 1.0,
     ) -> Tuple[Tuple[jnp.ndarray, ...], jnp.ndarray]:
         cfg = self.config
-        heads = cfg.num_attention_heads
         if timesteps.ndim == 0:
             timesteps = jnp.broadcast_to(timesteps, (sample.shape[0],))
 
@@ -112,8 +111,9 @@ class ControlNet(nn.Module):
                     name=f"down_{bi}_resnet_{li}",
                 )(x, temb)
                 if has_attn:
+                    nh, hd = cfg.heads_for(ch)
                     x = Transformer2D(
-                        heads, ch // heads, groups=cfg.norm_num_groups,
+                        nh, hd, groups=cfg.norm_num_groups,
                         dtype=self.dtype, name=f"down_{bi}_attn_{li}",
                     )(x, ctx, pww)
                 residuals.append(
@@ -129,8 +129,9 @@ class ControlNet(nn.Module):
 
         ch = cfg.block_out_channels[-1]
         x = ResnetBlock(ch, cfg.norm_num_groups, self.dtype, name="mid_resnet_0")(x, temb)
+        nh, hd = cfg.heads_for(ch)
         x = Transformer2D(
-            heads, ch // heads, groups=cfg.norm_num_groups, dtype=self.dtype,
+            nh, hd, groups=cfg.norm_num_groups, dtype=self.dtype,
             name="mid_attn",
         )(x, ctx, pww)
         x = ResnetBlock(ch, cfg.norm_num_groups, self.dtype, name="mid_resnet_1")(x, temb)

@@ -249,7 +249,6 @@ class UNet2DCondition(nn.Module):
         mid_block_residual: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         cfg = self.config
-        heads = cfg.num_attention_heads
         if timesteps.ndim == 0:
             timesteps = jnp.broadcast_to(timesteps, (sample.shape[0],))
 
@@ -275,8 +274,9 @@ class UNet2DCondition(nn.Module):
                     name=f"down_{bi}_resnet_{li}",
                 )(x, temb)
                 if has_attn:
+                    nh, hd = cfg.heads_for(ch)
                     x = Transformer2D(
-                        heads, ch // heads, use_flash=cfg.flash_attention,
+                        nh, hd, use_flash=cfg.flash_attention,
                         use_fused_cross=cfg.fused_cross_attention,
                         groups=cfg.norm_num_groups, dtype=self.dtype,
                         name=f"down_{bi}_attn_{li}",
@@ -293,8 +293,9 @@ class UNet2DCondition(nn.Module):
         # ---- mid ----
         ch = cfg.block_out_channels[-1]
         x = ResnetBlock(ch, cfg.norm_num_groups, self.dtype, name="mid_resnet_0")(x, temb)
+        nh, hd = cfg.heads_for(ch)
         x = Transformer2D(
-            heads, ch // heads, use_flash=cfg.flash_attention,
+            nh, hd, use_flash=cfg.flash_attention,
             use_fused_cross=cfg.fused_cross_attention,
             groups=cfg.norm_num_groups, dtype=self.dtype, name="mid_attn",
         )(x, ctx, pww)
@@ -313,8 +314,9 @@ class UNet2DCondition(nn.Module):
                     ch, cfg.norm_num_groups, self.dtype, name=f"up_{bi}_resnet_{li}"
                 )(x, temb)
                 if has_attn:
+                    nh, hd = cfg.heads_for(ch)
                     x = Transformer2D(
-                        heads, ch // heads, use_flash=cfg.flash_attention,
+                        nh, hd, use_flash=cfg.flash_attention,
                         use_fused_cross=cfg.fused_cross_attention,
                         groups=cfg.norm_num_groups, dtype=self.dtype,
                         name=f"up_{bi}_attn_{li}",

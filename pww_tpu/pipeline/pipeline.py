@@ -120,13 +120,18 @@ def run_denoise(
             )
         return eps[0], eps[1]
 
+    prediction_type = unet.config.prediction_type
+
     def body(carry, i):
         lat, sch_state = carry
         sigma = schedule.sigma(i)
         t = schedule.timesteps[i]
         lat_in = schedule.scale_model_input(lat, i).astype(compute_dtype)
         fn = unet_eps_batched if cfg_batched else unet_eps_split
-        eps_uncond, eps_text = fn(lat_in, t, pww.with_sigma(sigma))
+        out_uncond, out_text = fn(lat_in, t, pww.with_sigma(sigma))
+        # v-prediction (SD-2.x): convert each half to epsilon before CFG
+        eps_uncond = schedule.to_epsilon(out_uncond, lat, i, prediction_type)
+        eps_text = schedule.to_epsilon(out_text, lat, i, prediction_type)
         eps = eps_uncond + guidance_scale * (eps_text - eps_uncond)
         lat, sch_state = schedule.step(eps, i, lat, sch_state)
         return (lat, sch_state), None
@@ -188,10 +193,13 @@ def run_denoise_segment(
         eu, et = eps[:n].astype(jnp.float32), eps[n:].astype(jnp.float32)
         return eu + guidance_scale * (et - eu)
 
+    prediction_type = unet.config.prediction_type
+
     def body(carry, i):
         lat, st = carry
         lat_in = schedule.scale_model_input(lat, i)
         eps = unet_eps(lat_in, schedule.timesteps[i], pww.with_sigma(schedule.sigma(i)))
+        eps = schedule.to_epsilon(eps, lat, i, prediction_type)
         lat, st = schedule.step(eps, i, lat, st)
         return (lat, st), None
 

@@ -103,6 +103,31 @@ class Schedule(flax.struct.PyTreeNode):
             return sample / jnp.sqrt(s * s + 1.0)
         return sample  # ddim/pndm: identity
 
+    def to_epsilon(
+        self, model_output: jnp.ndarray, sample: jnp.ndarray, i: jnp.ndarray,
+        prediction_type: str = "epsilon",
+    ) -> jnp.ndarray:
+        """Convert a model output to epsilon convention (SD-2.x v-prediction).
+
+        Sigma-space schedulers carry ``x = x0 + σ·ε`` samples; alpha-space
+        ones carry ``x = √ᾱ·x0 + √(1−ᾱ)·ε`` — the conversion differs.
+        """
+        if prediction_type == "epsilon":
+            return model_output
+        if prediction_type != "v_prediction":
+            raise ValueError(f"unknown prediction_type {prediction_type!r}")
+        v = model_output.astype(jnp.float32)
+        x = sample.astype(jnp.float32)
+        if self.kind in ("lms", "euler", "euler_ancestral"):
+            s = self.sigmas[i]
+            denom = s * s + 1.0
+            pred_x0 = -s * v / jnp.sqrt(denom) + x / denom
+            eps = (x - pred_x0) / s
+        else:
+            a_t = self.alphas_cumprod_t[i]
+            eps = jnp.sqrt(a_t) * v + jnp.sqrt(1.0 - a_t) * x
+        return eps.astype(model_output.dtype)
+
     def init_state(self, shape: Tuple[int, ...], dtype) -> jnp.ndarray:
         """Scan-carried scheduler state (LMS derivative history / PLMS eps
         history + warmup sample; else empty)."""

@@ -332,19 +332,23 @@ def config_from_checkpoint(model_path: str) -> SDModelConfig:
     clip_cfg = _read_json(os.path.join(model_path, "text_encoder", "config.json")) or {}
     vae_cfg = _read_json(os.path.join(model_path, "vae", "config.json")) or {}
 
+    # diffusers' "attention_head_dim" actually stores per-block HEAD COUNTS
+    # (int 8 for SD-1.x; list [5,10,20,20] for SD-2.x where head_dim=64)
+    blocks = tuple(unet_cfg.get("block_out_channels", (320, 640, 1280, 1280)))
+    ahd = unet_cfg.get("attention_head_dim", 8)
+    if isinstance(ahd, (list, tuple)):
+        num_heads, head_dim = 8, blocks[0] // ahd[0]
+    else:
+        num_heads, head_dim = ahd, None
     unet = UNetConfig(
         in_channels=unet_cfg.get("in_channels", 4),
         out_channels=unet_cfg.get("out_channels", 4),
         sample_size=unet_cfg.get("sample_size", 64),
-        block_out_channels=tuple(
-            unet_cfg.get("block_out_channels", (320, 640, 1280, 1280))
-        ),
+        block_out_channels=blocks,
         layers_per_block=unet_cfg.get("layers_per_block", 2),
-        num_attention_heads=(
-            unet_cfg.get("attention_head_dim", 8)
-            if isinstance(unet_cfg.get("attention_head_dim", 8), int)
-            else 8
-        ),
+        num_attention_heads=num_heads,
+        attention_head_dim=head_dim,
+        prediction_type=unet_cfg.get("prediction_type", "epsilon"),
         cross_attention_dim=unet_cfg.get("cross_attention_dim", 768),
         norm_num_groups=unet_cfg.get("norm_num_groups", 32),
         down_block_has_attn=tuple(
