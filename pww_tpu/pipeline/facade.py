@@ -121,6 +121,7 @@ def paint_with_words_inpaint(
     are resized to the init image's size as in the reference (:171-173).
     Default weight function: ``0.15 · w · log(1+σ) · max(QKᵀ)``.
     """
+    import numpy as np
     from PIL import Image
 
     pipe = preloaded_utils or pww_load_tools(
@@ -130,12 +131,21 @@ def paint_with_words_inpaint(
     )
     wf = DEFAULT_INPAINT if weight_function is None else as_weight_function(weight_function)
     if init_image is not None and color_map_image is not None:
-        size = init_image.size if hasattr(init_image, "size") else (
-            init_image.shape[1], init_image.shape[0]
-        )
-        if hasattr(color_map_image, "resize"):
-            color_map_image = color_map_image.resize(size, Image.NEAREST)
-        if mask_image is not None and hasattr(mask_image, "resize"):
+        if isinstance(init_image, Image.Image):
+            size = init_image.size
+        else:
+            arr = np.asarray(init_image)
+            size = (arr.shape[1], arr.shape[0])
+        # resize color map & mask to the init image (reference inpaint.py:171-173)
+        if not isinstance(color_map_image, Image.Image):
+            color_map_image = Image.fromarray(np.asarray(color_map_image))
+        color_map_image = color_map_image.resize(size, Image.NEAREST)
+        if mask_image is not None:
+            if not isinstance(mask_image, Image.Image):
+                m = np.asarray(mask_image)
+                if m.dtype != np.uint8:
+                    m = (np.clip(m, 0, 1) * 255).astype(np.uint8)
+                mask_image = Image.fromarray(m)
             mask_image = mask_image.resize(size, Image.NEAREST)
     return pipe.generate(
         prompt=input_prompt,

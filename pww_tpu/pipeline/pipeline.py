@@ -57,6 +57,7 @@ def run_denoise(
     controlnet_params=None,
     control_hint: Optional[jnp.ndarray] = None,  # (N, H, W, 3)
     controlnet_scale: jnp.ndarray = 1.0,
+    step_rng: Optional[jax.Array] = None,  # ancestral-sampler noise key
     t_start: int = 0,
     cfg_batched: bool = True,
 ) -> jnp.ndarray:
@@ -133,7 +134,8 @@ def run_denoise(
         eps_uncond = schedule.to_epsilon(out_uncond, lat, i, prediction_type)
         eps_text = schedule.to_epsilon(out_text, lat, i, prediction_type)
         eps = eps_uncond + guidance_scale * (eps_text - eps_uncond)
-        lat, sch_state = schedule.step(eps, i, lat, sch_state)
+        k = None if step_rng is None else jax.random.fold_in(step_rng, i)
+        lat, sch_state = schedule.step(eps, i, lat, sch_state, rng=k)
         return (lat, sch_state), None
 
     sch_state = schedule.init_state(latents.shape, latents.dtype)
@@ -161,6 +163,7 @@ def run_denoise_segment(
     controlnet_params=None,
     control_hint=None,
     controlnet_scale=1.0,
+    step_rng=None,
     seg_len: int = 1,
     cfg_batched: bool = True,
 ):
@@ -200,7 +203,8 @@ def run_denoise_segment(
         lat_in = schedule.scale_model_input(lat, i)
         eps = unet_eps(lat_in, schedule.timesteps[i], pww.with_sigma(schedule.sigma(i)))
         eps = schedule.to_epsilon(eps, lat, i, prediction_type)
-        lat, st = schedule.step(eps, i, lat, st)
+        k = None if step_rng is None else jax.random.fold_in(step_rng, i)
+        lat, st = schedule.step(eps, i, lat, st, rng=k)
         return (lat, st), None
 
     steps = jnp.arange(seg_len) + start_index
@@ -575,6 +579,10 @@ class PwwPipeline:
             controlnet_params=controlnet_params,
             control_hint=hint,
             controlnet_scale=jnp.float32(controlnet_conditioning_scale),
+            step_rng=(
+                jax.random.PRNGKey(seed ^ 0x5EED)
+                if schedule.kind == "euler_ancestral" else None
+            ),
         )
         # Custom weight functions get the reference's exact two-forward CFG
         # (uncond bias-free); the structured family is mathematically
@@ -685,6 +693,10 @@ class PwwPipeline:
         latents, _ = run_denoise(
             self.unet, self.params["unet"], latents, text_states, pww,
             schedule, jnp.float32(guidance_scale),
+            step_rng=(
+                jax.random.PRNGKey(0x5EED)
+                if schedule.kind == "euler_ancestral" else None
+            ),
         )
         images = np.asarray(run_decode(self.vae, self.params["vae"], latents))
         if output_type == "np":

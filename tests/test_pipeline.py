@@ -218,3 +218,31 @@ def test_profile_records_phases():
     s = p.timers.summary()
     assert set(s) >= {"encode", "denoise", "decode"}
     assert all(v["count"] == 1 for v in s.values())
+
+
+def test_facade_inpaint_accepts_numpy_mask(pipe9):
+    """Regression: numpy arrays have a .resize too — the facade must convert
+    to PIL before the reference-parity resize (found in final verify)."""
+    from pww_tpu import paint_with_words_inpaint
+
+    init = Image.fromarray(np.full((64, 64, 3), 120, np.uint8))
+    mask = np.zeros((64, 64), np.float32)
+    mask[16:48, 16:48] = 1.0
+    img = paint_with_words_inpaint(
+        color_context={(255, 0, 0): "cat,1.0"},
+        color_map_image=_cm(), init_image=init, mask_image=mask,
+        input_prompt="a cat", num_inference_steps=2, seed=0,
+        preloaded_utils=pipe9,
+    )
+    assert img.size == (64, 64)
+
+
+def test_euler_ancestral_end_to_end():
+    """Regression: ancestral sampling needs a per-step rng inside the scan."""
+    p = PwwPipeline(config=SDModelConfig.tiny(), scheduler="euler_ancestral")
+    kw = dict(prompt="a cat", color_map_image=_cm(),
+              color_context=dict(CTX), num_inference_steps=3, seed=0,
+              output_type="np")
+    a = p.generate(**kw)
+    b = p.generate(**kw)
+    np.testing.assert_array_equal(a, b)  # ancestral noise is seed-deterministic
