@@ -69,7 +69,13 @@ def pww_attention(
     if bias_w is not None and weight_fn is not None:
         w = bias_w.astype(jnp.float32)[:, None]  # (B, 1, Lq, Lk)
         if isinstance(weight_fn, CustomWeightFunction):
-            bias = weight_fn(w, sigma, scores)
+            # Per-sample: each sample's lambda sees only its own (H, Lq, Lk)
+            # scores — the reference always evaluates lambdas at batch 1
+            # (two separate CFG forwards, `paint_with_words.py:483-499`), so
+            # reductions like ``qk.max()`` must not span other batch rows
+            # (serving batches, dp shards). vmap also keeps the reduce
+            # collective-free when the batch axis is device-sharded.
+            bias = jax.vmap(lambda wi, si: weight_fn(wi, sigma, si))(w, scores)
         else:
             r = weight_fn.reduce_qk(scores, batch_axes=1)  # (B,1,1,1)
             bias = weight_fn.sigma_coef(sigma) * r * w

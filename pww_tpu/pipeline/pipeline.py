@@ -41,33 +41,17 @@ LATENT_SCALE = 0.18215  # SD VAE scaling (reference paint_with_words.py:49, 463)
 # --------------------------------------------------------------------------
 
 
-@functools.partial(
-    jax.jit, static_argnames=("unet", "controlnet", "t_start", "cfg_batched")
-)
-def run_denoise(
-    unet: UNet2DCondition,
-    unet_params,
-    latents: jnp.ndarray,  # (N, h, w, C)
-    text_states: jnp.ndarray,  # (2N, T, D) rows [uncond*N, cond*N]
-    pww: PwwState,  # weights batched (2N, ...)
-    schedule: Schedule,
-    guidance_scale: jnp.ndarray,
-    extra_channels: Optional[jnp.ndarray] = None,  # (N, h, w, E) inpaint concat
-    controlnet=None,  # static ControlNet module
-    controlnet_params=None,
-    control_hint: Optional[jnp.ndarray] = None,  # (N, H, W, 3)
-    controlnet_scale: jnp.ndarray = 1.0,
-    step_rng: Optional[jax.Array] = None,  # ancestral-sampler noise key
-    t_start: int = 0,
-    cfg_batched: bool = True,
-) -> jnp.ndarray:
-    """Full denoise loop as one scan. Returns final latents (N, h, w, C).
+def _cfg_eps_fns(
+    unet, unet_params, text_states, n, controlnet, controlnet_params,
+    control_hint, controlnet_scale, extra_channels,
+):
+    """(batched, split) classifier-free-guidance UNet evaluators.
 
-    Latents and scheduler state are carried in float32 (accumulation
-    precision); the UNet runs in its own compute dtype (bf16 on TPU).
+    Each takes ``(lat_in, t, pww_t)`` with ``lat_in`` already in the UNet's
+    compute dtype and returns ``(out_uncond, out_text)`` in float32. Shared by
+    ``run_denoise`` and ``run_denoise_segment`` so the callback path has the
+    exact same CFG semantics as the scan path.
     """
-    n = latents.shape[0]
-    latents = latents.astype(jnp.float32)
     compute_dtype = unet.dtype
 
     def unet_eps_batched(lat_in, t, pww_t):
@@ -121,6 +105,41 @@ def run_denoise(
             )
         return eps[0], eps[1]
 
+    return unet_eps_batched, unet_eps_split
+
+
+@functools.partial(
+    jax.jit, static_argnames=("unet", "controlnet", "t_start", "cfg_batched")
+)
+def run_denoise(
+    unet: UNet2DCondition,
+    unet_params,
+    latents: jnp.ndarray,  # (N, h, w, C)
+    text_states: jnp.ndarray,  # (2N, T, D) rows [uncond*N, cond*N]
+    pww: PwwState,  # weights batched (2N, ...)
+    schedule: Schedule,
+    guidance_scale: jnp.ndarray,
+    extra_channels: Optional[jnp.ndarray] = None,  # (N, h, w, E) inpaint concat
+    controlnet=None,  # static ControlNet module
+    controlnet_params=None,
+    control_hint: Optional[jnp.ndarray] = None,  # (N, H, W, 3)
+    controlnet_scale: jnp.ndarray = 1.0,
+    step_rng: Optional[jax.Array] = None,  # ancestral-sampler noise key
+    t_start: int = 0,
+    cfg_batched: bool = True,
+) -> jnp.ndarray:
+    """Full denoise loop as one scan. Returns final latents (N, h, w, C).
+
+    Latents and scheduler state are carried in float32 (accumulation
+    precision); the UNet runs in its own compute dtype (bf16 on TPU).
+    """
+    n = latents.shape[0]
+    latents = latents.astype(jnp.float32)
+    compute_dtype = unet.dtype
+    unet_eps_batched, unet_eps_split = _cfg_eps_fns(
+        unet, unet_params, text_states, n, controlnet, controlnet_params,
+        control_hint, controlnet_scale, extra_channels,
+    )
     prediction_type = unet.config.prediction_type
 
     def body(carry, i):
@@ -174,35 +193,22 @@ def run_denoise_segment(
     n = latents.shape[0]
     latents = latents.astype(jnp.float32)
     compute_dtype = unet.dtype
-
-    def unet_eps(lat_in, t, pww_t):
-        lat_in = lat_in.astype(compute_dtype)
-        lat2 = jnp.concatenate([lat_in, lat_in], axis=0)
-        down_res = mid_res = None
-        if controlnet is not None:
-            hint2 = jnp.concatenate([control_hint, control_hint], axis=0)
-            down_res, mid_res = controlnet.apply(
-                controlnet_params, lat2, t, text_states,
-                hint2.astype(compute_dtype), pww=pww_t,
-                conditioning_scale=controlnet_scale,
-            )
-        if extra_channels is not None:
-            ec = jnp.concatenate([extra_channels] * 2, axis=0)
-            lat2 = jnp.concatenate([lat2, ec.astype(compute_dtype)], axis=-1)
-        eps = unet.apply(
-            unet_params, lat2, t, text_states, pww=pww_t,
-            down_block_residuals=down_res, mid_block_residual=mid_res,
-        )
-        eu, et = eps[:n].astype(jnp.float32), eps[n:].astype(jnp.float32)
-        return eu + guidance_scale * (et - eu)
-
+    unet_eps_batched, unet_eps_split = _cfg_eps_fns(
+        unet, unet_params, text_states, n, controlnet, controlnet_params,
+        control_hint, controlnet_scale, extra_channels,
+    )
     prediction_type = unet.config.prediction_type
 
     def body(carry, i):
         lat, st = carry
-        lat_in = schedule.scale_model_input(lat, i)
-        eps = unet_eps(lat_in, schedule.timesteps[i], pww.with_sigma(schedule.sigma(i)))
-        eps = schedule.to_epsilon(eps, lat, i, prediction_type)
+        lat_in = schedule.scale_model_input(lat, i).astype(compute_dtype)
+        fn = unet_eps_batched if cfg_batched else unet_eps_split
+        out_uncond, out_text = fn(
+            lat_in, schedule.timesteps[i], pww.with_sigma(schedule.sigma(i))
+        )
+        eps_uncond = schedule.to_epsilon(out_uncond, lat, i, prediction_type)
+        eps_text = schedule.to_epsilon(out_text, lat, i, prediction_type)
+        eps = eps_uncond + guidance_scale * (eps_text - eps_uncond)
         k = None if step_rng is None else jax.random.fold_in(step_rng, i)
         lat, st = schedule.step(eps, i, lat, st, rng=k)
         return (lat, st), None
@@ -611,7 +617,8 @@ class PwwPipeline:
                 latents, sch_state = run_denoise_segment(
                     self.unet, self.params["unet"], latents, text_states, pww,
                     schedule, jnp.float32(guidance_scale), sch_state,
-                    jnp.int32(i), seg_len=j - i, **denoise_kwargs,
+                    jnp.int32(i), seg_len=j - i, cfg_batched=cfg_batched,
+                    **denoise_kwargs,
                 )
                 callback(j - 1, float(schedule.timesteps[j - 1]), latents)
                 i = j
@@ -676,8 +683,19 @@ class PwwPipeline:
             )
             for k in keys
         }
+        # Per-request full-res maps so bias_for()'s ORIG resize fallback works
+        # in serving too (e.g. a 500x500 map whose rounded pyramid key differs
+        # from the actual latent attention size, reference :96-101). Resolution
+        # equality across the group is enforced above, so shapes agree.
+        worigs = [e.pww.weight_orig for e in encs]
+        weight_orig = (
+            None if any(w is None for w in worigs)
+            else jnp.concatenate(
+                [w[:1] for w in worigs] + [w[1:] for w in worigs]
+            )
+        )
         pww = PwwState(
-            weights=weights, weight_orig=None, sigma=jnp.float32(0.0),
+            weights=weights, weight_orig=weight_orig, sigma=jnp.float32(0.0),
             weight_fn=wf,
         )
 
@@ -690,9 +708,12 @@ class PwwPipeline:
             lats.append(regional_seed_latents(lat, e.regions, noise_mode))
         latents = jnp.concatenate(lats) * schedule.init_noise_sigma
 
+        from ..ops.weight_functions import CustomWeightFunction
+
         latents, _ = run_denoise(
             self.unet, self.params["unet"], latents, text_states, pww,
             schedule, jnp.float32(guidance_scale),
+            cfg_batched=not isinstance(wf, CustomWeightFunction),
             step_rng=(
                 jax.random.PRNGKey(0x5EED)
                 if schedule.kind == "euler_ancestral" else None

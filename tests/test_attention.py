@@ -120,3 +120,25 @@ def test_flash_falls_back_on_odd_lengths(rng):
     out = flash_self_attention(*args)
     want = pww_attention(*args)
     np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=1e-5)
+
+
+def test_custom_weight_function_is_per_sample(rng):
+    """A batched call must give each sample the bias it would get alone —
+    the lambda's reductions (e.g. qk.max()) must not span other batch rows
+    (the reference evaluates lambdas at batch 1, paint_with_words.py:483-499)."""
+    b, h, lq, lk, d = 3, 2, 8, 8, 4
+    q = rng.standard_normal((b, h, lq, d)).astype(np.float32)
+    k = rng.standard_normal((b, h, lk, d)).astype(np.float32)
+    v = rng.standard_normal((b, h, lk, d)).astype(np.float32)
+    w = rng.random((b, lq, lk)).astype(np.float32)
+    f = CustomWeightFunction(lambda w_, s_, qk: 0.3 * w_ * jnp.max(qk))
+    batched = np.asarray(pww_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+        bias_w=jnp.asarray(w), weight_fn=f, sigma=jnp.asarray(2.0),
+    ))
+    for i in range(b):
+        alone = np.asarray(pww_attention(
+            jnp.asarray(q[i:i+1]), jnp.asarray(k[i:i+1]), jnp.asarray(v[i:i+1]),
+            bias_w=jnp.asarray(w[i:i+1]), weight_fn=f, sigma=jnp.asarray(2.0),
+        ))
+        np.testing.assert_allclose(batched[i:i+1], alone, atol=1e-6)

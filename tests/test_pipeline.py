@@ -208,6 +208,70 @@ def test_custom_weight_fn_matches_equivalent_family(pipe):
     assert diff.mean() < 1.0, diff.mean()  # same math, different kernels
 
 
+@pytest.fixture(scope="module")
+def pipe_f32():
+    """f32 pipeline: bitwise-comparable across different compiled programs
+    (bf16 reassociates differently per program, ~1e-2 relative)."""
+    import jax.numpy as jnp
+
+    return PwwPipeline(config=SDModelConfig.tiny(), weights_dtype=None,
+                       compute_dtype=jnp.float32)
+
+
+def test_custom_weight_fn_callback_matches_plain(pipe_f32):
+    """The per-step callback path must run the SAME split CFG as the plain
+    scan for custom weight functions (uncond bias-free, qk reduce per-sample
+    over cond rows only, reference `paint_with_words.py:483-499`)."""
+    import jax.numpy as jnp
+
+    kw = dict(prompt="a cat", color_map_image=_cm(),
+              color_context={(255, 0, 0): "cat,1.5"},
+              num_inference_steps=4, seed=9, output_type="np",
+              weight_function=lambda w, s, qk: 0.3 * w * jnp.log1p(s) * jnp.max(qk))
+    plain = pipe_f32.generate(**kw)
+    with_cb = pipe_f32.generate(callback=lambda *a: None, callback_steps=1, **kw)
+    np.testing.assert_array_equal(plain, with_cb)
+
+
+def test_generate_batch_matches_single_with_orig_fallback(pipe):
+    """A 68x68 map makes the rounded pyramid key (9·9=81) differ from the
+    actual latent attention size (8·8=64), so the highest-res bias comes only
+    from bias_for()'s ORIG resize fallback — generate_batch must carry
+    weight_orig so serving matches the single-request path bitwise."""
+    cm = np.zeros((68, 68, 3), np.uint8)
+    cm[:, :34] = (255, 0, 0)
+    req = dict(prompt="a cat", color_map_image=cm,
+               color_context={(255, 0, 0): "cat,2.0"}, seed=5)
+    single = pipe.generate(num_inference_steps=2, output_type="np", **req)
+    batch = pipe.generate_batch([req], num_inference_steps=2, output_type="np")
+    np.testing.assert_array_equal(single, batch)
+
+
+def test_generate_batch_custom_weight_fn_matches_single(pipe_f32):
+    """generate_batch must use the split CFG for custom weight functions AND
+    evaluate the lambda per-sample: each request's ``qk.max()`` must not see
+    the other requests' score rows (reference semantics are batch-1)."""
+    import jax.numpy as jnp
+
+    def wf(w, s, qk):
+        return 0.2 * w * jnp.log1p(s) * jnp.max(qk)
+
+    reqs = [
+        dict(prompt="a cat", color_map_image=_cm(),
+             color_context={(255, 0, 0): "cat,1.5"}, seed=5),
+        dict(prompt="a dog", color_map_image=_cm(),
+             color_context={(0, 0, 255): "dog,2.5"}, seed=11),
+    ]
+    singles = np.concatenate([
+        pipe_f32.generate(num_inference_steps=2, output_type="np",
+                          weight_function=wf, **r)
+        for r in reqs
+    ])
+    batch = pipe_f32.generate_batch(reqs, num_inference_steps=2,
+                                    weight_function=wf, output_type="np")
+    np.testing.assert_array_equal(singles, batch)
+
+
 def test_profile_records_phases():
     from pww_tpu.config import SDModelConfig
 
