@@ -17,11 +17,15 @@ from pww_tpu.config import SDModelConfig
 
 EXAMPLES = [
     {
-        # reference runner_inpaint.py:10-24 (dog → moon-masked aurora scene)
+        # reference runner_inpaint.py:10-24 (dog → moon-masked aurora scene);
+        # the reference runner passes 0.15·w·log(1+σ)·max(QKᵀ) explicitly
+        # (runner_inpaint.py:72,87) — the facade default is the signature's 0.1
         "color_context": {(255, 0, 0): "aurora,0.7", (0, 0, 255): "moon,1.5"},
         "input_prompt": "aurora over the lake with a full moon",
         "seed": 81,
         "strength": 1.0,
+        "weight_function": WeightFunction(scale=0.15, sigma_mode="log1p_sigma",
+                                          reduce_mode="max"),
         "name": "inpaint_moon",
     },
     {

@@ -156,6 +156,11 @@ class SchedulerConfig:
     beta_end: float = 0.012
     beta_schedule: str = "scaled_linear"
     steps_offset: int = 0
+    # DDIM final-step ᾱ_prev: True → 1.0 (diffusers' bare-constructor default,
+    # what the reference's `DDIMScheduler()` gets), False → ᾱ[0] (the value SD
+    # checkpoints ship in scheduler_config.json; PNDM always uses ᾱ[0] per its
+    # own diffusers default). Set False when matching a converted checkpoint.
+    set_alpha_to_one: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

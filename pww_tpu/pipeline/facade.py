@@ -12,11 +12,7 @@ from __future__ import annotations
 
 from typing import Callable, Dict, Optional, Tuple
 
-from ..ops.weight_functions import (
-    DEFAULT_INPAINT,
-    DEFAULT_TXT2IMG,
-    as_weight_function,
-)
+from ..ops.weight_functions import DEFAULT_TXT2IMG, as_weight_function
 from .pipeline import PwwPipeline
 
 _PIPELINE_CACHE: Dict[Tuple, PwwPipeline] = {}
@@ -119,7 +115,11 @@ def paint_with_words_inpaint(
 
     Requires a 9-channel inpainting UNet checkpoint; the color map and mask
     are resized to the init image's size as in the reference (:171-173).
-    Default weight function: ``0.15 · w · log(1+σ) · max(QKᵀ)``.
+    Default weight function: ``0.1 · w · log(1+σ) · max(QKᵀ)`` — the reference
+    function's own signature default (`paint_with_words_inpaint.py:150`); the
+    reference's example runners pass 0.15 explicitly (see
+    :data:`~pww_tpu.ops.weight_functions.DEFAULT_INPAINT`), as does
+    ``apps/runner_inpaint.py`` here.
     """
     import numpy as np
     from PIL import Image
@@ -129,7 +129,7 @@ def paint_with_words_inpaint(
         local_model_path=local_model_path, hf_model_path=hf_model_path,
         model_token=model_token,
     )
-    wf = DEFAULT_INPAINT if weight_function is None else as_weight_function(weight_function)
+    wf = DEFAULT_TXT2IMG if weight_function is None else as_weight_function(weight_function)
     if init_image is not None and color_map_image is not None:
         if isinstance(init_image, Image.Image):
             size = init_image.size

@@ -731,6 +731,22 @@ class PwwPipeline:
         `paint_with_words_inpaint.py:20-134`)."""
         from .inpaint import prepare_mask_and_masked_image
 
+        # The init image was %32-floored by _preprocess_image; the reference
+        # tolerates a mask at the original size by interpolating it to the
+        # latent grid independently (inpaint.py:211-214) — match that by
+        # resizing the mask to the preprocessed init's dims first.
+        ih, iw = int(init.shape[1]), int(init.shape[2])
+        mh, mw = _image_hw(mask_image, default=(ih, iw))
+        if (mh, mw) != (ih, iw):
+            from PIL import Image
+
+            m = mask_image
+            if not isinstance(m, Image.Image):
+                m = np.asarray(m)
+                if m.dtype != np.uint8:
+                    m = (np.clip(m, 0, 1) * 255).astype(np.uint8)
+                m = Image.fromarray(m)
+            mask_image = m.convert("L").resize((iw, ih), Image.NEAREST)
         mask, masked = prepare_mask_and_masked_image(init, mask_image)
         sf = self.config.vae.scale_factor
         h_lat, w_lat = mask.shape[1] // sf, mask.shape[2] // sf

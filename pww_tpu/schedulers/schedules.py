@@ -286,7 +286,10 @@ class Scheduler:
 
         a_t = alphas_cumprod[np.clip(t_int, 0, cfg.num_train_timesteps - 1)]
         t_prev = np.concatenate([t_int[1:], [-1]])
-        a_prev = np.where(t_prev >= 0, alphas_cumprod[np.maximum(t_prev, 0)], 1.0)
+        final_alpha = 1.0 if cfg.set_alpha_to_one else alphas_cumprod[0]
+        a_prev = np.where(
+            t_prev >= 0, alphas_cumprod[np.maximum(t_prev, 0)], final_alpha
+        )
 
         return Schedule(
             timesteps=jnp.asarray(timesteps, jnp.float32),

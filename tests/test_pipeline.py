@@ -310,3 +310,19 @@ def test_euler_ancestral_end_to_end():
     a = p.generate(**kw)
     b = p.generate(**kw)
     np.testing.assert_array_equal(a, b)  # ancestral noise is seed-deterministic
+
+
+def test_inpaint_non_multiple_of_32_init(pipe9):
+    """A 130x130 init image floors to 128x128; the original-size mask must be
+    re-gridded rather than raising (the reference interpolates the mask to the
+    latent grid independently, paint_with_words_inpaint.py:211-214)."""
+    init = Image.fromarray(np.full((130, 130, 3), 120, np.uint8))
+    m = np.zeros((130, 130), np.uint8)
+    m[30:100, 30:100] = 255
+    out = pipe9.generate(
+        prompt="a cat", color_map_image=_cm(128),
+        color_context={(255, 0, 0): "cat,1.0"},
+        init_image=init, mask_image=Image.fromarray(m, "L"),
+        num_inference_steps=2, seed=0, output_type="np",
+    )
+    assert out.shape == (1, 128, 128, 3)

@@ -237,3 +237,34 @@ def test_dpmpp_2m_end_to_end():
         num_inference_steps=4, seed=0, output_type="np",
     )
     assert out.shape == (1, 64, 64, 3)
+
+
+def test_ddim_set_alpha_to_one_knob():
+    """set_alpha_to_one=True (diffusers bare-constructor default, what the
+    reference's DDIMScheduler() gets) clamps the final a_prev to 1.0;
+    False (SD checkpoint scheduler_config.json) clamps to alpha_bar[0] —
+    only the LAST step's update may differ."""
+    on = make_scheduler("ddim").set_timesteps(5)
+    off = make_scheduler(
+        "ddim", SchedulerConfig(set_alpha_to_one=False)
+    ).set_timesteps(5)
+    np.testing.assert_array_equal(
+        np.asarray(on.alphas_cumprod_prev[:-1]),
+        np.asarray(off.alphas_cumprod_prev[:-1]),
+    )
+    assert float(on.alphas_cumprod_prev[-1]) == 1.0
+    a0 = float(off.alphas_cumprod_prev[-1])
+    assert 0.99 < a0 < 1.0 and a0 != 1.0
+
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((1, 4, 4, 4)),
+                    jnp.float32)
+    eps = jnp.asarray(np.random.default_rng(1).standard_normal((1, 4, 4, 4)),
+                      jnp.float32)
+    st = on.init_state(x.shape, jnp.float32)
+    for i in range(4):
+        same_on, _ = on.step(eps, jnp.int32(i), x, st)
+        same_off, _ = off.step(eps, jnp.int32(i), x, st)
+        np.testing.assert_array_equal(np.asarray(same_on), np.asarray(same_off))
+    last_on, _ = on.step(eps, jnp.int32(4), x, st)
+    last_off, _ = off.step(eps, jnp.int32(4), x, st)
+    assert np.abs(np.asarray(last_on) - np.asarray(last_off)).max() > 0
