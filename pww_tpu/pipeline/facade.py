@@ -32,11 +32,27 @@ def pww_load_tools(
     Results are cached per (path, scheduler): repeated calls are free, fixing
     the reference Gradio app's reload-per-request cost (`gradio_pww.py:31-45`).
     """
+    import os
+
     path = local_model_path or hf_model_path
     key = (path, scheduler_type)
     if key not in _PIPELINE_CACHE:
         if path is None:
             raise ValueError("either local_model_path or hf_model_path must be provided")
+        if not os.path.exists(path):
+            # The reference downloads hub ids with HF_TOKEN (reference
+            # paint_with_words.py:149-189); this environment has no network
+            # egress, so a non-local path cannot be resolved — fail clearly
+            # instead of erroring deep inside the checkpoint reader.
+            hint = (
+                " (looks like a Hugging Face hub id: this build has no "
+                "network egress — download the checkpoint elsewhere and "
+                "pass its local directory as local_model_path)"
+                if local_model_path is None else ""
+            )
+            raise FileNotFoundError(
+                f"model path {path!r} does not exist locally{hint}"
+            )
         _PIPELINE_CACHE[key] = PwwPipeline.from_pretrained(
             path, scheduler=scheduler_type
         )

@@ -267,6 +267,22 @@ class PwwPipeline:
         if tokenizer is None:
             from ..tokenizer.clip_bpe import toy_tokenizer
 
+            if self.config.clip.vocab_size > 2048:
+                # A full-size CLIP config with the hash-based toy tokenizer
+                # would generate without error but match region labels to
+                # garbage token ids — make the fallback impossible to miss.
+                import warnings
+
+                warnings.warn(
+                    "No tokenizer given for a full-size CLIP config "
+                    f"(vocab_size={self.config.clip.vocab_size}): falling back "
+                    "to the hash-based toy tokenizer, which does NOT produce "
+                    "real CLIP token ids — prompts and color-context labels "
+                    "will not match the checkpoint's training vocabulary. "
+                    "Pass tokenizer=CLIPTokenizer.from_dir(<checkpoint dir>) "
+                    "or load via PwwPipeline.from_pretrained().",
+                    stacklevel=3,
+                )
             tokenizer = toy_tokenizer(self.config.clip.vocab_size)
         self.tokenizer = tokenizer
         self.controlnet = None

@@ -48,12 +48,67 @@ def _whitespace_clean(text: str) -> str:
     return re.sub(r"\s+", " ", text).strip()
 
 
-_PAT = re.compile(
-    r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+"""
-    if False
-    else r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[a-zA-Z]+|[0-9]|[^\sa-zA-Z0-9]+""",
-    re.IGNORECASE,
-)
+try:  # transformers.CLIPTokenizer prefers ftfy text fixing when available
+    import ftfy as _ftfy
+except ImportError:  # pragma: no cover - ftfy absent in this env
+    _ftfy = None
+
+
+def _is_cjk_ideograph(cp: int) -> bool:
+    """CJK unified-ideograph ranges (BasicTokenizer._is_chinese_char)."""
+    return (
+        0x4E00 <= cp <= 0x9FFF or 0x3400 <= cp <= 0x4DBF
+        or 0x20000 <= cp <= 0x2A6DF or 0x2A700 <= cp <= 0x2B73F
+        or 0x2B740 <= cp <= 0x2B81F or 0x2B820 <= cp <= 0x2CEAF
+        or 0xF900 <= cp <= 0xFAFF or 0x2F800 <= cp <= 0x2FA1F
+    )
+
+
+def _clean_text(text: str) -> str:
+    """Normalize like ``transformers.CLIPTokenizer`` does.
+
+    With ftfy installed transformers runs ``whitespace_clean(fix_text(t))``;
+    without it, it falls back to ``BasicTokenizer`` — control-char removal,
+    CJK-ideograph spacing, NFC normalization, lowercasing. Mirroring the
+    same two paths keeps token-id parity with whatever the host env does.
+    """
+    import unicodedata
+
+    if _ftfy is not None:
+        return _whitespace_clean(_ftfy.fix_text(text)).lower()
+    out = []
+    for ch in text:
+        cp = ord(ch)
+        if cp == 0 or cp == 0xFFFD:
+            continue
+        cat = unicodedata.category(ch)
+        if cat.startswith("C") and ch not in ("\t", "\n", "\r"):
+            continue
+        if _is_cjk_ideograph(cp):
+            out.extend((" ", ch, " "))
+        elif cat == "Zs" or ch in ("\t", "\n", "\r"):
+            out.append(" ")
+        else:
+            out.append(ch)
+    text = unicodedata.normalize("NFC", "".join(out))
+    return _whitespace_clean(text).lower()
+
+
+# The CLIP text-splitting pattern needs unicode \p{L}/\p{N} classes for
+# non-ASCII parity with transformers.CLIPTokenizer; the stdlib `re` lacks
+# them, so prefer the `regex` module and fall back to an ASCII approximation.
+try:
+    import regex as _regex
+
+    _PAT = _regex.compile(
+        r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+""",
+        _regex.IGNORECASE,
+    )
+except ImportError:  # pragma: no cover - regex is available in this env
+    _PAT = re.compile(
+        r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[a-zA-Z]+|[0-9]|[^\sa-zA-Z0-9]+""",
+        re.IGNORECASE,
+    )
 
 
 class CLIPTokenizer:
@@ -165,7 +220,7 @@ class CLIPTokenizer:
 
     def tokenize(self, text: str) -> List[int]:
         """Text → raw BPE ids (no special tokens)."""
-        text = _whitespace_clean(text).lower()
+        text = _clean_text(text)
         if self.added_tokens:
             pattern = "(" + "|".join(re.escape(t) for t in self.added_tokens) + ")"
             parts = re.split(pattern, text)
@@ -176,7 +231,7 @@ class CLIPTokenizer:
             if part in self.added_tokens:
                 ids.append(self.added_tokens[part])
                 continue
-            for tok in re.findall(_PAT, part):
+            for tok in _PAT.findall(part):
                 tok = "".join(self.byte_encoder[b] for b in tok.encode("utf-8"))
                 for bpe_tok in self.bpe(tok).split(" "):
                     ids.append(self.encoder[bpe_tok])

@@ -164,6 +164,42 @@ def _map_vae_key(key: str, num_blocks: int = 4) -> Optional[str]:
     return side("encoder", key, False) or side("decoder", key, True)
 
 
+def _convert_open_clip(raw: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """OpenCLIP text tower (``cond_stage_model.model.*``, SD-2.x) → HF
+    ``text_model.*`` keys, so the shared :func:`~.loader.clip_key` mapping
+    applies. The packed ``attn.in_proj_{weight,bias}`` splits into q/k/v."""
+    out: Dict[str, np.ndarray] = {}
+    for k, v in raw.items():
+        if k == "token_embedding.weight":
+            out["text_model.embeddings.token_embedding.weight"] = v
+        elif k == "positional_embedding":
+            out["text_model.embeddings.position_embedding.weight"] = v
+        elif k.startswith("ln_final."):
+            out["text_model.final_layer_norm." + k[len("ln_final."):]] = v
+        m = re.match(r"transformer\.resblocks\.(\d+)\.(.+)", k)
+        if not m:
+            continue
+        layer, rest = m[1], m[2]
+        base = f"text_model.encoder.layers.{layer}."
+        if rest in ("attn.in_proj_weight", "attn.in_proj_bias"):
+            q, kk, vv = np.split(v, 3, axis=0)
+            leaf = "weight" if rest.endswith("weight") else "bias"
+            out[base + f"self_attn.q_proj.{leaf}"] = q
+            out[base + f"self_attn.k_proj.{leaf}"] = kk
+            out[base + f"self_attn.v_proj.{leaf}"] = vv
+        elif rest.startswith("attn.out_proj."):
+            out[base + "self_attn.out_proj." + rest[len("attn.out_proj."):]] = v
+        elif rest.startswith("ln_1."):
+            out[base + "layer_norm1." + rest[len("ln_1."):]] = v
+        elif rest.startswith("ln_2."):
+            out[base + "layer_norm2." + rest[len("ln_2."):]] = v
+        elif rest.startswith("mlp.c_fc."):
+            out[base + "mlp.fc1." + rest[len("mlp.c_fc."):]] = v
+        elif rest.startswith("mlp.c_proj."):
+            out[base + "mlp.fc2." + rest[len("mlp.c_proj."):]] = v
+    return out
+
+
 def convert_ldm_state_dict(
     state: Dict[str, np.ndarray], extract_ema: bool = False
 ) -> Tuple[Dict[str, np.ndarray], Dict[str, np.ndarray], Dict[str, np.ndarray]]:
@@ -199,10 +235,113 @@ def convert_ldm_state_dict(
                 vae[nk] = v
         elif k.startswith("cond_stage_model.transformer."):
             clip[k[len("cond_stage_model.transformer."):]] = v
+    open_clip = {
+        k[len("cond_stage_model.model."):]: v
+        for k, v in state.items() if k.startswith("cond_stage_model.model.")
+    }
+    if open_clip and not clip:
+        clip = _convert_open_clip(open_clip)
     return unet, vae, clip
 
 
-def load_ldm_checkpoint(path: str, extract_ema: bool = False):
+def detect_ldm_config(
+    state: Dict[str, np.ndarray],
+    unet_sd: Dict[str, np.ndarray],
+    prediction_type: str = "auto",
+) -> SDModelConfig:
+    """Derive the model family from checkpoint tensor shapes.
+
+    The reference builds configs from ``v1-inference.yaml``
+    (`change_model_path.py:231-320`, SD-1.x only); deriving from shapes also
+    covers SD-2.x single files: cross-attention context dim 768 → SD-1.x,
+    1024 → SD-2.x, where ``global_step == 110000`` marks the 512-base
+    epsilon model and anything else the 768-v v-prediction model (the same
+    heuristic diffusers' single-file loader uses). ``prediction_type`` may
+    force "epsilon"/"v_prediction" explicitly.
+    """
+    import dataclasses
+
+    in_channels = int(unet_sd["conv_in.weight"].shape[1])
+    ctx_dim = None
+    for k, v in unet_sd.items():
+        if k.endswith("attn2.to_k.weight"):
+            ctx_dim = int(v.shape[1])
+            break
+    from ..config import UNetConfig
+
+    if ctx_dim == 1024:
+        if prediction_type == "auto":
+            step = state.get("global_step")
+            step = int(np.asarray(step)) if step is not None else None
+            v_pred = step != 110000
+        else:
+            v_pred = prediction_type == "v_prediction"
+        config = SDModelConfig.sd21(v_prediction=v_pred)
+        if in_channels != config.unet.in_channels:
+            config = dataclasses.replace(
+                config,
+                unet=dataclasses.replace(config.unet, in_channels=in_channels),
+            )
+        return config
+    config = SDModelConfig(unet=UNetConfig.sd15(in_channels=in_channels))
+    if prediction_type not in ("auto", config.unet.prediction_type):
+        config = dataclasses.replace(
+            config,
+            unet=dataclasses.replace(
+                config.unet, prediction_type=prediction_type
+            ),
+        )
+    return config
+
+
+def _find_tokenizer(path: str, tokenizer_path: Optional[str]):
+    """Real BPE assets for a single-file checkpoint, or a LOUD toy fallback.
+
+    Accepts an explicit dir (``vocab.json``+``merges.txt``) or an openai/CLIP
+    ``bpe_simple_vocab_16e6.txt.gz``; otherwise probes the checkpoint's own
+    directory for either. The reference always has a hub tokenizer
+    (`paint_with_words.py:170`) — a silent hash-based fallback would make
+    region labels match garbage ids.
+    """
+    import os
+    import warnings
+
+    from ..tokenizer.clip_bpe import CLIPTokenizer
+
+    candidates = []
+    if tokenizer_path:
+        candidates.append(tokenizer_path)
+    ckpt_dir = os.path.dirname(os.path.abspath(path))
+    candidates += [ckpt_dir, os.path.join(ckpt_dir, "bpe_simple_vocab_16e6.txt.gz")]
+    for c in candidates:
+        try:
+            if c.endswith(".gz") and os.path.exists(c):
+                return CLIPTokenizer.from_bpe_gz(c)
+            if os.path.isdir(c):
+                return CLIPTokenizer.from_dir(c)
+        except FileNotFoundError:
+            continue
+    if tokenizer_path:
+        raise FileNotFoundError(
+            f"no tokenizer assets (vocab.json+merges.txt or *.txt.gz) found "
+            f"at {tokenizer_path!r}"
+        )
+    warnings.warn(
+        "single-file checkpoint carries no tokenizer assets and none were "
+        "found next to it: falling back to the hash-based toy tokenizer. "
+        "Region labels will NOT match real CLIP ids — pass tokenizer_path= "
+        "(a dir with vocab.json+merges.txt, or bpe_simple_vocab_16e6.txt.gz).",
+        stacklevel=3,
+    )
+    return None
+
+
+def load_ldm_checkpoint(
+    path: str,
+    extract_ema: bool = False,
+    prediction_type: str = "auto",
+    tokenizer_path: Optional[str] = None,
+):
     """Single-file ``.ckpt``/``.safetensors`` → (config, params, tokenizer)."""
     from ..models.clip import CLIPTextEncoder
     from ..models.unet import UNet2DCondition
@@ -212,10 +351,7 @@ def load_ldm_checkpoint(path: str, extract_ema: bool = False):
     state = read_state_dict(path)
     unet_sd, vae_sd, clip_sd = convert_ldm_state_dict(state, extract_ema)
 
-    in_channels = unet_sd["conv_in.weight"].shape[1]
-    from ..config import UNetConfig
-
-    config = SDModelConfig(unet=UNetConfig.sd15(in_channels=in_channels))
+    config = detect_ldm_config(state, unet_sd, prediction_type)
     rng = jax.random.PRNGKey(0)
 
     unet = UNet2DCondition(config.unet)
@@ -235,8 +371,9 @@ def load_ldm_checkpoint(path: str, extract_ema: bool = False):
     clip_params = fill_params(clip_shapes, clip_sd, clip_key, name="clip(ldm)")
 
     params = {"unet": unet_params, "vae": vae_params, "clip": clip_params}
-    # single-file checkpoints carry no tokenizer assets
-    tokenizer = toy_tokenizer(config.clip.vocab_size)
+    tokenizer = _find_tokenizer(path, tokenizer_path)
+    if tokenizer is None:
+        tokenizer = toy_tokenizer(config.clip.vocab_size)
     return config, params, tokenizer
 
 
@@ -258,6 +395,17 @@ def _cli():
                     help="output directory (params.msgpack + config.json)")
     ap.add_argument("--extract_ema", action="store_true")
     ap.add_argument(
+        "--prediction_type", default="auto",
+        choices=["auto", "epsilon", "v_prediction"],
+        help="auto: derive from shapes + global_step (SD-2.x 768-v vs "
+        "512-base); override for exotic checkpoints",
+    )
+    ap.add_argument(
+        "--tokenizer_dir", default=None,
+        help="dir with vocab.json+merges.txt (or a bpe_simple_vocab_16e6"
+        ".txt.gz file) to bundle real tokenizer assets",
+    )
+    ap.add_argument(
         "--scheduler_type", default="lms",
         choices=["lms", "euler", "euler_ancestral", "ddim", "pndm"],
         help="recorded as the default scheduler for the converted model",
@@ -271,10 +419,25 @@ def _cli():
     import flax.serialization
     import jax
 
-    config, params, _ = load_ldm_checkpoint(
-        args.checkpoint_path, extract_ema=args.extract_ema
+    config, params, tokenizer = load_ldm_checkpoint(
+        args.checkpoint_path, extract_ema=args.extract_ema,
+        prediction_type=args.prediction_type,
+        tokenizer_path=args.tokenizer_dir,
     )
     os.makedirs(args.dump_path, exist_ok=True)
+    enc = getattr(tokenizer, "encoder", None)
+    ranks = getattr(tokenizer, "bpe_ranks", None)
+    if enc and ranks is not None:
+        tdir = os.path.join(args.dump_path, "tokenizer")
+        os.makedirs(tdir, exist_ok=True)
+        with open(os.path.join(tdir, "vocab.json"), "w") as f:
+            json.dump(enc, f)
+        with open(os.path.join(tdir, "merges.txt"), "w") as f:
+            f.write("#version: 0.2\n")
+            f.writelines(
+                f"{a} {b}\n"
+                for (a, b), _ in sorted(ranks.items(), key=lambda kv: kv[1])
+            )
     with open(os.path.join(args.dump_path, "params.msgpack"), "wb") as f:
         f.write(flax.serialization.to_bytes(
             jax.tree.map(lambda x: jax.device_get(x), params)

@@ -138,3 +138,174 @@ def test_textual_inversion_generates_end_to_end():
         num_inference_steps=2, seed=0, output_type="np",
     )
     assert out.shape == (1, 64, 64, 3)
+
+
+def _sd2_shaped_unet_sd(in_channels=4):
+    return {
+        "conv_in.weight": np.zeros((320, in_channels, 3, 3), np.float32),
+        "down_blocks.0.attentions.0.transformer_blocks.0.attn2.to_k.weight":
+            np.zeros((320, 1024), np.float32),
+    }
+
+
+def _sd1_shaped_unet_sd(in_channels=4):
+    return {
+        "conv_in.weight": np.zeros((320, in_channels, 3, 3), np.float32),
+        "down_blocks.0.attentions.0.transformer_blocks.0.attn2.to_k.weight":
+            np.zeros((320, 768), np.float32),
+    }
+
+
+def test_detect_ldm_config_families():
+    """Config derivation from checkpoint shapes (VERDICT #4c): context dim
+    768→SD-1.x, 1024→SD-2.x; global_step 110000 marks the 512-base epsilon
+    model; 9-channel conv_in marks inpainting."""
+    from pww_tpu.weights.ldm_convert import detect_ldm_config
+
+    cfg = detect_ldm_config({}, _sd1_shaped_unet_sd())
+    assert cfg.unet.cross_attention_dim == 768
+    assert cfg.unet.prediction_type == "epsilon"
+
+    cfg = detect_ldm_config({"global_step": np.int64(875000)}, _sd2_shaped_unet_sd())
+    assert cfg.unet.cross_attention_dim == 1024
+    assert cfg.unet.prediction_type == "v_prediction"
+    assert cfg.clip.hidden_size == 1024 and cfg.clip.hidden_act == "gelu"
+
+    cfg = detect_ldm_config({"global_step": np.int64(110000)}, _sd2_shaped_unet_sd())
+    assert cfg.unet.prediction_type == "epsilon"
+    assert cfg.unet.cross_attention_dim == 1024
+
+    cfg = detect_ldm_config({}, _sd2_shaped_unet_sd(in_channels=9),
+                            prediction_type="epsilon")
+    assert cfg.unet.in_channels == 9
+    assert cfg.unet.prediction_type == "epsilon"
+
+    cfg = detect_ldm_config({}, _sd1_shaped_unet_sd(in_channels=9))
+    assert cfg.unet.in_channels == 9
+
+
+def test_open_clip_conversion_round_trip():
+    """Pack an HF-style CLIP text state into the OpenCLIP single-file layout
+    (packed qkv, ln_1/ln_2, c_fc/c_proj) and convert back — every tensor must
+    land on its HF key bit-identically (SD-2.x cond_stage_model.model.*)."""
+    from pww_tpu.weights.ldm_convert import _convert_open_clip
+
+    rng = np.random.default_rng(0)
+    d = 16
+    hf = {
+        "text_model.embeddings.token_embedding.weight": rng.standard_normal((50, d)),
+        "text_model.embeddings.position_embedding.weight": rng.standard_normal((77, d)),
+        "text_model.final_layer_norm.weight": rng.standard_normal((d,)),
+        "text_model.final_layer_norm.bias": rng.standard_normal((d,)),
+    }
+    open_clip = {
+        "token_embedding.weight": hf["text_model.embeddings.token_embedding.weight"],
+        "positional_embedding": hf["text_model.embeddings.position_embedding.weight"],
+        "ln_final.weight": hf["text_model.final_layer_norm.weight"],
+        "ln_final.bias": hf["text_model.final_layer_norm.bias"],
+        "text_projection": rng.standard_normal((d, d)),  # must be ignored
+        "logit_scale": np.float32(4.6),  # must be ignored
+    }
+    for i in range(2):
+        base = f"text_model.encoder.layers.{i}."
+        q, kk, vv = (rng.standard_normal((d, d)) for _ in range(3))
+        qb, kb, vb = (rng.standard_normal((d,)) for _ in range(3))
+        hf.update({
+            base + "self_attn.q_proj.weight": q, base + "self_attn.k_proj.weight": kk,
+            base + "self_attn.v_proj.weight": vv,
+            base + "self_attn.q_proj.bias": qb, base + "self_attn.k_proj.bias": kb,
+            base + "self_attn.v_proj.bias": vb,
+            base + "self_attn.out_proj.weight": rng.standard_normal((d, d)),
+            base + "self_attn.out_proj.bias": rng.standard_normal((d,)),
+            base + "layer_norm1.weight": rng.standard_normal((d,)),
+            base + "layer_norm1.bias": rng.standard_normal((d,)),
+            base + "layer_norm2.weight": rng.standard_normal((d,)),
+            base + "layer_norm2.bias": rng.standard_normal((d,)),
+            base + "mlp.fc1.weight": rng.standard_normal((4 * d, d)),
+            base + "mlp.fc1.bias": rng.standard_normal((4 * d,)),
+            base + "mlp.fc2.weight": rng.standard_normal((d, 4 * d)),
+            base + "mlp.fc2.bias": rng.standard_normal((d,)),
+        })
+        rb = f"transformer.resblocks.{i}."
+        open_clip.update({
+            rb + "attn.in_proj_weight": np.concatenate([q, kk, vv], axis=0),
+            rb + "attn.in_proj_bias": np.concatenate([qb, kb, vb], axis=0),
+            rb + "attn.out_proj.weight": hf[base + "self_attn.out_proj.weight"],
+            rb + "attn.out_proj.bias": hf[base + "self_attn.out_proj.bias"],
+            rb + "ln_1.weight": hf[base + "layer_norm1.weight"],
+            rb + "ln_1.bias": hf[base + "layer_norm1.bias"],
+            rb + "ln_2.weight": hf[base + "layer_norm2.weight"],
+            rb + "ln_2.bias": hf[base + "layer_norm2.bias"],
+            rb + "mlp.c_fc.weight": hf[base + "mlp.fc1.weight"],
+            rb + "mlp.c_fc.bias": hf[base + "mlp.fc1.bias"],
+            rb + "mlp.c_proj.weight": hf[base + "mlp.fc2.weight"],
+            rb + "mlp.c_proj.bias": hf[base + "mlp.fc2.bias"],
+        })
+    got = _convert_open_clip(open_clip)
+    assert set(got) == set(hf), set(got) ^ set(hf)
+    for k in hf:
+        np.testing.assert_array_equal(got[k], hf[k], err_msg=k)
+
+
+def test_open_clip_keys_route_through_state_dict_split():
+    state = {
+        "cond_stage_model.model.ln_final.weight": np.zeros((8,), np.float32),
+        "cond_stage_model.model.transformer.resblocks.0.ln_1.weight":
+            np.zeros((8,), np.float32),
+    }
+    _, _, clip = convert_ldm_state_dict(state)
+    assert "text_model.final_layer_norm.weight" in clip
+    assert "text_model.encoder.layers.0.layer_norm1.weight" in clip
+
+
+def test_extract_ema_prefers_ema_shadows():
+    """--extract_ema must overlay model_ema.* shadows (squashed-dot names)
+    onto model.diffusion_model.* (reference change_model_path.py:812-943)."""
+    live = np.full((4, 2), 1.0, np.float32)
+    ema = np.full((4, 2), 2.0, np.float32)
+    state = {
+        "model.diffusion_model.time_embed.0.weight": live,
+        "model_ema.diffusion_modeltime_embed0weight": ema,
+    }
+    unet, _, _ = convert_ldm_state_dict(state, extract_ema=False)
+    np.testing.assert_array_equal(unet["time_embedding.linear_1.weight"], live)
+    unet, _, _ = convert_ldm_state_dict(state, extract_ema=True)
+    np.testing.assert_array_equal(unet["time_embedding.linear_1.weight"], ema)
+
+
+def test_find_tokenizer_assets(tmp_path):
+    """Tokenizer discovery for single-file checkpoints: explicit dir, probe
+    next to the checkpoint, loud warning fallback (VERDICT weak #4)."""
+    import json as _json
+    import warnings
+
+    from pww_tpu.tokenizer.clip_bpe import bytes_to_unicode
+    from pww_tpu.weights.ldm_convert import _find_tokenizer
+
+    base = list(bytes_to_unicode().values())
+    vocab = {v: i for i, v in enumerate(base)}
+    for v in base:
+        vocab[v + "</w>"] = len(vocab)
+    vocab["ca"] = len(vocab)
+    vocab["<|startoftext|>"] = len(vocab)
+    vocab["<|endoftext|>"] = len(vocab)
+    ckpt = tmp_path / "model.ckpt"
+    ckpt.write_bytes(b"")
+    (tmp_path / "tokenizer").mkdir()
+    with open(tmp_path / "tokenizer" / "vocab.json", "w") as f:
+        _json.dump(vocab, f)
+    with open(tmp_path / "tokenizer" / "merges.txt", "w") as f:
+        f.write("#version: 0.2\nc a\n")
+    tok = _find_tokenizer(str(ckpt), None)  # probes the checkpoint's dir
+    assert tok is not None and "ca" in tok.encoder
+
+    lone = tmp_path / "elsewhere" / "model.ckpt"
+    lone.parent.mkdir()
+    lone.write_bytes(b"")
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        assert _find_tokenizer(str(lone), None) is None
+    assert any("toy tokenizer" in str(w.message) for w in rec)
+
+    with pytest.raises(FileNotFoundError):
+        _find_tokenizer(str(lone), str(tmp_path / "nope"))

@@ -326,3 +326,33 @@ def test_inpaint_non_multiple_of_32_init(pipe9):
         num_inference_steps=2, seed=0, output_type="np",
     )
     assert out.shape == (1, 128, 128, 3)
+
+
+def test_hub_path_fails_clearly():
+    """hf_model_path that isn't on disk must raise a clear no-egress error,
+    not fail deep in the checkpoint reader (reference downloads from the hub
+    with HF_TOKEN, paint_with_words.py:149-189)."""
+    from pww_tpu.pipeline.facade import pww_load_tools
+
+    with pytest.raises(FileNotFoundError, match="network egress"):
+        pww_load_tools(hf_model_path="runwayml/stable-diffusion-v1-5")
+    with pytest.raises(FileNotFoundError, match="does not exist"):
+        pww_load_tools(local_model_path="/nonexistent/ckpt-dir")
+
+
+def test_toy_tokenizer_warns_on_full_size_config():
+    """A full-size CLIP config with no tokenizer must warn loudly — the
+    hash-based fallback would silently mismatch every region label
+    (VERDICT weak #4)."""
+    import warnings
+
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        PwwPipeline(config=SDModelConfig.sd15(),
+                    params={"unet": {}, "clip": {}, "vae": {}})
+    assert any("toy tokenizer" in str(w.message) for w in rec)
+
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        PwwPipeline(config=SDModelConfig.tiny())  # tiny config: no warning
+    assert not any("toy tokenizer" in str(w.message) for w in rec)

@@ -79,3 +79,43 @@ def test_toy_tokenizer_deterministic():
     label = tok("cat")["input_ids"][1:-1]
     joined = ",".join(map(str, a))
     assert ",".join(map(str, label)) in joined
+
+
+@pytest.fixture(scope="module")
+def parity_pair(tmp_path_factory):
+    """(ours, transformers.CLIPTokenizer) built from the SAME vocab files."""
+    transformers = pytest.importorskip("transformers")
+    tok = _mini_tokenizer()
+    d = tmp_path_factory.mktemp("tok")
+    vocab_file = os.path.join(d, "vocab.json")
+    merges_file = os.path.join(d, "merges.txt")
+    with open(vocab_file, "w", encoding="utf-8") as f:
+        json.dump(tok.encoder, f)
+    with open(merges_file, "w", encoding="utf-8") as f:
+        f.write("#version: 0.2\n")
+        for (a, b), _ in sorted(tok.bpe_ranks.items(), key=lambda kv: kv[1]):
+            f.write(f"{a} {b}\n")
+    hf = transformers.CLIPTokenizer(vocab_file=vocab_file, merges_file=merges_file)
+    return tok, hf
+
+
+@pytest.mark.parametrize(
+    "text",
+    [
+        "a cat and a dog",
+        "don't stop, it's 2024!",
+        "café naïve résumé",       # Latin-1 letters
+        "猫と犬",                            # CJK
+        "über straße élève",
+        "emoji \U0001f431\U0001f436 mix",
+        "кошка и собака",  # Cyrillic
+    ],
+)
+def test_tokenizer_matches_transformers(parity_pair, text):
+    """Byte-level BPE + unicode split parity with transformers.CLIPTokenizer,
+    including non-ASCII prompts (the reference's token-match semantics depend
+    on identical ids, paint_with_words.py:222-227)."""
+    ours, hf = parity_pair
+    got = ours(text, max_length=77, truncation=True, padding=True)["input_ids"]
+    want = hf(text, max_length=77, truncation=True, padding="max_length")["input_ids"]
+    assert got == want
