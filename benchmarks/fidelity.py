@@ -1,18 +1,29 @@
-"""Fixed-seed fidelity harness.
+"""Fixed-seed fidelity harness over the reference's committed examples.
 
 BASELINE.json's north star is LPIPS < 0.05 vs the reference's committed
-output images at fixed seed. Real SD weights are not available in this
-environment (zero egress, no cached checkpoints), so this harness:
+output images at fixed seed. The harness wires EVERY committed example
+(reference `runner.py:9-72`, `runner_inpaint.py:10-38`) with its real color
+map / init / mask assets and ``noise_mode="torch"`` (bit-identical initial
+noise to ``torch.manual_seed``):
 
-  * with ``--model`` + ``--reference-dir``: regenerates the reference's
-    committed examples (seed 0 / 81 / region-seed 2077, `runner.py:9-72`)
-    with ``noise_mode="torch"`` (bit-identical initial noise) and reports
-    PSNR / SSIM / LPIPS (LPIPS only if a lpips package is importable);
-  * without: runs the determinism self-check on the tiny config so the
-    harness itself stays exercised in CI.
+  cat_dog / dog_cat        example_input.png        -> output_cat_dog/dog_cat.png
+  aurora_1 / aurora_2      aurora_{1,2}.png         -> aurora_{1,2}_output.png
+  aurora_1_seed            aurora_1.png (boat 2077) -> aurora_1_seed_output.png
+  inpaint_moon_a3 / _a4    aurora_{1,3}.png + moon_mask.png -> aurora_{3,4}_output.png
+
+Modes:
+  * ``--model <dir>`` (+ ``--inpaint-model <dir>`` for the 9-channel cases):
+    regenerate at full resolution / 30 (150 inpaint) steps and report
+    PSNR / SSIM / LPIPS (LPIPS only if a lpips package is importable).
+  * without ``--model``: structural smoke on the tiny config — the SAME case
+    table, real committed color maps (downscaled), end-to-end generate + a
+    determinism check, so the harness stays exercised in CI. Real SD weights
+    are not available in this environment (zero egress).
 
 Usage:
-  python benchmarks/fidelity.py --model /path/sd15 --reference-dir /path/contents
+  python benchmarks/fidelity.py --reference-dir /root/reference/contents
+  python benchmarks/fidelity.py --model /path/sd15 --inpaint-model /path/sd15-inpaint \
+      --reference-dir /path/contents
 """
 import argparse
 import os
@@ -21,6 +32,55 @@ import sys
 import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+_AURORA_PROMPT = (
+    "A digital painting of a half-frozen lake near mountains under a full "
+    "moon and aurora. A boat is in the middle of the lake. Highly detailed."
+)
+_AURORA_CTX = {
+    (7, 9, 182): "aurora,0.5",
+    (136, 178, 92): "full moon,1.5",
+    (51, 193, 217): "mountains,0.4",
+    (61, 163, 35): "a half-frozen lake,0.3",
+    (89, 102, 255): "boat,2.0",
+}
+_CATDOG_PROMPT = (
+    "realistic photo of a dog, cat, tree, with beautiful sky, on sandy ground"
+)
+
+# Every committed fixed-seed example. Reference runner.py passes no explicit
+# seed, so the facade default seed=0 applies (reference
+# `paint_with_words/paint_with_words.py:397`); txt2img weight fn is the
+# runner's 0.4*w*log(1+sigma)*qk.max() (runner.py:94,104), inpaint runs the
+# runner's 0.15 variant (runner_inpaint.py:72,87) at 150 steps.
+CASES = [
+    dict(name="cat_dog", map="example_input.png", out="output_cat_dog.png",
+         prompt=_CATDOG_PROMPT, seed=0,
+         ctx={(0, 0, 0): "cat,1.0", (255, 255, 255): "dog,1.0",
+              (13, 255, 0): "tree,1.5", (90, 206, 255): "sky,0.2",
+              (74, 18, 1): "ground,0.2"}),
+    dict(name="dog_cat", map="example_input.png", out="output_dog_cat.png",
+         prompt=_CATDOG_PROMPT, seed=0,
+         ctx={(0, 0, 0): "dog,1.0", (255, 255, 255): "cat,1.0",
+              (13, 255, 0): "tree,1.5", (90, 206, 255): "sky,0.2",
+              (74, 18, 1): "ground,0.2"}),
+    dict(name="aurora_2", map="aurora_2.png", out="aurora_2_output.png",
+         prompt=_AURORA_PROMPT, seed=0, ctx=dict(_AURORA_CTX)),
+    dict(name="aurora_1", map="aurora_1.png", out="aurora_1_output.png",
+         prompt=_AURORA_PROMPT, seed=0, ctx=dict(_AURORA_CTX)),
+    dict(name="aurora_1_seed", map="aurora_1.png",
+         out="aurora_1_seed_output.png", prompt=_AURORA_PROMPT, seed=0,
+         ctx={(7, 9, 182): "aurora,0.5,-1", (136, 178, 92): "full moon,1.5,-1",
+              (51, 193, 217): "mountains,0.4,-1",
+              (61, 163, 35): "a half-frozen lake,0.3,-1",
+              (89, 102, 255): "boat,2.0,2077"}),
+    dict(name="inpaint_moon_a3", map="aurora_1.png", out="aurora_3_output.png",
+         prompt=_AURORA_PROMPT, seed=0, ctx=dict(_AURORA_CTX),
+         init="aurora_1_output.png", mask="moon_mask.png", inpaint=True),
+    dict(name="inpaint_moon_a4", map="aurora_3.png", out="aurora_4_output.png",
+         prompt=_AURORA_PROMPT, seed=0, ctx=dict(_AURORA_CTX),
+         init="aurora_1_output.png", mask="moon_mask.png", inpaint=True),
+]
 
 
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
@@ -57,57 +117,136 @@ def try_lpips(a: np.ndarray, b: np.ndarray):
         return None
 
 
+def _load_assets(case, ref_dir, size=None):
+    """(color_map uint8 array, init PIL|None, mask PIL|None, ref uint8|None)."""
+    from PIL import Image
+
+    def img(name, mode="RGB"):
+        p = os.path.join(ref_dir, name)
+        if not os.path.exists(p):
+            return None
+        im = Image.open(p).convert(mode)
+        if size is not None:
+            im = im.resize((size, size), Image.NEAREST)
+        return im
+
+    cm = img(case["map"])
+    if cm is None:
+        raise FileNotFoundError(
+            f"color map {case['map']!r} not found under {ref_dir!r}"
+        )
+    init = img(case["init"]) if case.get("init") else None
+    mask = img(case["mask"], mode="L") if case.get("mask") else None
+    ref = img(case["out"])
+    return np.asarray(cm), init, mask, (None if ref is None else np.asarray(ref))
+
+
+def run_cases(pipe, pipe_inpaint, ref_dir, steps, inpaint_steps, size=None,
+              smoke=False):
+    """Generate every case; returns [(name, out_array, ref_array|None)]."""
+    from pww_tpu.ops.weight_functions import WeightFunction
+    from pww_tpu.pipeline.facade import paint_with_words, paint_with_words_inpaint
+
+    wf_txt = WeightFunction(scale=0.4, sigma_mode="log1p_sigma", reduce_mode="max")
+    wf_inp = WeightFunction(scale=0.15, sigma_mode="log1p_sigma", reduce_mode="max")
+    results = []
+    for case in CASES:
+        if case.get("inpaint") and pipe_inpaint is None:
+            print(f"skip {case['name']}: no inpaint model")
+            continue
+        cm, init, mask, ref = _load_assets(case, ref_dir, size=size)
+        kw = dict(
+            color_context=dict(case["ctx"]),
+            color_map_image=cm,
+            input_prompt=case["prompt"],
+            seed=case["seed"],
+            noise_mode="torch",
+        )
+        if case.get("inpaint"):
+            out = paint_with_words_inpaint(
+                init_image=init, mask_image=mask, strength=1.0,
+                num_inference_steps=inpaint_steps, weight_function=wf_inp,
+                preloaded_utils=pipe_inpaint, **kw,
+            )
+        else:
+            out = paint_with_words(
+                num_inference_steps=steps, weight_function=wf_txt,
+                preloaded_utils=pipe, **kw,
+            )
+        out = np.asarray(out)
+        results.append((case["name"], out, None if smoke else ref))
+    return results
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default=None)
+    ap.add_argument("--inpaint-model", default=None,
+                    help="9-channel inpainting checkpoint for the inpaint cases")
     ap.add_argument("--reference-dir", default=None,
-                    help="dir with the reference's committed output images")
+                    help="dir with the reference's committed maps + outputs "
+                    "(e.g. /root/reference/contents)")
     ap.add_argument("--steps", type=int, default=30)
+    ap.add_argument("--inpaint-steps", type=int, default=150)
+    ap.add_argument("--smoke-size", type=int, default=128,
+                    help="tiny-config mode: downscale assets to this size")
     args = ap.parse_args()
 
     from pww_tpu import PwwPipeline
     from pww_tpu.config import SDModelConfig
 
+    ref_dir = args.reference_dir
+    if ref_dir is None and os.path.isdir("/root/reference/contents"):
+        ref_dir = "/root/reference/contents"
+
     if not args.model:
-        print("no --model: determinism self-check on tiny config")
+        print("no --model: tiny-config smoke over the full case table "
+              f"(assets from {ref_dir!r})")
+        if ref_dir is None:
+            print("no --reference-dir either: determinism self-check only")
+            pipe = PwwPipeline(config=SDModelConfig.tiny())
+            cm = np.zeros((64, 64, 3), np.uint8)
+            cm[:, :32] = (255, 0, 0)
+            kw = dict(prompt="a cat", color_map_image=cm,
+                      color_context={(255, 0, 0): "cat,1.0"},
+                      num_inference_steps=3, seed=0, output_type="np")
+            a, b = pipe.generate(**kw), pipe.generate(**kw)
+            assert np.array_equal(a, b)
+            print(f"self PSNR: {psnr(a[0], b[0])} (must be inf)")
+            return
         pipe = PwwPipeline(config=SDModelConfig.tiny())
-        cm = np.zeros((64, 64, 3), np.uint8)
-        cm[:, :32] = (255, 0, 0)
-        kw = dict(prompt="a cat", color_map_image=cm,
-                  color_context={(255, 0, 0): "cat,1.0"},
-                  num_inference_steps=3, seed=0, output_type="np")
-        a, b = pipe.generate(**kw), pipe.generate(**kw)
-        print(f"self PSNR: {psnr(a[0], b[0])} (must be inf)  SSIM: {ssim(a[0], b[0]):.4f}")
-        assert np.array_equal(a, b)
+        pipe9 = PwwPipeline(config=SDModelConfig.tiny(in_channels=9))
+        results = run_cases(pipe, pipe9, ref_dir, steps=2, inpaint_steps=2,
+                            size=args.smoke_size, smoke=True)
+        assert len(results) == len(CASES), (len(results), len(CASES))
+        for name, out, _ in results:
+            print(f"{name}: generated {out.shape} mean={out.mean():.2f}")
+        # determinism: the first case repeats bit-identically
+        again = run_cases(pipe, pipe9, ref_dir, steps=2, inpaint_steps=2,
+                          size=args.smoke_size, smoke=True)[0]
+        assert np.array_equal(results[0][1], again[1]), "nondeterministic!"
+        print(f"all {len(results)} cases ran end-to-end; determinism ok")
         return
 
-    from PIL import Image
-
     pipe = PwwPipeline.from_pretrained(args.model)
-    cases = [
-        # (reference output file, prompt, context, seed) — runner.py examples
-        ("output_cat_dog.png",
-         "realistic photo of a dog, cat, tree, with beautiful sky, on sandy ground",
-         {(7, 9, 182): "dog,0.5", (136, 178, 92): "cat,0.5",
-          (51, 193, 217): "sky,0.1", (61, 163, 35): "tree,0.3",
-          (89, 102, 255): "sandy ground,0.1"},
-         81),
-    ]
-    for fname, prompt, ctx, seed in cases:
-        path = os.path.join(args.reference_dir, fname)
-        if not os.path.exists(path):
-            print(f"skip {fname}: not found")
+    pipe_inpaint = (
+        PwwPipeline.from_pretrained(args.inpaint_model)
+        if args.inpaint_model else None
+    )
+    results = run_cases(pipe, pipe_inpaint, ref_dir,
+                        steps=args.steps, inpaint_steps=args.inpaint_steps)
+    for name, out, ref in results:
+        if ref is None:
+            print(f"{name}: generated (no committed reference output found)")
             continue
-        ref = np.asarray(Image.open(path).convert("RGB"))
-        cm = np.zeros_like(ref)  # user must supply the real color map for
-        # exact comparison; committed maps live next to the outputs
-        out = pipe.generate(
-            prompt=prompt, color_map_image=cm, color_context=ctx,
-            num_inference_steps=args.steps, seed=seed, noise_mode="torch",
-            output_type="np",
-        )[0]
+        if ref.shape != out.shape:
+            from PIL import Image
+
+            ref = np.asarray(
+                Image.fromarray(ref).resize((out.shape[1], out.shape[0]))
+            )
         l = try_lpips(out, ref)
-        print(f"{fname}: PSNR {psnr(out, ref):.2f}  SSIM {ssim(out, ref):.4f}"
+        print(f"{name}: PSNR {psnr(out, ref):.2f}  SSIM {ssim(out, ref):.4f}"
               + (f"  LPIPS {l:.4f}" if l is not None else "  LPIPS n/a"))
 
 
