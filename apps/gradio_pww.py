@@ -18,6 +18,7 @@ from PIL import Image
 
 from gradio_helpers import (
     MAX_NUM_COLORS,
+    build_color_panels,
     collect_color_content,
     derive_sample_seeds,
     extract_color_textboxes,
@@ -124,6 +125,9 @@ def build_ui(model_path=None):
                                          label="img2img strength")
                 go = gr.Button("generate", variant="primary")
             with gr.Column():
+                # per-color accordion panels with mask previews and editable
+                # prompt/strength/seed (reference gradio_pww.py:116-157)
+                build_color_panels(gr, sketch, content, MAX_NUM_COLORS)
                 gallery = gr.Gallery(label="outputs")
 
         def _extract(img):

@@ -14,6 +14,8 @@ import numpy as np
 from PIL import Image
 
 from gradio_helpers import (
+    MAX_NUM_COLORS,
+    build_color_panels,
     collect_color_content,
     derive_sample_seeds,
     extract_color_textboxes,
@@ -121,6 +123,7 @@ def build_ui(model_path=None):
                     strength = gr.Slider(0.0, 1.0, value=1.0, label="strength")
                 go = gr.Button("generate", variant="primary")
             with gr.Column():
+                build_color_panels(gr, sketch, content, MAX_NUM_COLORS)
                 gallery = gr.Gallery(label="outputs")
 
         def _extract(img):

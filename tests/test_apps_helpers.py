@@ -76,3 +76,116 @@ def test_snap_resolution_buckets():
     assert snap_resolution(500, 700) == (512, 704)
     assert snap_resolution(100, 2000) == (256, 1024)  # clamped
     assert bucket_count() == 13 * 13
+
+
+def test_extract_color_textboxes_emits_valid_entries():
+    """The extraction skeleton must be a VALID context ('obj,0.5,-1' defaults,
+    reference gradio_pww.py:61-64), not a label-less ',1.0'."""
+    entries = extract_color_textboxes(_sketch())
+    assert entries and all(v == "obj,0.5,-1" for v in entries.values())
+    # and it parses + runs through the real parser
+    from pww_tpu.conditioning.color_context import extract_seed_and_sigma
+
+    body, seed, sigma = extract_seed_and_sigma("obj,0.5,-1", ignore_seed=-1)
+    assert body == "obj,0.5" and seed is None
+
+
+def test_color_panels_round_trip_to_generate():
+    """extract panels -> collect -> parse -> generate (tiny config): the full
+    per-color accordion data path, UI-less (VERDICT missing #1)."""
+    from gradio_helpers import collect_color_panels, extract_color_panels
+
+    from pww_tpu import PwwPipeline
+    from pww_tpu.config import SDModelConfig
+
+    img = _sketch()
+    masks, prompts, strengths, seeds, colors = extract_color_panels(img)
+    assert len(masks) == len(prompts) == len(colors) == 8
+    # two real panels, six fillers
+    assert sum(c is not None for c in colors) == 2
+    assert prompts[:2] == ["obj", "obj"] and prompts[2] == ""
+    assert masks[0].shape == img.shape
+    assert (masks[2] == 32).all()  # filler panels are the dark canvas
+
+    # user edits the textboxes, then round-trips into the context string
+    # (extraction order is frequency-based, so key the edits by color)
+    edits = {(255, 0, 0): ("cat", "1.5", "-1"), (0, 0, 255): ("dog", "0.5", "7")}
+    for i, c in enumerate(colors[:2]):
+        prompts[i], strengths[i], seeds[i] = edits[c]
+    text = collect_color_panels(colors, prompts, strengths, seeds)
+    ctx = parse_color_content(text)
+    assert ctx[(255, 0, 0)] == "cat,1.5,-1" and ctx[(0, 0, 255)] == "dog,0.5,7"
+
+    pipe = PwwPipeline(config=SDModelConfig.tiny())
+    out = pipe.generate(
+        prompt="a cat and a dog", color_map_image=img[:64, :64],
+        color_context=ctx, num_inference_steps=2, seed=0, output_type="np",
+    )
+    assert out.shape == (1, 64, 64, 3)
+
+
+def test_collect_color_panels_handles_string_colors_and_empties():
+    from gradio_helpers import collect_color_panels
+
+    text = collect_color_panels(
+        ["(255, 0, 0)", "", None, "(0, 0, 255)"],
+        ["cat", "x", "y", "dog"], ["1.0", "", "", "2.0"], ["-1", "", "", "5"],
+    )
+    ctx = parse_color_content(text)
+    assert ctx == {(255, 0, 0): "cat,1.0,-1", (0, 0, 255): "dog,2.0,5"}
+    assert collect_color_panels([None], [""], [""], [""]) == ""
+
+
+def test_build_color_panels_wiring_with_stub_gradio():
+    """Exercise build_color_panels' actual extract/generate callbacks through
+    a minimal gradio stub (gradio itself is not installed here)."""
+    import contextlib
+
+    from gradio_helpers import MAX_NUM_COLORS, build_color_panels
+
+    clicks = []
+
+    class _Comp:
+        def __init__(self, *a, **k):
+            pass
+
+        def click(self, fn, inputs=None, outputs=None):
+            clicks.append((fn, inputs, outputs))
+
+    class _Ctx(_Comp):
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    class _GR:
+        Accordion = _Ctx
+        Row = _Ctx
+        Column = _Ctx
+        Button = _Comp
+        Textbox = _Comp
+        Image = _Comp
+
+        @staticmethod
+        def update(**k):
+            return ("update", k)
+
+    sketch, content = _Comp(), _Comp()
+    build_color_panels(_GR, sketch, content, MAX_NUM_COLORS)
+    assert len(clicks) == 2
+    extract_fn = clicks[0][0]
+    generate_fn = clicks[1][0]
+
+    outs = extract_fn(_sketch())
+    assert len(outs) == 5 * MAX_NUM_COLORS
+    k = MAX_NUM_COLORS
+    masks, prompts, strengths, seeds, colors = (
+        outs[:k], outs[k:2 * k], outs[2 * k:3 * k], outs[3 * k:4 * k],
+        outs[4 * k:],
+    )
+    text = generate_fn(*colors, *prompts, *strengths, *seeds)
+    ctx = parse_color_content(text)
+    assert ctx[(255, 0, 0)] == "obj,0.5,-1" and ctx[(0, 0, 255)] == "obj,0.5,-1"
+    # None sketch leaves the panels untouched
+    assert all(u == ("update", {}) for u in extract_fn(None))
