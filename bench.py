@@ -104,14 +104,96 @@ def _param_shapes(cfg):
     )
 
 
+_PEAK_BF16_FLOPS = {
+    # device_kind substring -> chip peak dense bf16 FLOP/s
+    "v6": 918e12,      # Trillium (v6e)
+    "v5p": 459e12,
+    "v5": 197e12,      # v5e / "TPU v5 lite"
+    "v4": 275e12,
+}
+
+
+def _chip_peak_flops() -> float:
+    import jax
+
+    kind = jax.devices()[0].device_kind.lower()
+    for sub, peak in _PEAK_BF16_FLOPS.items():
+        if sub in kind:
+            return peak
+    return 0.0  # unknown (e.g. CPU): MFU reported as null
+
+
+def _denoise_flops(pipe, cm, kwargs, batch: int, size: int, steps: int):
+    """Total denoise-loop FLOPs for one generate() call, from XLA's own cost
+    model of the exact compiled program (no analytic approximation)."""
+    import jax.numpy as jnp
+
+    from pww_tpu.conditioning.seeding import make_noise
+    from pww_tpu.pipeline.pipeline import run_denoise
+
+    enc = pipe.encode_inputs(
+        kwargs["prompt"], cm, kwargs["color_context"], "", None
+    )
+    schedule = pipe.scheduler.set_timesteps(steps)
+    text_states, pww = pipe._tile_cfg(enc, batch)
+    sf = pipe.config.vae.scale_factor
+    latents = make_noise(
+        0, (batch, size // sf, size // sf, pipe.config.vae.latent_channels),
+        "jax",
+    ) * schedule.init_noise_sigma
+    lowered = run_denoise.lower(
+        pipe.unet, pipe.params["unet"], latents, text_states, pww,
+        schedule, jnp.float32(7.5), t_start=0, cfg_batched=True,
+    )
+    ca = lowered.compile().cost_analysis()
+    if isinstance(ca, (list, tuple)):
+        ca = ca[0]
+    return float(ca["flops"])
+
+
+def _timed_run(pipe, kwargs, repeats: int, label: str):
+    """warmup + median wall time of generate() (full pipeline, D2H incl.)."""
+    t0 = time.time()
+    pipe.generate(seed=0, **kwargs)
+    print(f"{label} warmup (incl. compile): {time.time() - t0:.1f}s",
+          file=sys.stderr)
+    times = []
+    for i in range(repeats):
+        t0 = time.time()
+        pipe.generate(seed=i + 1, **kwargs)
+        times.append(time.time() - t0)
+    per_call = float(np.median(times))
+    print(f"{label}: p50/call {per_call:.3f}s  "
+          f"(times: {['%.2f' % t for t in times]})", file=sys.stderr)
+    return per_call
+
+
+def _bench_kwargs(size: int, steps: int, batch: int):
+    # the reference's canonical cat/dog example geometry (runner.py:9-25)
+    cm = np.zeros((size, size, 3), np.uint8)
+    cm[:, : size // 2] = (255, 0, 0)
+    cm[:, size // 2 :] = (0, 0, 255)
+    return cm, dict(
+        prompt="a cat sitting next to a dog, realistic photo",
+        color_map_image=cm,
+        color_context={(255, 0, 0): "cat,0.5", (0, 0, 255): "dog,0.5"},
+        num_inference_steps=steps,
+        guidance_scale=7.5,
+        num_samples=batch,
+        output_type="np",
+    )
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--tiny", action="store_true", help="CPU smoke config")
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--steps", type=int, default=30)
     ap.add_argument("--batch", type=int, default=1, help="images per call")
-    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--repeats", type=int, default=5)
     ap.add_argument("--scheduler", default="lms")
+    ap.add_argument("--no-extras", action="store_true",
+                    help="skip the batch-8 and 768px secondary points")
     args = ap.parse_args()
 
     import jax
@@ -141,49 +223,60 @@ def main():
     pipe = _make_pipeline(cfg, args)
     print(f"init: {time.time() - t0:.1f}s", file=sys.stderr)
 
-    # the reference's canonical cat/dog example geometry (runner.py:9-25)
-    cm = np.zeros((size, size, 3), np.uint8)
-    cm[:, : size // 2] = (255, 0, 0)
-    cm[:, size // 2 :] = (0, 0, 255)
-    kwargs = dict(
-        prompt="a cat sitting next to a dog, realistic photo",
-        color_map_image=cm,
-        color_context={(255, 0, 0): "cat,0.5", (0, 0, 255): "dog,0.5"},
-        num_inference_steps=steps,
-        guidance_scale=7.5,
-        num_samples=args.batch,
-        output_type="np",
-    )
-
-    t0 = time.time()
-    pipe.generate(seed=0, **kwargs)  # compile + warmup
-    print(f"warmup (incl. compile): {time.time() - t0:.1f}s", file=sys.stderr)
-
-    times = []
-    for i in range(args.repeats):
-        t0 = time.time()
-        pipe.generate(seed=i + 1, **kwargs)
-        times.append(time.time() - t0)
-    per_call = float(np.median(times))
+    cm, kwargs = _bench_kwargs(size, steps, args.batch)
+    per_call = _timed_run(pipe, kwargs, args.repeats, f"{size}px b{args.batch}")
     per_image = per_call / args.batch
     ips = args.batch / per_call
+    print(f"p50 latency/image: {per_image:.3f}s  images/s/chip: {ips:.3f}",
+          file=sys.stderr)
 
-    print(
-        f"p50 latency/image: {per_image:.3f}s  images/s/chip: {ips:.3f}  "
-        f"(times: {['%.2f' % t for t in times]})",
-        file=sys.stderr,
-    )
-    baseline_ips = 0.5  # north star: < 2 s/image
-    print(
-        json.dumps(
-            {
-                "metric": "images_per_sec_per_chip_sd15_512px_30step_pww",
-                "value": round(ips, 4),
-                "unit": "img/s/chip",
-                "vs_baseline": round(ips / baseline_ips, 3),
-            }
+    # MFU: XLA-counted denoise FLOPs / wall time / chip peak. Wall time is the
+    # FULL pipeline (text encode + denoise + VAE + D2H), so this is the
+    # end-to-end (conservative) utilization, not a kernel-window number.
+    mfu = flops_per_image = None
+    try:
+        flops = _denoise_flops(pipe, cm, kwargs, args.batch, size, steps)
+        flops_per_image = flops / args.batch
+        peak = _chip_peak_flops()
+        if peak:
+            mfu = flops / per_call / peak
+            print(f"denoise FLOPs/img: {flops_per_image/1e12:.2f} TF  "
+                  f"end-to-end MFU: {mfu:.3f}", file=sys.stderr)
+    except Exception as e:  # pragma: no cover - backend-dependent
+        print(f"cost analysis unavailable: {e!r}", file=sys.stderr)
+
+    batch8_ips = s_per_img_768 = None
+    if not args.tiny and not args.no_extras:
+        _, kw8 = _bench_kwargs(size, steps, 8)
+        t8 = _timed_run(pipe, kw8, max(2, args.repeats - 3), f"{size}px b8")
+        batch8_ips = 8 / t8
+        _, kw768 = _bench_kwargs(768, steps, 1)
+        s_per_img_768 = _timed_run(
+            pipe, kw768, max(2, args.repeats - 3), "768px b1"
         )
-    )
+        print(f"batch8: {batch8_ips:.3f} img/s  768px: {s_per_img_768:.3f} "
+              "s/img", file=sys.stderr)
+
+    baseline_ips = 0.5  # north star: < 2 s/image
+    record = {
+        "metric": "images_per_sec_per_chip_sd15_512px_30step_pww",
+        "value": round(ips, 4),
+        "unit": "img/s/chip",
+        "vs_baseline": round(ips / baseline_ips, 3),
+        "p50_s_per_image": round(per_image, 4),
+        "mfu_end_to_end": None if mfu is None else round(mfu, 4),
+        "denoise_tflops_per_image": (
+            None if flops_per_image is None else round(flops_per_image / 1e12, 3)
+        ),
+        "batch8_img_per_s": (
+            None if batch8_ips is None else round(batch8_ips, 4)
+        ),
+        "s_per_image_768px": (
+            None if s_per_img_768 is None else round(s_per_img_768, 4)
+        ),
+        "repeats": args.repeats,
+    }
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":
