@@ -125,7 +125,12 @@ def _chip_peak_flops() -> float:
 
 def _denoise_flops(pipe, cm, kwargs, batch: int, size: int, steps: int):
     """Total denoise-loop FLOPs for one generate() call, from XLA's own cost
-    model of the exact compiled program (no analytic approximation)."""
+    model of the exact compiled program (no analytic approximation).
+
+    XLA counts a while/scan body ONCE regardless of trip count, so lower a
+    length-1 scan (t_start = steps-1) to get per-CFG-step FLOPs and multiply
+    by the step count.
+    """
     import jax.numpy as jnp
 
     from pww_tpu.conditioning.seeding import make_noise
@@ -143,12 +148,12 @@ def _denoise_flops(pipe, cm, kwargs, batch: int, size: int, steps: int):
     ) * schedule.init_noise_sigma
     lowered = run_denoise.lower(
         pipe.unet, pipe.params["unet"], latents, text_states, pww,
-        schedule, jnp.float32(7.5), t_start=0, cfg_batched=True,
+        schedule, jnp.float32(7.5), t_start=steps - 1, cfg_batched=True,
     )
     ca = lowered.compile().cost_analysis()
     if isinstance(ca, (list, tuple)):
         ca = ca[0]
-    return float(ca["flops"])
+    return float(ca["flops"]) * steps
 
 
 def _timed_run(pipe, kwargs, repeats: int, label: str):

@@ -108,10 +108,7 @@ def _cfg_eps_fns(
     return unet_eps_batched, unet_eps_split
 
 
-@functools.partial(
-    jax.jit, static_argnames=("unet", "controlnet", "t_start", "cfg_batched")
-)
-def run_denoise(
+def _denoise_scan(
     unet: UNet2DCondition,
     unet_params,
     latents: jnp.ndarray,  # (N, h, w, C)
@@ -161,6 +158,53 @@ def run_denoise(
     steps = jnp.arange(t_start, schedule.num_steps)
     (latents, sch_state), _ = jax.lax.scan(body, (latents, sch_state), steps)
     return latents, sch_state
+
+
+run_denoise = functools.partial(
+    jax.jit, static_argnames=("unet", "controlnet", "t_start", "cfg_batched")
+)(_denoise_scan)
+
+
+def _decode_uint8(vae: AutoencoderKL, vae_params, latents: jnp.ndarray):
+    """Latents → uint8 RGB (reference `_pil_from_latents`, :48-57)."""
+    img = vae.apply(vae_params, latents / LATENT_SCALE, method=AutoencoderKL.decode)
+    img = jnp.clip(img.astype(jnp.float32) / 2 + 0.5, 0.0, 1.0)
+    return jnp.round(img * 255.0).astype(jnp.uint8)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("unet", "vae", "controlnet", "t_start", "cfg_batched"),
+)
+def run_denoise_decode(
+    unet,
+    unet_params,
+    vae,
+    vae_params,
+    latents,
+    text_states,
+    pww,
+    schedule,
+    guidance_scale,
+    extra_channels=None,
+    controlnet=None,
+    controlnet_params=None,
+    control_hint=None,
+    controlnet_scale=1.0,
+    step_rng=None,
+    t_start: int = 0,
+    cfg_batched: bool = True,
+):
+    """Denoise scan + VAE decode + uint8 conversion as ONE compiled program —
+    a single device dispatch per image (the separate-stage path pays one
+    extra dispatch round-trip, which is pure latency on remote/tunneled
+    backends and serving hot paths)."""
+    latents, _ = _denoise_scan(
+        unet, unet_params, latents, text_states, pww, schedule,
+        guidance_scale, extra_channels, controlnet, controlnet_params,
+        control_hint, controlnet_scale, step_rng, t_start, cfg_batched,
+    )
+    return _decode_uint8(vae, vae_params, latents)
 
 
 @functools.partial(
@@ -218,12 +262,7 @@ def run_denoise_segment(
     return latents, sch_state
 
 
-@functools.partial(jax.jit, static_argnames=("vae",))
-def run_decode(vae: AutoencoderKL, vae_params, latents: jnp.ndarray) -> jnp.ndarray:
-    """Latents → uint8 RGB on device (reference `_pil_from_latents`, :48-57)."""
-    img = vae.apply(vae_params, latents / LATENT_SCALE, method=AutoencoderKL.decode)
-    img = jnp.clip(img.astype(jnp.float32) / 2 + 0.5, 0.0, 1.0)
-    return jnp.round(img * 255.0).astype(jnp.uint8)
+run_decode = functools.partial(jax.jit, static_argnames=("vae",))(_decode_uint8)
 
 
 @functools.partial(jax.jit, static_argnames=("vae",))
@@ -613,6 +652,25 @@ class PwwPipeline:
 
         cfg_batched = not isinstance(pww.weight_fn, CustomWeightFunction)
 
+        # Fused single-dispatch path: denoise + decode in one program. Off
+        # when the caller needs latents (return_latents) or per-phase timings
+        # (profile=True keeps denoise/decode separable).
+        fused = callback is None and not return_latents and not self.profile
+        if fused:
+            with phase("denoise+decode"):
+                images = np.asarray(run_denoise_decode(
+                    self.unet, self.params["unet"], self.vae,
+                    self.params["vae"], latents, text_states, pww,
+                    schedule, jnp.float32(guidance_scale), t_start=t_start,
+                    cfg_batched=cfg_batched,
+                    **denoise_kwargs,
+                ))
+            if output_type == "np":
+                return images
+            from PIL import Image
+
+            pil = [Image.fromarray(im) for im in images]
+            return pil[0] if n == 1 else pil
         if callback is None:
             with phase("denoise"):
                 latents, _ = run_denoise(
@@ -726,16 +784,16 @@ class PwwPipeline:
 
         from ..ops.weight_functions import CustomWeightFunction
 
-        latents, _ = run_denoise(
-            self.unet, self.params["unet"], latents, text_states, pww,
+        images = np.asarray(run_denoise_decode(
+            self.unet, self.params["unet"], self.vae, self.params["vae"],
+            latents, text_states, pww,
             schedule, jnp.float32(guidance_scale),
             cfg_batched=not isinstance(wf, CustomWeightFunction),
             step_rng=(
                 jax.random.PRNGKey(0x5EED)
                 if schedule.kind == "euler_ancestral" else None
             ),
-        )
-        images = np.asarray(run_decode(self.vae, self.params["vae"], latents))
+        ))
         if output_type == "np":
             return images
         from PIL import Image

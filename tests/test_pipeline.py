@@ -356,3 +356,18 @@ def test_toy_tokenizer_warns_on_full_size_config():
         warnings.simplefilter("always")
         PwwPipeline(config=SDModelConfig.tiny())  # tiny config: no warning
     assert not any("toy tokenizer" in str(w.message) for w in rec)
+
+
+def test_fused_denoise_decode_matches_separate_stages(pipe_f32):
+    """The single-dispatch fused program (denoise+decode in one jit) must
+    produce exactly what the separate-stage path produces."""
+    from pww_tpu.pipeline.pipeline import run_decode
+
+    kw = dict(prompt="a cat", color_map_image=_cm(), color_context=dict(CTX),
+              num_inference_steps=3, seed=2)
+    fused = pipe_f32.generate(output_type="np", **kw)
+    lat = pipe_f32.generate(return_latents=True, **kw)
+    separate = np.asarray(
+        run_decode(pipe_f32.vae, pipe_f32.params["vae"], lat)
+    )
+    np.testing.assert_array_equal(fused, separate)
