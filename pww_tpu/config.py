@@ -161,6 +161,9 @@ class SchedulerConfig:
     # checkpoints ship in scheduler_config.json; PNDM always uses ᾱ[0] per its
     # own diffusers default). Set False when matching a converted checkpoint.
     set_alpha_to_one: bool = True
+    # Karras et al. (2022) ρ=7 sigma spacing for the sigma-space schedulers
+    # (lms/euler/euler_ancestral/heun) — the popular "Karras" sampler variants.
+    use_karras_sigmas: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

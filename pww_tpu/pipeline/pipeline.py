@@ -571,11 +571,11 @@ class PwwPipeline:
             t_start = _t_start_from_strength(
                 num_inference_steps, strength, cfg.scheduler.steps_offset
             )
-            if t_start > 0 and schedule.kind == "pndm":
+            if t_start > 0 and schedule.kind in ("pndm", "heun"):
                 raise ValueError(
-                    "img2img strength truncation is not supported with the "
-                    "pndm scheduler (its warmup refinement step assumes a "
-                    "full trajectory); use lms/euler/ddim"
+                    f"img2img strength truncation is not supported with the "
+                    f"{schedule.kind} scheduler (its scan visits don't map "
+                    f"1:1 to trajectory steps); use lms/euler/ddim"
                 )
             moments = run_encode_image(self.vae, self.params["vae"], init)
             key = rng if rng is not None else jax.random.PRNGKey(seed)

@@ -76,6 +76,24 @@ def _lms_coefficients(sigmas: np.ndarray, num_steps: int) -> np.ndarray:
     return coeffs
 
 
+def _karras_sigmas(
+    sigmas: np.ndarray, sigmas_full: np.ndarray, num_steps: int, rho: float = 7.0
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Karras et al. (2022) ρ-spaced sigma trajectory over the same [σ_min,
+    σ_max] range, with timesteps re-derived by log-sigma interpolation
+    (diffusers ``_convert_to_karras`` / ``_sigma_to_t`` semantics)."""
+    s_max, s_min = float(sigmas[0]), float(sigmas[-1])
+    ramp = np.linspace(0.0, 1.0, num_steps)
+    new_sigmas = (
+        s_max ** (1.0 / rho) + ramp * (s_min ** (1.0 / rho) - s_max ** (1.0 / rho))
+    ) ** rho
+    log_full = np.log(sigmas_full)
+    timesteps = np.interp(
+        np.log(new_sigmas), log_full, np.arange(len(sigmas_full), dtype=np.float64)
+    )
+    return new_sigmas, timesteps
+
+
 class Schedule(flax.struct.PyTreeNode):
     """Static-shape scheduler trajectory + pure step functions.
 
@@ -98,7 +116,7 @@ class Schedule(flax.struct.PyTreeNode):
         return self.sigmas[i]
 
     def scale_model_input(self, sample: jnp.ndarray, i: jnp.ndarray) -> jnp.ndarray:
-        if self.kind in ("lms", "euler", "euler_ancestral"):
+        if self.kind in ("lms", "euler", "euler_ancestral", "heun"):
             s = self.sigmas[i].astype(sample.dtype)
             return sample / jnp.sqrt(s * s + 1.0)
         return sample  # ddim/pndm: identity
@@ -118,7 +136,7 @@ class Schedule(flax.struct.PyTreeNode):
             raise ValueError(f"unknown prediction_type {prediction_type!r}")
         v = model_output.astype(jnp.float32)
         x = sample.astype(jnp.float32)
-        if self.kind in ("lms", "euler", "euler_ancestral"):
+        if self.kind in ("lms", "euler", "euler_ancestral", "heun"):
             s = self.sigmas[i]
             denom = s * s + 1.0
             pred_x0 = -s * v / jnp.sqrt(denom) + x / denom
@@ -138,6 +156,9 @@ class Schedule(flax.struct.PyTreeNode):
             return jnp.zeros((5,) + tuple(shape), dtype)
         if self.kind == "dpmpp_2m":
             return jnp.zeros((1,) + tuple(shape), dtype)  # previous x0
+        if self.kind == "heun":
+            # rows: [x at the step's start, first-visit derivative]
+            return jnp.zeros((2,) + tuple(shape), dtype)
         return jnp.zeros((0,) + tuple(shape), dtype)
 
     def step(
@@ -217,6 +238,27 @@ class Schedule(flax.struct.PyTreeNode):
             )
             return prev.astype(sample.dtype), new_state
 
+        if self.kind == "heun":
+            # Heun's 2nd-order method (k-diffusion sample_heun / diffusers
+            # HeunDiscreteScheduler): each trajectory step is TWO scan visits —
+            # an Euler predictor at σ_i, then a trapezoidal corrector evaluated
+            # at σ_{i+1} on the predicted sample. The final step (σ→0) is
+            # Euler-only. Per-visit dt/second tables are host-precomputed.
+            tab = self.pndm_tables
+            dt = tab["dt"][i]
+            second = tab["second"][i] > 0
+            x = sample.astype(jnp.float32)
+            d = model_output.astype(jnp.float32)  # d = ε for ε-prediction
+            first_prev = x + d * dt
+            x_orig = state[0].astype(jnp.float32)
+            d1 = state[1].astype(jnp.float32)
+            second_prev = x_orig + 0.5 * (d1 + d) * dt
+            prev = jnp.where(second, second_prev, first_prev)
+            new_state = jnp.where(
+                second, state, jnp.stack([x, d]).astype(state.dtype)
+            )
+            return prev.astype(sample.dtype), new_state
+
         if self.kind == "ddim":
             a_t = self.alphas_cumprod_t[i].astype(jnp.float32)
             a_prev = self.alphas_cumprod_prev[i].astype(jnp.float32)
@@ -231,7 +273,7 @@ class Schedule(flax.struct.PyTreeNode):
     def add_noise(
         self, original: jnp.ndarray, noise: jnp.ndarray, i: jnp.ndarray
     ) -> jnp.ndarray:
-        if self.kind in ("lms", "euler", "euler_ancestral"):
+        if self.kind in ("lms", "euler", "euler_ancestral", "heun"):
             return original + noise * self.sigmas[i].astype(original.dtype)
         a_t = self.alphas_cumprod_t[i].astype(jnp.float32)
         return (
@@ -253,13 +295,19 @@ class Scheduler:
         alphas_cumprod = np.cumprod(1.0 - betas)
         sigmas_full = np.sqrt((1.0 - alphas_cumprod) / alphas_cumprod)
 
-        if self.kind in ("lms", "euler", "euler_ancestral"):
+        if self.kind in ("lms", "euler", "euler_ancestral", "heun"):
             timesteps = np.linspace(
                 0, cfg.num_train_timesteps - 1, num_steps, dtype=np.float64
             )[::-1].copy()
             sigmas = np.interp(
                 timesteps, np.arange(cfg.num_train_timesteps), sigmas_full
             )
+            if cfg.use_karras_sigmas:
+                sigmas, timesteps = _karras_sigmas(sigmas, sigmas_full, num_steps)
+            if self.kind == "heun":
+                return self._set_timesteps_heun(
+                    sigmas, timesteps, alphas_cumprod
+                )
             sigmas = np.concatenate([sigmas, [0.0]])
             init_noise_sigma = sigmas.max()
             lms = (
@@ -302,6 +350,51 @@ class Scheduler:
             num_steps=num_steps,
         )
 
+
+    def _set_timesteps_heun(
+        self, sigmas: np.ndarray, timesteps: np.ndarray,
+        alphas_cumprod: np.ndarray,
+    ) -> Schedule:
+        """Heun visit expansion: each trajectory step becomes (predictor at
+        σ_i, corrector at σ_{i+1}); the final σ→0 step is Euler-only, so the
+        scan runs 2·N−1 visits (k-diffusion ``sample_heun`` structure)."""
+        cfg = self.config
+        num_steps = len(sigmas)
+        sig = np.concatenate([sigmas, [0.0]])
+        visit_sigma, visit_t, dt, second = [], [], [], []
+        for i in range(num_steps):
+            s_cur, s_next = sig[i], sig[i + 1]
+            visit_sigma.append(s_cur)
+            visit_t.append(timesteps[i])
+            dt.append(s_next - s_cur)
+            second.append(0.0)
+            if s_next > 0:  # corrector visit, evaluated at the NEXT sigma
+                visit_sigma.append(s_next)
+                visit_t.append(timesteps[i + 1] if i + 1 < num_steps else 0.0)
+                dt.append(s_next - s_cur)
+                second.append(1.0)
+        visit_sigma = np.asarray(visit_sigma)
+        t_int = np.clip(
+            np.round(np.asarray(visit_t)).astype(np.int64), 0,
+            cfg.num_train_timesteps - 1,
+        )
+        a_t = alphas_cumprod[t_int]
+        return Schedule(
+            timesteps=jnp.asarray(visit_t, jnp.float32),
+            sigmas=jnp.asarray(
+                np.concatenate([visit_sigma, [0.0]]), jnp.float32
+            ),
+            init_noise_sigma=jnp.asarray(visit_sigma.max(), jnp.float32),
+            alphas_cumprod_t=jnp.asarray(a_t, jnp.float32),
+            alphas_cumprod_prev=jnp.asarray(a_t, jnp.float32),  # unused
+            lms_coeffs=None,
+            pndm_tables={
+                "dt": jnp.asarray(dt, jnp.float32),
+                "second": jnp.asarray(second, jnp.float32),
+            },
+            kind="heun",
+            num_steps=len(visit_sigma),
+        )
 
     def _set_timesteps_pndm(self, num_steps: int, alphas_cumprod: np.ndarray) -> Schedule:
         """PLMS trajectory: the second timestep is visited twice (pseudo

@@ -268,3 +268,100 @@ def test_ddim_set_alpha_to_one_knob():
     last_on, _ = on.step(eps, jnp.int32(4), x, st)
     last_off, _ = off.step(eps, jnp.int32(4), x, st)
     assert np.abs(np.asarray(last_on) - np.asarray(last_off)).max() > 0
+
+
+def _sigma_trajectory(num_steps, cfg=SchedulerConfig()):
+    betas = (np.linspace(cfg.beta_start**0.5, cfg.beta_end**0.5,
+                         cfg.num_train_timesteps) ** 2)
+    ac = np.cumprod(1.0 - betas)
+    full = np.sqrt((1 - ac) / ac)
+    ts = np.linspace(0, cfg.num_train_timesteps - 1, num_steps)[::-1]
+    return np.interp(ts, np.arange(cfg.num_train_timesteps), full)
+
+
+def test_heun_matches_reference_loop():
+    """Scan-form Heun must match a literal k-diffusion sample_heun loop
+    (Euler predictor + trapezoidal corrector, Euler-only final step)."""
+    rng = np.random.default_rng(0)
+    x0 = rng.standard_normal((1, 4, 4, 2)).astype(np.float32)
+
+    def eps_fn(x, sigma):  # synthetic, smooth in (x, sigma)
+        return 0.3 * x / np.sqrt(sigma**2 + 1.0) + 0.05 * sigma
+
+    num_steps = 6
+    sig = np.concatenate([_sigma_trajectory(num_steps), [0.0]])
+    want = x0 * sig[0]
+    for i in range(num_steps):
+        s, sn = sig[i], sig[i + 1]
+        d = eps_fn(want, s)
+        x2 = want + d * (sn - s)
+        if sn > 0:
+            d2 = eps_fn(x2, sn)
+            want = want + 0.5 * (d + d2) * (sn - s)
+        else:
+            want = x2
+
+    sch = make_scheduler("heun").set_timesteps(num_steps)
+    assert sch.num_steps == 2 * num_steps - 1
+    x = jnp.asarray(x0) * sch.init_noise_sigma
+    st = sch.init_state(x.shape, jnp.float32)
+    for i in range(sch.num_steps):
+        eps = eps_fn(np.asarray(x), float(sch.sigmas[i]))
+        x, st = sch.step(jnp.asarray(eps), jnp.int32(i), x, st)
+    np.testing.assert_allclose(np.asarray(x), want, rtol=1e-5, atol=1e-5)
+
+
+def test_heun_is_second_order_vs_euler():
+    """On a linear ODE with known solution, Heun at N steps must beat Euler
+    at N steps by a clear margin (2nd vs 1st order accuracy)."""
+    x0 = np.full((1, 2, 2, 1), 1.7, np.float32)
+
+    def eps_fn(x, sigma):  # dx/dsigma = sigma -> x(0) = x(smax) - smax^2/2
+        return np.full_like(x, sigma)
+
+    def run(kind, n):
+        sch = make_scheduler(kind).set_timesteps(n)
+        x = jnp.asarray(x0) * sch.init_noise_sigma
+        st = sch.init_state(x.shape, jnp.float32)
+        for i in range(sch.num_steps):
+            eps = eps_fn(np.asarray(x), float(sch.sigmas[i]))
+            x, st = sch.step(jnp.asarray(eps), jnp.int32(i), x, st)
+        return np.asarray(x)
+
+    s_max = float(make_scheduler("euler").set_timesteps(8).init_noise_sigma)
+    exact = x0 * s_max - s_max**2 / 2.0
+    err_euler = np.abs(run("euler", 8) - exact).max()
+    err_heun = np.abs(run("heun", 8) - exact).max()
+    assert err_heun < err_euler / 3, (err_heun, err_euler)
+
+
+def test_karras_sigmas_spacing():
+    cfg = SchedulerConfig(use_karras_sigmas=True)
+    sch = make_scheduler("euler", cfg).set_timesteps(10)
+    sig = np.asarray(sch.sigmas)[:-1]
+    lin = _sigma_trajectory(10)
+    # same endpoints, different interior spacing, monotone decreasing
+    np.testing.assert_allclose(sig[0], lin[0], rtol=1e-5)
+    np.testing.assert_allclose(sig[-1], lin[-1], rtol=1e-5)
+    assert (np.diff(sig) < 0).all()
+    assert np.abs(sig[1:-1] - lin[1:-1]).max() > 0.1
+    ts = np.asarray(sch.timesteps)
+    assert (ts[:-1] > ts[1:]).all() and ts.min() >= 0 and ts.max() <= 999
+    # LMS coefficients recompute from the Karras sigmas without error
+    sch_lms = make_scheduler("lms", cfg).set_timesteps(10)
+    assert np.isfinite(np.asarray(sch_lms.lms_coeffs)).all()
+
+
+def test_heun_pipeline_end_to_end():
+    from pww_tpu.config import SDModelConfig
+    from pww_tpu.pipeline.pipeline import PwwPipeline
+
+    pipe = PwwPipeline(config=SDModelConfig.tiny(), scheduler="heun")
+    cm = np.zeros((64, 64, 3), np.uint8)
+    cm[:, :32] = (255, 0, 0)
+    out = pipe.generate(
+        prompt="a cat", color_map_image=cm,
+        color_context={(255, 0, 0): "cat,1.0"},
+        num_inference_steps=3, seed=0, output_type="np",
+    )
+    assert out.shape == (1, 64, 64, 3)
