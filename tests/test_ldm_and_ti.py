@@ -309,3 +309,61 @@ def test_find_tokenizer_assets(tmp_path):
 
     with pytest.raises(FileNotFoundError):
         _find_tokenizer(str(lone), str(tmp_path / "nope"))
+
+
+def test_textual_inversion_training_loop():
+    """Full TI TRAINING on the tiny config: loss decreases, only the
+    placeholder rows move, the result saves/reloads through the standard
+    injection path, and the trained token generates end-to-end."""
+    import os
+    import tempfile
+
+    from PIL import Image
+
+    from pww_tpu.pipeline.pipeline import PwwPipeline
+    from pww_tpu.training import train_textual_inversion
+    from pww_tpu.weights.textual_inversion import apply_textual_inversion
+
+    pipe = PwwPipeline(config=SDModelConfig.tiny(), weights_dtype=None)
+    before = np.asarray(pipe.params["clip"]["params"]["token_embedding"]["embedding"])
+    rng = np.random.default_rng(0)
+    images = [
+        Image.fromarray((rng.random((64, 64, 3)) * 80 + 100).astype(np.uint8))
+        for _ in range(2)
+    ]
+    result = train_textual_inversion(
+        pipe, images, "<my-thing>", initializer_token="thing",
+        num_steps=60, batch_size=2, learning_rate=1e-2, seed=0,
+    )
+    # loss goes down (compare first/last-quarter means; SGD is noisy)
+    q = max(len(result.losses) // 4, 1)
+    assert np.mean(result.losses[-q:]) < np.mean(result.losses[:q]), (
+        np.mean(result.losses[:q]), np.mean(result.losses[-q:]))
+    # frozen rows untouched, new row moved away from its init
+    after = np.asarray(pipe.params["clip"]["params"]["token_embedding"]["embedding"])
+    np.testing.assert_array_equal(after[: before.shape[0]], before)
+    assert np.abs(result.embedding).sum() > 0
+    assert not np.allclose(after[-1], before[pipe.tokenizer.tokenize("thing")[0]])
+
+    # trained token drives generation (prompt AND color-context label)
+    cm = np.zeros((64, 64, 3), np.uint8)
+    cm[:, :32] = (255, 0, 0)
+    out = pipe.generate(
+        prompt=f"a photo of {result.placeholder}",
+        color_map_image=cm,
+        color_context={(255, 0, 0): f"{result.placeholder},1.0"},
+        num_inference_steps=2, seed=0, output_type="np",
+    )
+    assert out.shape == (1, 64, 64, 3)
+
+    # save -> inject into a FRESH pipeline via the standard path
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "learned_embeds.bin")
+        result.save(p)
+        pipe2 = PwwPipeline(config=SDModelConfig.tiny(), weights_dtype=None)
+        tok = apply_textual_inversion(pipe2, p)
+    assert tok == "<my-thing>"
+    emb2 = np.asarray(
+        pipe2.params["clip"]["params"]["token_embedding"]["embedding"][-1]
+    )
+    np.testing.assert_allclose(emb2, result.embedding[0], rtol=1e-6)
