@@ -238,6 +238,53 @@ class UNet2DCondition(nn.Module):
     config: UNetConfig
     dtype: Any = jnp.float32
 
+    def _down_block(self, x, bi, ch, temb, ctx, pww, skips):
+        cfg = self.config
+        has_attn = cfg.down_block_has_attn[bi]
+        for li in range(cfg.layers_per_block):
+            x = ResnetBlock(
+                ch, cfg.norm_num_groups, self.dtype,
+                name=f"down_{bi}_resnet_{li}",
+            )(x, temb)
+            if has_attn:
+                nh, hd = cfg.heads_for(ch)
+                x = Transformer2D(
+                    nh, hd, use_flash=cfg.flash_attention,
+                    use_fused_cross=cfg.fused_cross_attention,
+                    groups=cfg.norm_num_groups, dtype=self.dtype,
+                    name=f"down_{bi}_attn_{li}",
+                )(x, ctx, pww)
+            skips.append(x)
+        return x
+
+    def _up_block(self, x, bi, ch, temb, ctx, pww, skips):
+        cfg = self.config
+        has_attn = cfg.up_block_has_attn[bi]
+        for li in range(cfg.layers_per_block + 1):
+            skip = skips.pop()
+            x = jnp.concatenate([x, skip], axis=-1)
+            x = ResnetBlock(
+                ch, cfg.norm_num_groups, self.dtype, name=f"up_{bi}_resnet_{li}"
+            )(x, temb)
+            if has_attn:
+                nh, hd = cfg.heads_for(ch)
+                x = Transformer2D(
+                    nh, hd, use_flash=cfg.flash_attention,
+                    use_fused_cross=cfg.fused_cross_attention,
+                    groups=cfg.norm_num_groups, dtype=self.dtype,
+                    name=f"up_{bi}_attn_{li}",
+                )(x, ctx, pww)
+        return x
+
+    def _head(self, x):
+        cfg = self.config
+        x = nn.GroupNorm(
+            cfg.norm_num_groups, epsilon=1e-5, dtype=jnp.float32, name="conv_norm_out"
+        )(x)
+        return nn.Conv(
+            cfg.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv_out"
+        )(nn.silu(x).astype(self.dtype))
+
     @nn.compact
     def __call__(
         self,
@@ -247,7 +294,18 @@ class UNet2DCondition(nn.Module):
         pww: Optional[PwwState] = None,
         down_block_residuals: Optional[Tuple[jnp.ndarray, ...]] = None,
         mid_block_residual: Optional[jnp.ndarray] = None,
+        cache_mode: Optional[str] = None,  # None | "collect" | "use"
+        cached_feature: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
+        """Forward pass; optional DeepCache shallow execution.
+
+        DeepCache (Ma et al. 2023) exploits temporal redundancy of the DEEP
+        features across adjacent denoise steps: ``cache_mode="collect"`` also
+        returns the feature entering the last (full-resolution) up block;
+        ``cache_mode="use"`` skips everything between down block 0 and that
+        point, substituting ``cached_feature`` — only conv_in, down block 0,
+        the last up block, and the head execute.
+        """
         cfg = self.config
         if timesteps.ndim == 0:
             timesteps = jnp.broadcast_to(timesteps, (sample.shape[0],))
@@ -264,25 +322,31 @@ class UNet2DCondition(nn.Module):
             name="conv_in",
         )(sample.astype(self.dtype))
 
+        n_blocks = len(cfg.block_out_channels)
+        rev_channels = list(reversed(cfg.block_out_channels))
+
+        if cache_mode == "use":
+            if down_block_residuals is not None or mid_block_residual is not None:
+                raise ValueError("DeepCache shallow pass + ControlNet residuals "
+                                 "is not supported")
+            if cached_feature is None:
+                raise ValueError('cache_mode="use" requires cached_feature')
+            # shallow pass: down block 0 produces the skips the last up block
+            # consumes; the deep trunk is replaced by the cached feature.
+            skips = [x]
+            self._down_block(
+                x, 0, cfg.block_out_channels[0], temb, ctx, pww, skips
+            )
+            x = cached_feature.astype(self.dtype)
+            bi = n_blocks - 1
+            x = self._up_block(x, bi, rev_channels[bi], temb, ctx, pww, skips)
+            return self._head(x)
+
         # ---- down ----
         skips = [x]
         for bi, ch in enumerate(cfg.block_out_channels):
-            has_attn = cfg.down_block_has_attn[bi]
-            for li in range(cfg.layers_per_block):
-                x = ResnetBlock(
-                    ch, cfg.norm_num_groups, self.dtype,
-                    name=f"down_{bi}_resnet_{li}",
-                )(x, temb)
-                if has_attn:
-                    nh, hd = cfg.heads_for(ch)
-                    x = Transformer2D(
-                        nh, hd, use_flash=cfg.flash_attention,
-                        use_fused_cross=cfg.fused_cross_attention,
-                        groups=cfg.norm_num_groups, dtype=self.dtype,
-                        name=f"down_{bi}_attn_{li}",
-                    )(x, ctx, pww)
-                skips.append(x)
-            if bi < len(cfg.block_out_channels) - 1:
+            x = self._down_block(x, bi, ch, temb, ctx, pww, skips)
+            if bi < n_blocks - 1:
                 x = Downsample(ch, self.dtype, name=f"down_{bi}_downsample")(x)
                 skips.append(x)
 
@@ -304,30 +368,15 @@ class UNet2DCondition(nn.Module):
             x = x + mid_block_residual
 
         # ---- up ----
-        rev_channels = list(reversed(cfg.block_out_channels))
+        cache_feature = None
         for bi, ch in enumerate(rev_channels):
-            has_attn = cfg.up_block_has_attn[bi]
-            for li in range(cfg.layers_per_block + 1):
-                skip = skips.pop()
-                x = jnp.concatenate([x, skip], axis=-1)
-                x = ResnetBlock(
-                    ch, cfg.norm_num_groups, self.dtype, name=f"up_{bi}_resnet_{li}"
-                )(x, temb)
-                if has_attn:
-                    nh, hd = cfg.heads_for(ch)
-                    x = Transformer2D(
-                        nh, hd, use_flash=cfg.flash_attention,
-                        use_fused_cross=cfg.fused_cross_attention,
-                        groups=cfg.norm_num_groups, dtype=self.dtype,
-                        name=f"up_{bi}_attn_{li}",
-                    )(x, ctx, pww)
-            if bi < len(rev_channels) - 1:
+            x = self._up_block(x, bi, ch, temb, ctx, pww, skips)
+            if bi < n_blocks - 1:
                 x = Upsample(ch, self.dtype, name=f"up_{bi}_upsample")(x)
+                if bi == n_blocks - 2:
+                    cache_feature = x  # input to the last (full-res) up block
 
-        x = nn.GroupNorm(
-            cfg.norm_num_groups, epsilon=1e-5, dtype=jnp.float32, name="conv_norm_out"
-        )(x)
-        x = nn.Conv(
-            cfg.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv_out"
-        )(nn.silu(x).astype(self.dtype))
-        return x
+        out = self._head(x)
+        if cache_mode == "collect":
+            return out, cache_feature
+        return out

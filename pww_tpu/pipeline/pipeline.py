@@ -124,11 +124,18 @@ def _denoise_scan(
     step_rng: Optional[jax.Array] = None,  # ancestral-sampler noise key
     t_start: int = 0,
     cfg_batched: bool = True,
+    cache_interval: int = 1,
 ) -> jnp.ndarray:
     """Full denoise loop as one scan. Returns final latents (N, h, w, C).
 
     Latents and scheduler state are carried in float32 (accumulation
     precision); the UNet runs in its own compute dtype (bf16 on TPU).
+
+    ``cache_interval > 1`` enables DeepCache (Ma et al. 2023): every
+    ``cache_interval``-th step runs the full UNet and caches the deep-trunk
+    feature; the steps in between run only the shallow layers (conv_in, down
+    block 0, last up block) against the cached feature. An opt-in
+    APPROXIMATION — outputs differ slightly from the exact trajectory.
     """
     n = latents.shape[0]
     latents = latents.astype(jnp.float32)
@@ -154,6 +161,66 @@ def _denoise_scan(
         lat, sch_state = schedule.step(eps, i, lat, sch_state, rng=k)
         return (lat, sch_state), None
 
+    if cache_interval > 1:
+        if controlnet is not None:
+            raise ValueError("cache_interval > 1 is not supported with ControlNet")
+        if not cfg_batched:
+            raise ValueError(
+                "cache_interval > 1 requires the batched CFG path; custom "
+                "weight functions run split CFG and cannot deep-cache"
+            )
+
+        def unet_eps_deepcache(lat_in, t, pww_t, feat, full):
+            lat2 = jnp.concatenate([lat_in, lat_in], axis=0)
+            if extra_channels is not None:
+                ec = jnp.concatenate([extra_channels] * 2, axis=0)
+                lat2 = jnp.concatenate([lat2, ec.astype(compute_dtype)], axis=-1)
+
+            def run_full(lat2):
+                eps, f = unet.apply(
+                    unet_params, lat2, t, text_states, pww=pww_t,
+                    cache_mode="collect",
+                )
+                return eps, f.astype(feat.dtype)
+
+            def run_shallow(lat2):
+                eps = unet.apply(
+                    unet_params, lat2, t, text_states, pww=pww_t,
+                    cache_mode="use", cached_feature=feat,
+                )
+                return eps, feat
+
+            eps, f = jax.lax.cond(full, run_full, run_shallow, lat2)
+            return eps[:n].astype(jnp.float32), eps[n:].astype(jnp.float32), f
+
+        def body_cached(carry, i):
+            lat, sch_state, feat = carry
+            sigma = schedule.sigma(i)
+            t = schedule.timesteps[i]
+            lat_in = schedule.scale_model_input(lat, i).astype(compute_dtype)
+            full = ((i - t_start) % cache_interval) == 0
+            out_uncond, out_text, feat = unet_eps_deepcache(
+                lat_in, t, pww.with_sigma(sigma), feat, full
+            )
+            eps_uncond = schedule.to_epsilon(out_uncond, lat, i, prediction_type)
+            eps_text = schedule.to_epsilon(out_text, lat, i, prediction_type)
+            eps = eps_uncond + guidance_scale * (eps_text - eps_uncond)
+            k = None if step_rng is None else jax.random.fold_in(step_rng, i)
+            lat, sch_state = schedule.step(eps, i, lat, sch_state, rng=k)
+            return (lat, sch_state, feat), None
+
+        feat0 = jnp.zeros(
+            (2 * n, latents.shape[1], latents.shape[2],
+             unet.config.block_out_channels[1]),
+            compute_dtype,
+        )
+        sch_state = schedule.init_state(latents.shape, latents.dtype)
+        steps = jnp.arange(t_start, schedule.num_steps)
+        (latents, sch_state, _), _ = jax.lax.scan(
+            body_cached, (latents, sch_state, feat0), steps
+        )
+        return latents, sch_state
+
     sch_state = schedule.init_state(latents.shape, latents.dtype)
     steps = jnp.arange(t_start, schedule.num_steps)
     (latents, sch_state), _ = jax.lax.scan(body, (latents, sch_state), steps)
@@ -161,7 +228,9 @@ def _denoise_scan(
 
 
 run_denoise = functools.partial(
-    jax.jit, static_argnames=("unet", "controlnet", "t_start", "cfg_batched")
+    jax.jit,
+    static_argnames=("unet", "controlnet", "t_start", "cfg_batched",
+                     "cache_interval"),
 )(_denoise_scan)
 
 
@@ -174,7 +243,8 @@ def _decode_uint8(vae: AutoencoderKL, vae_params, latents: jnp.ndarray):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("unet", "vae", "controlnet", "t_start", "cfg_batched"),
+    static_argnames=("unet", "vae", "controlnet", "t_start", "cfg_batched",
+                     "cache_interval"),
 )
 def run_denoise_decode(
     unet,
@@ -194,6 +264,7 @@ def run_denoise_decode(
     step_rng=None,
     t_start: int = 0,
     cfg_batched: bool = True,
+    cache_interval: int = 1,
 ):
     """Denoise scan + VAE decode + uint8 conversion as ONE compiled program —
     a single device dispatch per image (the separate-stage path pays one
@@ -203,6 +274,7 @@ def run_denoise_decode(
         unet, unet_params, latents, text_states, pww, schedule,
         guidance_scale, extra_channels, controlnet, controlnet_params,
         control_hint, controlnet_scale, step_rng, t_start, cfg_batched,
+        cache_interval,
     )
     return _decode_uint8(vae, vae_params, latents)
 
@@ -514,6 +586,7 @@ class PwwPipeline:
         return_latents: bool = False,
         sharding: str = "batch",  # "batch" (dp over samples) | "spatial"
         rng: Optional[jax.Array] = None,
+        cache_interval: int = 1,  # DeepCache: >1 = opt-in approximation
     ):
         """Unified txt2img / img2img / inpaint entry point.
 
@@ -651,6 +724,10 @@ class PwwPipeline:
         from ..ops.weight_functions import CustomWeightFunction
 
         cfg_batched = not isinstance(pww.weight_fn, CustomWeightFunction)
+        if cache_interval > 1 and callback is not None:
+            raise ValueError(
+                "cache_interval > 1 is not supported with per-step callbacks"
+            )
 
         # Fused single-dispatch path: denoise + decode in one program. Off
         # when the caller needs latents (return_latents) or per-phase timings
@@ -662,7 +739,7 @@ class PwwPipeline:
                     self.unet, self.params["unet"], self.vae,
                     self.params["vae"], latents, text_states, pww,
                     schedule, jnp.float32(guidance_scale), t_start=t_start,
-                    cfg_batched=cfg_batched,
+                    cfg_batched=cfg_batched, cache_interval=cache_interval,
                     **denoise_kwargs,
                 ))
             if output_type == "np":
@@ -676,7 +753,7 @@ class PwwPipeline:
                 latents, _ = run_denoise(
                     self.unet, self.params["unet"], latents, text_states, pww,
                     schedule, jnp.float32(guidance_scale), t_start=t_start,
-                    cfg_batched=cfg_batched,
+                    cfg_batched=cfg_batched, cache_interval=cache_interval,
                     **denoise_kwargs,
                 )
                 if self.profile:

@@ -371,3 +371,41 @@ def test_fused_denoise_decode_matches_separate_stages(pipe_f32):
         run_decode(pipe_f32.vae, pipe_f32.params["vae"], lat)
     )
     np.testing.assert_array_equal(fused, separate)
+
+
+def test_deepcache_interval_one_is_exact(pipe):
+    """cache_interval=1 must be the exact trajectory (every step full)."""
+    kw = dict(prompt="a cat", color_map_image=_cm(), color_context=dict(CTX),
+              num_inference_steps=4, seed=6, output_type="np")
+    base = pipe.generate(**kw)
+    cached = pipe.generate(cache_interval=1, **kw)
+    np.testing.assert_array_equal(base, cached)
+
+
+def test_deepcache_speedup_path_runs_and_approximates(pipe):
+    """cache_interval>1 (DeepCache, Ma et al. 2023) reuses the deep trunk on
+    non-multiple steps: output differs from exact but stays far closer to it
+    than an unrelated seed does (sanity bound for the approximation)."""
+    kw = dict(prompt="a cat", color_map_image=_cm(), color_context=dict(CTX),
+              num_inference_steps=6, seed=6, output_type="np")
+    exact = pipe.generate(**kw)
+    approx = pipe.generate(cache_interval=3, **kw)
+    assert approx.shape == exact.shape
+    d_cache = np.abs(exact.astype(int) - approx.astype(int)).mean()
+    other = pipe.generate(**{**kw, "seed": 99})
+    d_seed = np.abs(exact.astype(int) - other.astype(int)).mean()
+    assert 0 < d_cache < d_seed, (d_cache, d_seed)
+
+
+def test_deepcache_rejects_unsupported_combos(pipe):
+    import jax.numpy as jnp
+
+    kw = dict(prompt="a cat", color_map_image=_cm(), color_context=dict(CTX),
+              num_inference_steps=4, seed=0, output_type="np")
+    with pytest.raises(ValueError, match="callback"):
+        pipe.generate(cache_interval=2, callback=lambda *a: None, **kw)
+    with pytest.raises(ValueError, match="batched CFG"):
+        pipe.generate(
+            cache_interval=2,
+            weight_function=lambda w, s, qk: 0.1 * w * jnp.max(qk), **kw,
+        )
