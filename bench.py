@@ -250,7 +250,7 @@ def main():
     except Exception as e:  # pragma: no cover - backend-dependent
         print(f"cost analysis unavailable: {e!r}", file=sys.stderr)
 
-    batch8_ips = s_per_img_768 = None
+    batch8_ips = s_per_img_768 = deepcache5_ips = None
     if not args.tiny and not args.no_extras:
         _, kw8 = _bench_kwargs(size, steps, 8)
         t8 = _timed_run(pipe, kw8, max(2, args.repeats - 3), f"{size}px b8")
@@ -259,8 +259,14 @@ def main():
         s_per_img_768 = _timed_run(
             pipe, kw768, max(2, args.repeats - 3), "768px b1"
         )
+        # opt-in DeepCache point (approximation; headline stays exact)
+        kwdc = dict(kwargs, cache_interval=5)
+        tdc = _timed_run(pipe, kwdc, max(2, args.repeats - 3),
+                         f"{size}px b1 deepcache5")
+        deepcache5_ips = args.batch / tdc
         print(f"batch8: {batch8_ips:.3f} img/s  768px: {s_per_img_768:.3f} "
-              "s/img", file=sys.stderr)
+              f"s/img  deepcache5: {deepcache5_ips:.3f} img/s",
+              file=sys.stderr)
 
     baseline_ips = 0.5  # north star: < 2 s/image
     record = {
@@ -278,6 +284,9 @@ def main():
         ),
         "s_per_image_768px": (
             None if s_per_img_768 is None else round(s_per_img_768, 4)
+        ),
+        "deepcache_interval5_img_per_s": (
+            None if deepcache5_ips is None else round(deepcache5_ips, 4)
         ),
         "repeats": args.repeats,
     }
