@@ -30,6 +30,7 @@ class EncodedInputs:
     prompt_ids: List[int]
     width: int
     height: int
+    pooled: Optional[jnp.ndarray] = None  # (2, D_pool) SDXL pooled embeds
 
 
 def encode_text_color_inputs(
@@ -41,10 +42,13 @@ def encode_text_color_inputs(
     negative_prompt: str = "",
     weight_function: Optional[AnyWeightFunction] = None,
     text_cache: Optional[Dict] = None,
+    tokenizer_2=None,
 ) -> EncodedInputs:
     """Host prologue: parse, tokenize, rasterize, CLIP-encode.
 
-    ``encode_text``: jitted CLIP apply taking (B, 77) int32 ids.
+    ``encode_text``: jitted CLIP apply taking (B, 77) int32 ids. For dual-
+    encoder models (SDXL) it takes ``(ids, ids2)`` — ``ids2`` tokenized with
+    ``tokenizer_2`` — and returns ``(text_states, pooled)``.
     ``text_cache``: optional dict caching CLIP outputs by (prompt, negative)
     — repeated serving prompts skip the text encoder entirely.
     """
@@ -83,15 +87,28 @@ def encode_text_color_inputs(
     weight_orig = cfg_pair(orig)
 
     cache_key = (prompt, negative_prompt)
+    pooled = None
     if text_cache is not None and cache_key in text_cache:
-        text_states = text_cache[cache_key]
+        text_states, pooled = text_cache[cache_key]
     else:
         ids = jnp.asarray([uncond_ids, prompt_ids], jnp.int32)
-        text_states = encode_text(ids)  # (2, T, D)
+        if tokenizer_2 is not None:
+            ml2 = tokenizer_2.model_max_length
+            ids2 = jnp.asarray(
+                [tokenizer_2(negative_prompt, max_length=ml2, truncation=True,
+                             padding=True)["input_ids"],
+                 tokenizer_2(prompt, max_length=ml2, truncation=True,
+                             padding=True)["input_ids"]],
+                jnp.int32,
+            )
+            out = encode_text(ids, ids2)
+        else:
+            out = encode_text(ids)  # (2, T, D) or ((2,T,D), (2,Dp))
+        text_states, pooled = out if isinstance(out, tuple) else (out, None)
         if text_cache is not None:
             if len(text_cache) > 256:
                 text_cache.pop(next(iter(text_cache)))
-            text_cache[cache_key] = text_states
+            text_cache[cache_key] = (text_states, pooled)
 
     pww = PwwState(
         weights=weights,
@@ -106,4 +123,5 @@ def encode_text_color_inputs(
         prompt_ids=list(prompt_ids),
         width=width,
         height=height,
+        pooled=pooled,
     )

@@ -24,10 +24,26 @@ class CLIPTextConfig:
     layer_norm_eps: float = 1e-5
     # SD 1.x CLIP uses quick_gelu; SD 2.x OpenCLIP uses gelu.
     hidden_act: str = "quick_gelu"
+    # text_projection output dim (SDXL pooled conditioning); None = no head
+    projection_dim: Optional[int] = None
 
     @staticmethod
     def sd15() -> "CLIPTextConfig":
         return CLIPTextConfig()
+
+    @staticmethod
+    def sdxl_l() -> "CLIPTextConfig":
+        """SDXL text_encoder: CLIP ViT-L/14 (penultimate hidden used; no
+        projection head — pooled conditioning comes from text_encoder_2)."""
+        return CLIPTextConfig()
+
+    @staticmethod
+    def sdxl_bigg() -> "CLIPTextConfig":
+        """SDXL text_encoder_2: OpenCLIP ViT-bigG/14 text tower."""
+        return CLIPTextConfig(
+            hidden_size=1280, intermediate_size=5120, num_layers=32,
+            num_heads=20, hidden_act="gelu", projection_dim=1280,
+        )
 
     @staticmethod
     def tiny() -> "CLIPTextConfig":
@@ -63,6 +79,15 @@ class UNetConfig:
     # Which down/up blocks carry cross-attention transformers. SD-1.x: all but
     # the innermost down block / outermost up block.
     down_block_has_attn: Tuple[bool, ...] = (True, True, True, False)
+    # Transformer blocks per attention site, per down block (SD-1.x/2.x: 1
+    # everywhere; SDXL: (1, 2, 10) with no attention in block 0). None = 1.
+    transformer_depth: Optional[Tuple[int, ...]] = None
+    # SDXL micro-conditioning: "text_time" adds pooled-text + size/crop
+    # fourier embeddings to the timestep embedding.
+    addition_embed_type: Optional[str] = None
+    addition_time_embed_dim: int = 256
+    # input width of the add_embedding MLP (SDXL-base: 1280 + 6*256 = 2816)
+    projection_class_embeddings_input_dim: Optional[int] = None
     # Pallas kernels, measured at 512² on v5e (full-UNet step, bf16):
     #   XLA-dense everything 54 ms · +fused cross-attn 32 ms · +flash 26 ms.
     # Isolated op micro-benchmarks invert this ordering (dispatch overhead +
@@ -73,6 +98,13 @@ class UNetConfig:
     @property
     def up_block_has_attn(self) -> Tuple[bool, ...]:
         return tuple(reversed(self.down_block_has_attn))
+
+    def depth_for(self, block_index: int) -> int:
+        """Transformer depth of down block ``block_index`` (up blocks use the
+        mirrored index)."""
+        if self.transformer_depth is None:
+            return 1
+        return self.transformer_depth[block_index]
 
     def heads_for(self, channels: int) -> Tuple[int, int]:
         """(num_heads, head_dim) at a resolution. SD-1.x: fixed head count;
@@ -94,6 +126,21 @@ class UNetConfig:
     @staticmethod
     def sd15(in_channels: int = 4) -> "UNetConfig":
         return UNetConfig(in_channels=in_channels)
+
+    @staticmethod
+    def sdxl() -> "UNetConfig":
+        """SDXL-base: 3 stages, transformer depth (0-attn, 2, 10), 2048-dim
+        dual-CLIP context, pooled-text + size/crop micro-conditioning."""
+        return UNetConfig(
+            block_out_channels=(320, 640, 1280),
+            attention_head_dim=64,
+            cross_attention_dim=2048,
+            sample_size=128,
+            down_block_has_attn=(False, True, True),
+            transformer_depth=(0, 2, 10),
+            addition_embed_type="text_time",
+            projection_class_embeddings_input_dim=2816,
+        )
 
     @staticmethod
     def sd15_inpaint() -> "UNetConfig":
@@ -184,10 +231,56 @@ class SDModelConfig:
     unet: UNetConfig = dataclasses.field(default_factory=UNetConfig.sd15)
     vae: VAEConfig = dataclasses.field(default_factory=VAEConfig.sd15)
     scheduler: SchedulerConfig = dataclasses.field(default_factory=SchedulerConfig)
+    # second text encoder (SDXL dual-CLIP); None for SD-1.x/2.x
+    clip2: Optional[CLIPTextConfig] = None
+
+    @property
+    def is_xl(self) -> bool:
+        return self.clip2 is not None
 
     @staticmethod
     def sd15() -> "SDModelConfig":
         return SDModelConfig()
+
+    @staticmethod
+    def sdxl() -> "SDModelConfig":
+        """SDXL-base-1.0: dual CLIP (ViT-L + OpenCLIP bigG, penultimate
+        hidden states concatenated to a 2048-dim context), pooled-text +
+        size/crop micro-conditioning, 0.13025 VAE scaling."""
+        return SDModelConfig(
+            clip=CLIPTextConfig.sdxl_l(),
+            clip2=CLIPTextConfig.sdxl_bigg(),
+            unet=UNetConfig.sdxl(),
+            vae=VAEConfig(scaling_factor=0.13025),
+        )
+
+    @staticmethod
+    def tiny_xl() -> "SDModelConfig":
+        """Tiny SDXL-shaped config: dual encoders, concat context, text_time
+        micro-conditioning, depth-2 transformers, no attention in block 0."""
+        clip = CLIPTextConfig.tiny()
+        clip2 = CLIPTextConfig(
+            vocab_size=1000, hidden_size=64, intermediate_size=128,
+            num_layers=2, num_heads=4, hidden_act="gelu", projection_dim=64,
+        )
+        return SDModelConfig(
+            clip=clip,
+            clip2=clip2,
+            unet=UNetConfig(
+                block_out_channels=(32, 64),
+                layers_per_block=1,
+                num_attention_heads=4,
+                cross_attention_dim=clip.hidden_size + clip2.hidden_size,
+                norm_num_groups=8,
+                down_block_has_attn=(False, True),
+                transformer_depth=(0, 2),
+                addition_embed_type="text_time",
+                addition_time_embed_dim=8,
+                projection_class_embeddings_input_dim=64 + 6 * 8,
+                sample_size=16,
+            ),
+            vae=VAEConfig.tiny(),
+        )
 
     @staticmethod
     def sd21(v_prediction: bool = True) -> "SDModelConfig":

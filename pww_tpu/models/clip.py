@@ -66,13 +66,20 @@ class CLIPEncoderLayer(nn.Module):
 
 
 class CLIPTextEncoder(nn.Module):
-    """Returns the last hidden state, (B, L, hidden_size)."""
+    """Returns the last hidden state, (B, L, hidden_size).
+
+    ``output="penultimate_and_pooled"`` (SDXL conditioning) instead returns
+    ``(hidden_states[-2], text_projection(final[eos]))``: the hidden state
+    entering the last layer (no final LayerNorm — transformers'
+    ``output_hidden_states`` convention) plus the projected pooled embedding
+    taken at the argmax token id (the EOS position, CLIP convention).
+    """
 
     config: CLIPTextConfig
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, input_ids: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, input_ids: jnp.ndarray, output: str = "final"):
         cfg = self.config
         tok = nn.Embed(
             cfg.vocab_size, cfg.hidden_size, dtype=self.dtype, name="token_embedding"
@@ -83,8 +90,28 @@ class CLIPTextEncoder(nn.Module):
             (cfg.max_position_embeddings, cfg.hidden_size),
         )
         x = tok + pos_table[None, : input_ids.shape[1]].astype(self.dtype)
+        penultimate = None
         for i in range(cfg.num_layers):
+            if i == cfg.num_layers - 1:
+                penultimate = x
             x = CLIPEncoderLayer(cfg, self.dtype, name=f"layers_{i}")(x)
-        return nn.LayerNorm(
+        final = nn.LayerNorm(
             epsilon=cfg.layer_norm_eps, dtype=jnp.float32, name="final_layer_norm"
         )(x).astype(self.dtype)
+        if output == "final":
+            return final
+        if output == "penultimate":
+            return penultimate
+        if output != "penultimate_and_pooled":
+            raise ValueError(f"unknown output mode {output!r}")
+        if cfg.projection_dim is None:
+            raise ValueError(
+                "pooled output requires CLIPTextConfig.projection_dim"
+            )
+        eos_pos = jnp.argmax(input_ids, axis=-1)  # CLIP: EOS has the max id
+        pooled = final[jnp.arange(final.shape[0]), eos_pos]
+        pooled = nn.Dense(
+            cfg.projection_dim, use_bias=False, dtype=self.dtype,
+            name="text_projection",
+        )(pooled)
+        return penultimate, pooled

@@ -249,7 +249,8 @@ class UNet2DCondition(nn.Module):
             if has_attn:
                 nh, hd = cfg.heads_for(ch)
                 x = Transformer2D(
-                    nh, hd, use_flash=cfg.flash_attention,
+                    nh, hd, depth=cfg.depth_for(bi),
+                    use_flash=cfg.flash_attention,
                     use_fused_cross=cfg.fused_cross_attention,
                     groups=cfg.norm_num_groups, dtype=self.dtype,
                     name=f"down_{bi}_attn_{li}",
@@ -260,6 +261,7 @@ class UNet2DCondition(nn.Module):
     def _up_block(self, x, bi, ch, temb, ctx, pww, skips):
         cfg = self.config
         has_attn = cfg.up_block_has_attn[bi]
+        depth = cfg.depth_for(len(cfg.block_out_channels) - 1 - bi)
         for li in range(cfg.layers_per_block + 1):
             skip = skips.pop()
             x = jnp.concatenate([x, skip], axis=-1)
@@ -269,7 +271,8 @@ class UNet2DCondition(nn.Module):
             if has_attn:
                 nh, hd = cfg.heads_for(ch)
                 x = Transformer2D(
-                    nh, hd, use_flash=cfg.flash_attention,
+                    nh, hd, depth=depth,
+                    use_flash=cfg.flash_attention,
                     use_fused_cross=cfg.fused_cross_attention,
                     groups=cfg.norm_num_groups, dtype=self.dtype,
                     name=f"up_{bi}_attn_{li}",
@@ -296,6 +299,7 @@ class UNet2DCondition(nn.Module):
         mid_block_residual: Optional[jnp.ndarray] = None,
         cache_mode: Optional[str] = None,  # None | "collect" | "use"
         cached_feature: Optional[jnp.ndarray] = None,
+        added_cond: Optional[dict] = None,  # SDXL: {"text_embeds", "time_ids"}
     ) -> jnp.ndarray:
         """Forward pass; optional DeepCache shallow execution.
 
@@ -315,6 +319,26 @@ class UNet2DCondition(nn.Module):
         temb = TimestepEmbedding(temb_dim, self.dtype, name="time_embedding")(
             t_emb.astype(self.dtype)
         )
+        if cfg.addition_embed_type == "text_time":
+            # SDXL micro-conditioning: pooled text embedding + fourier
+            # embeddings of (orig_h, orig_w, crop_top, crop_left, tgt_h,
+            # tgt_w), concatenated and run through a second TimestepEmbedding
+            # MLP, added to the timestep embedding.
+            if added_cond is None:
+                raise ValueError(
+                    'addition_embed_type="text_time" requires added_cond='
+                    '{"text_embeds": (B, D_pool), "time_ids": (B, 6)}'
+                )
+            time_ids = added_cond["time_ids"]
+            add_t = timestep_embedding(
+                time_ids.reshape(-1), cfg.addition_time_embed_dim
+            ).reshape(time_ids.shape[0], -1)
+            add_in = jnp.concatenate(
+                [added_cond["text_embeds"].astype(jnp.float32), add_t], axis=-1
+            )
+            temb = temb + TimestepEmbedding(
+                temb_dim, self.dtype, name="add_embedding"
+            )(add_in.astype(self.dtype))
         ctx = encoder_hidden_states.astype(self.dtype)
 
         x = nn.Conv(
@@ -359,7 +383,8 @@ class UNet2DCondition(nn.Module):
         x = ResnetBlock(ch, cfg.norm_num_groups, self.dtype, name="mid_resnet_0")(x, temb)
         nh, hd = cfg.heads_for(ch)
         x = Transformer2D(
-            nh, hd, use_flash=cfg.flash_attention,
+            nh, hd, depth=cfg.depth_for(n_blocks - 1),
+            use_flash=cfg.flash_attention,
             use_fused_cross=cfg.fused_cross_attention,
             groups=cfg.norm_num_groups, dtype=self.dtype, name="mid_attn",
         )(x, ctx, pww)

@@ -32,7 +32,9 @@ from ..ops.weight_functions import AnyWeightFunction, as_weight_function
 from ..schedulers.schedules import Schedule, make_scheduler
 from ..types import PwwState
 
-LATENT_SCALE = 0.18215  # SD VAE scaling (reference paint_with_words.py:49, 463)
+LATENT_SCALE = 0.18215  # SD-1.x/2.x VAE scaling (reference paint_with_words.py:49,
+# 463). SDXL ships 0.13025 — always read VAEConfig.scaling_factor; this
+# constant remains only as the historical default.
 
 
 # --------------------------------------------------------------------------
@@ -43,7 +45,7 @@ LATENT_SCALE = 0.18215  # SD VAE scaling (reference paint_with_words.py:49, 463)
 
 def _cfg_eps_fns(
     unet, unet_params, text_states, n, controlnet, controlnet_params,
-    control_hint, controlnet_scale, extra_channels,
+    control_hint, controlnet_scale, extra_channels, added_cond=None,
 ):
     """(batched, split) classifier-free-guidance UNet evaluators.
 
@@ -70,6 +72,7 @@ def _cfg_eps_fns(
         eps = unet.apply(
             unet_params, lat2, t, text_states, pww=pww_t,
             down_block_residuals=down_res, mid_block_residual=mid_res,
+            added_cond=added_cond,
         )
         return eps[:n].astype(jnp.float32), eps[n:].astype(jnp.float32)
 
@@ -101,6 +104,8 @@ def _cfg_eps_fns(
                 unet.apply(
                     unet_params, li, t, text_states[half], pww=p,
                     down_block_residuals=down_res, mid_block_residual=mid_res,
+                    added_cond=None if added_cond is None
+                    else {k: v[half] for k, v in added_cond.items()},
                 ).astype(jnp.float32)
             )
         return eps[0], eps[1]
@@ -125,6 +130,7 @@ def _denoise_scan(
     t_start: int = 0,
     cfg_batched: bool = True,
     cache_interval: int = 1,
+    added_cond: Optional[dict] = None,  # SDXL (2N-batched text_embeds/time_ids)
 ) -> jnp.ndarray:
     """Full denoise loop as one scan. Returns final latents (N, h, w, C).
 
@@ -142,7 +148,7 @@ def _denoise_scan(
     compute_dtype = unet.dtype
     unet_eps_batched, unet_eps_split = _cfg_eps_fns(
         unet, unet_params, text_states, n, controlnet, controlnet_params,
-        control_hint, controlnet_scale, extra_channels,
+        control_hint, controlnet_scale, extra_channels, added_cond,
     )
     prediction_type = unet.config.prediction_type
 
@@ -179,7 +185,7 @@ def _denoise_scan(
             def run_full(lat2):
                 eps, f = unet.apply(
                     unet_params, lat2, t, text_states, pww=pww_t,
-                    cache_mode="collect",
+                    cache_mode="collect", added_cond=added_cond,
                 )
                 return eps, f.astype(feat.dtype)
 
@@ -187,6 +193,7 @@ def _denoise_scan(
                 eps = unet.apply(
                     unet_params, lat2, t, text_states, pww=pww_t,
                     cache_mode="use", cached_feature=feat,
+                    added_cond=added_cond,
                 )
                 return eps, feat
 
@@ -236,7 +243,10 @@ run_denoise = functools.partial(
 
 def _decode_uint8(vae: AutoencoderKL, vae_params, latents: jnp.ndarray):
     """Latents → uint8 RGB (reference `_pil_from_latents`, :48-57)."""
-    img = vae.apply(vae_params, latents / LATENT_SCALE, method=AutoencoderKL.decode)
+    img = vae.apply(
+        vae_params, latents / vae.config.scaling_factor,
+        method=AutoencoderKL.decode,
+    )
     img = jnp.clip(img.astype(jnp.float32) / 2 + 0.5, 0.0, 1.0)
     return jnp.round(img * 255.0).astype(jnp.uint8)
 
@@ -265,6 +275,7 @@ def run_denoise_decode(
     t_start: int = 0,
     cfg_batched: bool = True,
     cache_interval: int = 1,
+    added_cond=None,
 ):
     """Denoise scan + VAE decode + uint8 conversion as ONE compiled program —
     a single device dispatch per image (the separate-stage path pays one
@@ -274,7 +285,7 @@ def run_denoise_decode(
         unet, unet_params, latents, text_states, pww, schedule,
         guidance_scale, extra_channels, controlnet, controlnet_params,
         control_hint, controlnet_scale, step_rng, t_start, cfg_batched,
-        cache_interval,
+        cache_interval, added_cond,
     )
     return _decode_uint8(vae, vae_params, latents)
 
@@ -301,6 +312,7 @@ def run_denoise_segment(
     step_rng=None,
     seg_len: int = 1,
     cfg_batched: bool = True,
+    added_cond=None,
 ):
     """A ``seg_len``-step slice of the denoise loop with explicit scheduler
     state — lets the host observe latents between segments (per-step
@@ -311,7 +323,7 @@ def run_denoise_segment(
     compute_dtype = unet.dtype
     unet_eps_batched, unet_eps_split = _cfg_eps_fns(
         unet, unet_params, text_states, n, controlnet, controlnet_params,
-        control_hint, controlnet_scale, extra_channels,
+        control_hint, controlnet_scale, extra_channels, added_cond,
     )
     prediction_type = unet.config.prediction_type
 
@@ -348,6 +360,19 @@ def run_encode_text(clip: CLIPTextEncoder, clip_params, ids: jnp.ndarray) -> jnp
     return clip.apply(clip_params, ids)
 
 
+@functools.partial(jax.jit, static_argnames=("clip", "clip2"))
+def run_encode_text_xl(
+    clip: CLIPTextEncoder, clip2: CLIPTextEncoder,
+    clip_params, clip2_params, ids: jnp.ndarray, ids2: jnp.ndarray,
+):
+    """SDXL dual-encoder conditioning: penultimate hidden states of both
+    towers concatenated (→ 2048-dim context) + the bigG projected pooled
+    embedding (diffusers StableDiffusionXLPipeline.encode_prompt semantics)."""
+    h1 = clip.apply(clip_params, ids, output="penultimate")
+    h2, pooled = clip2.apply(clip2_params, ids2, output="penultimate_and_pooled")
+    return jnp.concatenate([h1, h2], axis=-1), pooled
+
+
 class PwwPipeline:
     """Stable-Diffusion paint-with-words pipeline (txt2img / img2img / inpaint).
 
@@ -362,6 +387,7 @@ class PwwPipeline:
         config: SDModelConfig = None,
         params: Optional[Dict] = None,
         tokenizer=None,
+        tokenizer_2=None,  # SDXL second tokenizer (defaults to `tokenizer`)
         scheduler: str = "lms",
         compute_dtype=jnp.bfloat16,
         weights_dtype=jnp.bfloat16,
@@ -373,6 +399,10 @@ class PwwPipeline:
         self.compute_dtype = compute_dtype
         self.unet = UNet2DCondition(self.config.unet, dtype=compute_dtype)
         self.clip = CLIPTextEncoder(self.config.clip, dtype=compute_dtype)
+        self.clip2 = (
+            CLIPTextEncoder(self.config.clip2, dtype=compute_dtype)
+            if self.config.is_xl else None
+        )
         self.vae = AutoencoderKL(self.config.vae, dtype=compute_dtype)
         self.scheduler = make_scheduler(scheduler, self.config.scheduler)
         if tokenizer is None:
@@ -396,6 +426,9 @@ class PwwPipeline:
                 )
             tokenizer = toy_tokenizer(self.config.clip.vocab_size)
         self.tokenizer = tokenizer
+        self.tokenizer_2 = (
+            (tokenizer_2 or tokenizer) if self.config.is_xl else None
+        )
         self.controlnet = None
         self.controlnet_params = None
         self._text_cache: Dict = {}
@@ -423,7 +456,7 @@ class PwwPipeline:
     def init_params(self, seed: int = 0) -> Dict:
         """Random-init parameter pytrees (bench/test path; no checkpoint)."""
         cfg = self.config
-        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(seed), 3)
+        k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(seed), 4)
         # conv/dense param shapes are spatial-size independent: init tiny.
         h = w = 2 ** (len(cfg.unet.block_out_channels) - 1)
         ids = jnp.zeros((1, cfg.clip.max_position_embeddings), jnp.int32)
@@ -433,14 +466,26 @@ class PwwPipeline:
             jnp.float32,
         )
         lat = jnp.zeros((1, h, w, cfg.unet.in_channels), jnp.float32)
-        unet_p = self.unet.init(k2, lat, jnp.zeros((1,)), ctx)
+        added = None
+        if cfg.is_xl:
+            added = {
+                "text_embeds": jnp.zeros((1, cfg.clip2.projection_dim)),
+                "time_ids": jnp.zeros((1, 6)),
+            }
+        unet_p = self.unet.init(k2, lat, jnp.zeros((1,)), ctx, added_cond=added)
         img = jnp.zeros(
             (1, cfg.vae.scale_factor * 2, cfg.vae.scale_factor * 2,
              cfg.vae.in_channels),
             jnp.float32,
         )
         vae_p = self.vae.init(k3, img)
-        return {"unet": unet_p, "clip": clip_p, "vae": vae_p}
+        params = {"unet": unet_p, "clip": clip_p, "vae": vae_p}
+        if cfg.is_xl:
+            ids2 = jnp.zeros((1, cfg.clip2.max_position_embeddings), jnp.int32)
+            params["clip2"] = self.clip2.init(
+                k4, ids2, output="penultimate_and_pooled"
+            )
+        return params
 
     @classmethod
     def from_pretrained(
@@ -449,10 +494,12 @@ class PwwPipeline:
         """Load a converted / diffusers-layout checkpoint directory."""
         from ..weights.loader import load_pipeline_checkpoint
 
-        config, params, tokenizer = load_pipeline_checkpoint(model_path)
+        config, params, tokenizer, tokenizer_2 = load_pipeline_checkpoint(
+            model_path
+        )
         return cls(
             config=config, params=params, tokenizer=tokenizer,
-            scheduler=scheduler, **kwargs,
+            tokenizer_2=tokenizer_2, scheduler=scheduler, **kwargs,
         )
 
     def save_pretrained(self, path: str) -> None:
@@ -521,8 +568,15 @@ class PwwPipeline:
         return self
 
     # -- stages ----------------------------------------------------------------
-    def encode_text(self, ids: jnp.ndarray) -> jnp.ndarray:
-        return run_encode_text(self.clip, self.params["clip"], ids)
+    def encode_text(self, ids: jnp.ndarray, ids2: Optional[jnp.ndarray] = None):
+        if self.clip2 is None:
+            return run_encode_text(self.clip, self.params["clip"], ids)
+        if ids2 is None:
+            ids2 = ids
+        return run_encode_text_xl(
+            self.clip, self.clip2, self.params["clip"], self.params["clip2"],
+            ids, ids2,
+        )
 
     def encode_inputs(
         self,
@@ -541,12 +595,13 @@ class PwwPipeline:
             negative_prompt,
             weight_function,
             text_cache=self._text_cache,
+            tokenizer_2=self.tokenizer_2,
         )
 
     def _tile_cfg(self, enc: EncodedInputs, n: int):
         """(2, ...) CFG pair → (2N, ...) rows [uncond*N, cond*N]."""
         if n == 1:
-            return enc.text_states, enc.pww
+            return enc.text_states, enc.pww, enc.pooled
 
         def tile(x):
             return jnp.concatenate(
@@ -559,7 +614,8 @@ class PwwPipeline:
             if enc.pww.weight_orig is None
             else tile(enc.pww.weight_orig),
         )
-        return tile(enc.text_states), pww
+        pooled = None if enc.pooled is None else tile(enc.pooled)
+        return tile(enc.text_states), pww, pooled
 
     # -- generation --------------------------------------------------------------
     def generate(
@@ -587,6 +643,9 @@ class PwwPipeline:
         sharding: str = "batch",  # "batch" (dp over samples) | "spatial"
         rng: Optional[jax.Array] = None,
         cache_interval: int = 1,  # DeepCache: >1 = opt-in approximation
+        original_size: Optional[Tuple[int, int]] = None,  # SDXL micro-cond
+        crops_coords_top_left: Tuple[int, int] = (0, 0),
+        target_size: Optional[Tuple[int, int]] = None,
     ):
         """Unified txt2img / img2img / inpaint entry point.
 
@@ -653,7 +712,10 @@ class PwwPipeline:
             moments = run_encode_image(self.vae, self.params["vae"], init)
             key = rng if rng is not None else jax.random.PRNGKey(seed)
             k_sample, k_noise = jax.random.split(key)
-            init_lat = sample_from_moments(moments, k_sample) * LATENT_SCALE
+            init_lat = (
+                sample_from_moments(moments, k_sample)
+                * cfg.vae.scaling_factor
+            )
             init_lat = jnp.repeat(init_lat, n, axis=0)
             if inpaint:
                 # reference inpaint noises VAE latents at the strength-offset
@@ -687,7 +749,21 @@ class PwwPipeline:
             hint = jnp.asarray(arr)[None] if arr.ndim == 3 else jnp.asarray(arr)
             hint = jnp.repeat(hint, n, axis=0)
 
-        text_states, pww = self._tile_cfg(enc, n)
+        text_states, pww, pooled = self._tile_cfg(enc, n)
+        added_cond = None
+        if cfg.is_xl:
+            # micro-conditioning (diffusers _get_add_time_ids defaults:
+            # original = target = render size, crop (0, 0))
+            o_h, o_w = original_size or (height, width)
+            t_h, t_w = target_size or (height, width)
+            tid = jnp.asarray(
+                [o_h, o_w, crops_coords_top_left[0], crops_coords_top_left[1],
+                 t_h, t_w], jnp.float32,
+            )
+            added_cond = {
+                "text_embeds": pooled.astype(jnp.float32),
+                "time_ids": jnp.tile(tid[None], (2 * n, 1)),
+            }
         if self.mesh is not None:
             from ..parallel.mesh import replicate, shard_batch, shard_spatial
 
@@ -696,6 +772,8 @@ class PwwPipeline:
                 latents = shard_spatial(latents, self.mesh)
                 text_states = replicate(text_states, self.mesh)
                 pww = replicate(pww, self.mesh)
+                if added_cond is not None:
+                    added_cond = replicate(added_cond, self.mesh)
             else:
                 latents = shard_batch(latents, self.mesh)
                 text_states = shard_batch(text_states, self.mesh)
@@ -707,7 +785,13 @@ class PwwPipeline:
                     weight_orig=None if pww.weight_orig is None
                     else shard_batch(pww.weight_orig, self.mesh),
                 )
+                if added_cond is not None:
+                    added_cond = {
+                        k: shard_batch(v, self.mesh)
+                        for k, v in added_cond.items()
+                    }
         denoise_kwargs = dict(
+            added_cond=added_cond,
             extra_channels=extra,
             controlnet=controlnet,
             controlnet_params=controlnet_params,
@@ -834,6 +918,16 @@ class PwwPipeline:
             )
             for k in keys
         }
+        added_cond = None
+        if self.config.is_xl:
+            pooled = jnp.concatenate(
+                [e.pooled[:1] for e in encs] + [e.pooled[1:] for e in encs]
+            )
+            tid = jnp.asarray([h0, w0, 0, 0, h0, w0], jnp.float32)
+            added_cond = {
+                "text_embeds": pooled.astype(jnp.float32),
+                "time_ids": jnp.tile(tid[None], (2 * n, 1)),
+            }
         # Per-request full-res maps so bias_for()'s ORIG resize fallback works
         # in serving too (e.g. a 500x500 map whose rounded pyramid key differs
         # from the actual latent attention size, reference :96-101). Resolution
@@ -866,6 +960,7 @@ class PwwPipeline:
             latents, text_states, pww,
             schedule, jnp.float32(guidance_scale),
             cfg_batched=not isinstance(wf, CustomWeightFunction),
+            added_cond=added_cond,
             step_rng=(
                 jax.random.PRNGKey(0x5EED)
                 if schedule.kind == "euler_ancestral" else None
@@ -905,7 +1000,9 @@ class PwwPipeline:
 
         mask_lat = resize_nearest(mask[..., 0], h_lat, w_lat)[..., None]
         moments = run_encode_image(self.vae, self.params["vae"], masked)
-        masked_lat = jnp.split(moments, 2, axis=-1)[0] * LATENT_SCALE
+        masked_lat = (
+            jnp.split(moments, 2, axis=-1)[0] * self.config.vae.scaling_factor
+        )
         mask_lat = jnp.repeat(mask_lat, n, 0)
         masked_lat = jnp.repeat(masked_lat, n, 0)
         return jnp.concatenate(

@@ -127,6 +127,7 @@ class CLIPTokenizer:
         self.byte_decoder = {v: k for k, v in self.byte_encoder.items()}
         self.bos_token_id = self.encoder.get("<|startoftext|>", 49406)
         self.eos_token_id = self.encoder.get("<|endoftext|>", 49407)
+        self.pad_token_id = self.eos_token_id  # OpenCLIP towers use 0 ("!")
         self.model_max_length = MAX_LENGTH
         self._cache: Dict[str, str] = {}
         self.added_tokens: Dict[str, int] = {}
@@ -255,8 +256,9 @@ class CLIPTokenizer:
             ids = ids[: max_length - 2]
         ids = [self.bos_token_id] + ids + [self.eos_token_id]
         if padding and len(ids) < max_length:
-            # CLIP pads with eos token
-            ids = ids + [self.eos_token_id] * (max_length - len(ids))
+            # CLIP pads with eos; SDXL's tokenizer_2 sets pad_token_id = 0
+            pad = getattr(self, "pad_token_id", self.eos_token_id)
+            ids = ids + [pad] * (max_length - len(ids))
         return {"input_ids": ids}
 
     def decode(self, ids: Sequence[int]) -> str:

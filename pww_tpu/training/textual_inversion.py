@@ -62,8 +62,9 @@ class TIResult:
 def _encode_images(pipeline, images) -> jnp.ndarray:
     """Images → scaled VAE latents (posterior mean; deterministic)."""
     from ..models.vae import AutoencoderKL
-    from ..pipeline.pipeline import LATENT_SCALE, _preprocess_image
+    from ..pipeline.pipeline import _preprocess_image
 
+    scale = pipeline.config.vae.scaling_factor
     lats = []
     for im in images:
         x = _preprocess_image(im)
@@ -71,7 +72,7 @@ def _encode_images(pipeline, images) -> jnp.ndarray:
             pipeline.params["vae"], x, method=AutoencoderKL.encode_moments
         )
         mean = jnp.split(moments, 2, axis=-1)[0]
-        lats.append(mean * LATENT_SCALE)
+        lats.append(mean * scale)
     return jnp.concatenate(lats, axis=0).astype(jnp.float32)
 
 

@@ -22,7 +22,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import CLIPTextConfig, SDModelConfig, UNetConfig, VAEConfig
+from ..config import (CLIPTextConfig, SchedulerConfig, SDModelConfig,
+                      UNetConfig, VAEConfig)
 
 # ---------------------------------------------------------------------------
 # state-dict reading
@@ -154,6 +155,11 @@ def clip_key(path: Tuple[str, ...], rank: int) -> Tuple[str, Callable]:
         return "text_model.embeddings.token_embedding.weight", t_id
     if leaf == "position_embedding":
         return "text_model.embeddings.position_embedding.weight", t_id
+    if mods and mods[0] == "text_projection":
+        # CLIPTextModelWithProjection stores the head at the TOP level
+        # (not under text_model.) — SDXL text_encoder_2
+        torch_leaf, tf = _leaf_key(leaf, rank)
+        return f"text_projection.{torch_leaf}", tf
     parts = []
     for m in mods:
         mm = re.fullmatch(r"layers_(\d+)", m)
@@ -340,6 +346,9 @@ def config_from_checkpoint(model_path: str) -> SDModelConfig:
         num_heads, head_dim = 8, blocks[0] // ahd[0]
     else:
         num_heads, head_dim = ahd, None
+    tdepth = unet_cfg.get("transformer_layers_per_block")
+    if isinstance(tdepth, int):
+        tdepth = (tdepth,) * len(blocks)
     unet = UNetConfig(
         in_channels=unet_cfg.get("in_channels", 4),
         out_channels=unet_cfg.get("out_channels", 4),
@@ -358,16 +367,34 @@ def config_from_checkpoint(model_path: str) -> SDModelConfig:
                 ("CrossAttnDownBlock2D",) * 3 + ("DownBlock2D",),
             )
         ),
+        transformer_depth=None if tdepth is None else tuple(tdepth),
+        addition_embed_type=unet_cfg.get("addition_embed_type"),
+        addition_time_embed_dim=unet_cfg.get("addition_time_embed_dim", 256),
+        projection_class_embeddings_input_dim=unet_cfg.get(
+            "projection_class_embeddings_input_dim"
+        ),
     )
-    clip = CLIPTextConfig(
-        vocab_size=clip_cfg.get("vocab_size", 49408),
-        hidden_size=clip_cfg.get("hidden_size", 768),
-        intermediate_size=clip_cfg.get("intermediate_size", 3072),
-        num_layers=clip_cfg.get("num_hidden_layers", 12),
-        num_heads=clip_cfg.get("num_attention_heads", 12),
-        max_position_embeddings=clip_cfg.get("max_position_embeddings", 77),
-        hidden_act=clip_cfg.get("hidden_act", "quick_gelu"),
+
+    def _clip_config(d, default_act="quick_gelu"):
+        return CLIPTextConfig(
+            vocab_size=d.get("vocab_size", 49408),
+            hidden_size=d.get("hidden_size", 768),
+            intermediate_size=d.get("intermediate_size", 3072),
+            num_layers=d.get("num_hidden_layers", 12),
+            num_heads=d.get("num_attention_heads", 12),
+            max_position_embeddings=d.get("max_position_embeddings", 77),
+            hidden_act=d.get("hidden_act", default_act),
+            projection_dim=(
+                d.get("projection_dim") if d.get("architectures", [""])[0]
+                == "CLIPTextModelWithProjection" else None
+            ),
+        )
+
+    clip = _clip_config(clip_cfg)
+    clip2_cfg = _read_json(
+        os.path.join(model_path, "text_encoder_2", "config.json")
     )
+    clip2 = None if clip2_cfg is None else _clip_config(clip2_cfg, "gelu")
     vae = VAEConfig(
         latent_channels=vae_cfg.get("latent_channels", 4),
         block_out_channels=tuple(vae_cfg.get("block_out_channels", (128, 256, 512, 512))),
@@ -375,12 +402,13 @@ def config_from_checkpoint(model_path: str) -> SDModelConfig:
         norm_num_groups=vae_cfg.get("norm_num_groups", 32),
         scaling_factor=vae_cfg.get("scaling_factor", 0.18215),
     )
-    return SDModelConfig(clip=clip, unet=unet, vae=vae)
+    return SDModelConfig(clip=clip, unet=unet, vae=vae, clip2=clip2)
 
 
 def _load_native_checkpoint(model_path: str):
     """Load a dir produced by the ldm_convert CLI (params.msgpack + config.json)."""
-    from ..config import CLIPTextConfig, UNetConfig, VAEConfig
+    from ..config import (CLIPTextConfig, SchedulerConfig, UNetConfig,
+                          VAEConfig)
     from ..models.clip import CLIPTextEncoder
     from ..models.unet import UNet2DCondition
     from ..models.vae import AutoencoderKL
@@ -389,14 +417,23 @@ def _load_native_checkpoint(model_path: str):
     with open(os.path.join(model_path, "config.json")) as f:
         meta = json.load(f)
     m = meta["model"]
+    u = dict(m["unet"])
+    u["block_out_channels"] = tuple(u["block_out_channels"])
+    u["down_block_has_attn"] = tuple(u["down_block_has_attn"])
+    if u.get("transformer_depth") is not None:
+        u["transformer_depth"] = tuple(u["transformer_depth"])
     config = SDModelConfig(
         clip=CLIPTextConfig(**m["clip"]),
-        unet=UNetConfig(
-            **{**m["unet"], "block_out_channels": tuple(m["unet"]["block_out_channels"]),
-               "down_block_has_attn": tuple(m["unet"]["down_block_has_attn"])}
-        ),
+        unet=UNetConfig(**u),
         vae=VAEConfig(
             **{**m["vae"], "block_out_channels": tuple(m["vae"]["block_out_channels"])}
+        ),
+        clip2=(
+            CLIPTextConfig(**m["clip2"]) if m.get("clip2") is not None else None
+        ),
+        scheduler=(
+            SchedulerConfig(**m["scheduler"]) if m.get("scheduler")
+            else SchedulerConfig()
         ),
     )
     rng = jax.random.PRNGKey(0)
@@ -404,12 +441,19 @@ def _load_native_checkpoint(model_path: str):
     unet = UNet2DCondition(config.unet)
     vae = AutoencoderKL(config.vae)
     h = w = 2 ** (len(config.unet.block_out_channels) - 1)
+    added = None
+    if config.is_xl:
+        added = {
+            "text_embeds": jnp.zeros((1, config.clip2.projection_dim)),
+            "time_ids": jnp.zeros((1, 6)),
+        }
     shapes = {
         "unet": jax.eval_shape(
             unet.init, rng, jnp.zeros((1, h, w, config.unet.in_channels)),
             jnp.zeros((1,)),
             jnp.zeros((1, config.clip.max_position_embeddings,
                        config.unet.cross_attention_dim)),
+            added_cond=added,
         ),
         "vae": jax.eval_shape(
             vae.init, rng,
@@ -421,6 +465,15 @@ def _load_native_checkpoint(model_path: str):
             jnp.zeros((1, config.clip.max_position_embeddings), jnp.int32),
         ),
     }
+    if config.is_xl:
+        clip2 = CLIPTextEncoder(config.clip2)
+        import functools
+
+        shapes["clip2"] = jax.eval_shape(
+            functools.partial(clip2.init, output="penultimate_and_pooled"),
+            rng,
+            jnp.zeros((1, config.clip2.max_position_embeddings), jnp.int32),
+        )
     import flax.serialization as ser
 
     with open(os.path.join(model_path, "params.msgpack"), "rb") as f:
@@ -436,20 +489,22 @@ def _load_native_checkpoint(model_path: str):
 
 
 def load_pipeline_checkpoint(model_path: str):
-    """Load (config, params, tokenizer) from a diffusers-layout directory.
+    """Load (config, params, tokenizer, tokenizer_2) from a checkpoint.
 
-    Single-file LDM ``.ckpt``/``.safetensors`` checkpoints are routed through
-    :mod:`pww_tpu.weights.ldm_convert` first (A1111-style models, reference
-    `change_model_path.py` / `README.md:269-299`).
+    ``tokenizer_2`` is None for single-encoder models. Diffusers-layout dirs
+    (incl. SDXL with text_encoder_2/tokenizer_2), native ``params.msgpack``
+    dumps, and single-file LDM ``.ckpt``/``.safetensors`` (routed through
+    :mod:`pww_tpu.weights.ldm_convert` — A1111-style models, reference
+    `change_model_path.py` / `README.md:269-299`) are supported.
     """
     if os.path.isfile(model_path):
         from .ldm_convert import load_ldm_checkpoint
 
-        return load_ldm_checkpoint(model_path)
+        return (*load_ldm_checkpoint(model_path), None)
 
     msgpack = os.path.join(model_path, "params.msgpack")
     if os.path.exists(msgpack):
-        return _load_native_checkpoint(model_path)
+        return (*_load_native_checkpoint(model_path), None)
 
     from ..models.clip import CLIPTextEncoder
     from ..models.unet import UNet2DCondition
@@ -482,4 +537,28 @@ def load_pipeline_checkpoint(model_path: str):
 
     tokenizer = CLIPTokenizer.from_dir(model_path)
     params = {"unet": unet_params, "clip": clip_params, "vae": vae_params}
-    return config, params, tokenizer
+
+    tokenizer_2 = None
+    if config.is_xl:
+        clip2 = CLIPTextEncoder(config.clip2)
+        ids2 = jnp.zeros((1, config.clip2.max_position_embeddings), jnp.int32)
+        import functools
+
+        clip2_shapes = jax.eval_shape(
+            functools.partial(clip2.init, output="penultimate_and_pooled"),
+            rng, ids2,
+        )
+        clip2_state = read_state_dict(
+            _find_weights_file(os.path.join(model_path, "text_encoder_2"))
+        )
+        params["clip2"] = fill_params(
+            clip2_shapes, clip2_state, clip_key, name="clip2"
+        )
+        t2dir = os.path.join(model_path, "tokenizer_2")
+        tokenizer_2 = (
+            CLIPTokenizer.from_dir(t2dir) if os.path.isdir(t2dir) else tokenizer
+        )
+        if hasattr(tokenizer_2, "__dict__") and tokenizer_2 is not tokenizer:
+            # OpenCLIP-style tokenizer_2 pads with "!" (id 0), not EOS
+            tokenizer_2.pad_token_id = 0
+    return config, params, tokenizer, tokenizer_2

@@ -1,0 +1,174 @@
+"""SDXL family: dual-encoder conditioning, micro-conditioning, loaders.
+
+Beyond the reference (SD-1.x only); parity target is diffusers'
+StableDiffusionXLPipeline semantics — penultimate hidden states of both text
+towers concatenated, bigG projected pooled embedding, and text_time
+(size/crop) micro-conditioning added to the timestep embedding.
+"""
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pww_tpu.config import CLIPTextConfig, SDModelConfig
+from pww_tpu.models.clip import CLIPTextEncoder
+from pww_tpu.pipeline.pipeline import PwwPipeline
+from pww_tpu.weights.loader import clip_key, fill_params
+
+
+@pytest.fixture(scope="module")
+def pipe_xl():
+    return PwwPipeline(config=SDModelConfig.tiny_xl())
+
+
+def _cm(size=64):
+    cm = np.zeros((size, size, 3), np.uint8)
+    cm[:, : size // 2] = (255, 0, 0)
+    return cm
+
+
+def test_clip2_matches_transformers_with_projection():
+    """Penultimate hidden state + projected pooled embedding must match a
+    real transformers.CLIPTextModelWithProjection forward (the SDXL
+    text_encoder_2 contract)."""
+    import torch
+    from transformers import CLIPTextConfig as HFConfig
+    from transformers import CLIPTextModelWithProjection
+
+    hf_cfg = HFConfig(
+        vocab_size=100, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=3, num_attention_heads=4,
+        max_position_embeddings=77, hidden_act="gelu",
+        projection_dim=24, eos_token_id=99,
+    )
+    torch.manual_seed(0)
+    model = CLIPTextModelWithProjection(hf_cfg).eval()
+    state = {k: v.numpy() for k, v in model.state_dict().items()}
+
+    cfg = CLIPTextConfig(
+        vocab_size=100, hidden_size=32, intermediate_size=64,
+        num_layers=3, num_heads=4, max_position_embeddings=77,
+        hidden_act="gelu", projection_dim=24,
+    )
+    enc = CLIPTextEncoder(cfg)
+    # EOS (max id, 99) mid-sequence, sub-eos padding after it
+    ids = np.array([[1, 5, 9, 3, 99] + [7] * 72], np.int64)
+    import functools
+
+    shapes = jax.eval_shape(
+        functools.partial(enc.init, output="penultimate_and_pooled"),
+        jax.random.PRNGKey(0), jnp.asarray(ids, jnp.int32),
+    )
+    params = fill_params(shapes, state, clip_key, name="clip2")
+
+    pen, pooled = enc.apply(
+        params, jnp.asarray(ids, jnp.int32), output="penultimate_and_pooled"
+    )
+    with torch.no_grad():
+        out = model(torch.from_numpy(ids), output_hidden_states=True)
+    np.testing.assert_allclose(
+        np.asarray(pen), out.hidden_states[-2].numpy(), atol=2e-5, rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(pooled), out.text_embeds.numpy(), atol=2e-5, rtol=1e-4
+    )
+
+
+def test_tiny_xl_txt2img_and_bias_effect(pipe_xl):
+    kw = dict(prompt="a cat", color_map_image=_cm(),
+              num_inference_steps=2, seed=0, output_type="np")
+    a = pipe_xl.generate(color_context={(255, 0, 0): "cat,2.0"}, **kw)
+    b = pipe_xl.generate(color_context={(255, 0, 0): "cat,0.0"}, **kw)
+    assert a.shape == (1, 64, 64, 3)
+    assert np.abs(a.astype(int) - b.astype(int)).mean() > 0
+
+
+def test_tiny_xl_micro_conditioning_changes_output(pipe_xl):
+    """SDXL's size/crop time_ids must reach the UNet (different
+    original_size => different image, diffusers _get_add_time_ids)."""
+    kw = dict(prompt="a cat", color_map_image=_cm(),
+              color_context={(255, 0, 0): "cat,1.0"},
+              num_inference_steps=2, seed=0, output_type="np")
+    a = pipe_xl.generate(**kw)
+    b = pipe_xl.generate(original_size=(2048, 2048), **kw)
+    assert np.abs(a.astype(int) - b.astype(int)).mean() > 0
+
+
+def test_tiny_xl_save_load_roundtrip(pipe_xl, tmp_path):
+    """save_pretrained -> from_pretrained must reproduce XL generations
+    (exercises the native-checkpoint XL config + clip2 param paths)."""
+    kw = dict(prompt="a cat", color_map_image=_cm(),
+              color_context={(255, 0, 0): "cat,1.5"},
+              num_inference_steps=2, seed=3, output_type="np")
+    want = pipe_xl.generate(**kw)
+    d = str(tmp_path / "ckpt")
+    pipe_xl.save_pretrained(d)
+    pipe2 = PwwPipeline.from_pretrained(d)
+    assert pipe2.config.is_xl
+    got = pipe2.generate(**kw)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_tiny_xl_generate_batch_and_deepcache(pipe_xl):
+    reqs = [
+        dict(prompt="a cat", color_map_image=_cm(),
+             color_context={(255, 0, 0): "cat,1.5"}, seed=1),
+        dict(prompt="a dog", color_map_image=_cm(),
+             color_context={(255, 0, 0): "dog,0.5"}, seed=2),
+    ]
+    out = pipe_xl.generate_batch(reqs, num_inference_steps=2, output_type="np")
+    assert out.shape == (2, 64, 64, 3)
+    dc = pipe_xl.generate(
+        prompt="a cat", color_map_image=_cm(),
+        color_context={(255, 0, 0): "cat,1.5"},
+        num_inference_steps=4, seed=1, cache_interval=2, output_type="np",
+    )
+    assert dc.shape == (1, 64, 64, 3)
+
+
+def test_config_from_checkpoint_detects_sdxl(tmp_path):
+    """SDXL diffusers-layout config.json files -> is_xl config with
+    transformer depths, text_time embedding and bigG projection dim."""
+    from pww_tpu.weights.loader import config_from_checkpoint
+
+    def w(sub, d):
+        os.makedirs(tmp_path / sub, exist_ok=True)
+        with open(tmp_path / sub / "config.json", "w") as f:
+            json.dump(d, f)
+
+    w("unet", {
+        "block_out_channels": [320, 640, 1280],
+        "down_block_types": ["DownBlock2D", "CrossAttnDownBlock2D",
+                             "CrossAttnDownBlock2D"],
+        "attention_head_dim": [5, 10, 20],
+        "transformer_layers_per_block": [1, 2, 10],
+        "cross_attention_dim": 2048,
+        "addition_embed_type": "text_time",
+        "addition_time_embed_dim": 256,
+        "projection_class_embeddings_input_dim": 2816,
+        "sample_size": 128,
+    })
+    w("text_encoder", {"hidden_size": 768, "num_hidden_layers": 12,
+                       "architectures": ["CLIPTextModel"]})
+    w("text_encoder_2", {
+        "hidden_size": 1280, "intermediate_size": 5120,
+        "num_hidden_layers": 32, "num_attention_heads": 20,
+        "hidden_act": "gelu", "projection_dim": 1280,
+        "architectures": ["CLIPTextModelWithProjection"],
+    })
+    w("vae", {"scaling_factor": 0.13025,
+              "block_out_channels": [128, 256, 512, 512]})
+
+    cfg = config_from_checkpoint(str(tmp_path))
+    assert cfg.is_xl
+    assert cfg.clip2.hidden_size == 1280 and cfg.clip2.projection_dim == 1280
+    assert cfg.unet.transformer_depth == (1, 2, 10)
+    assert cfg.unet.down_block_has_attn == (False, True, True)
+    assert cfg.unet.addition_embed_type == "text_time"
+    assert cfg.unet.projection_class_embeddings_input_dim == 2816
+    assert cfg.vae.scaling_factor == 0.13025
+    # head_dim derived from per-block head counts: 320/5 = 64
+    assert cfg.unet.attention_head_dim == 64
