@@ -81,16 +81,32 @@ class ControlNet(nn.Module):
         hint: jnp.ndarray,  # (B, 8h, 8w, 3) conditioning image in [0, 1]
         pww: Optional[PwwState] = None,
         conditioning_scale: float = 1.0,
+        added_cond: Optional[dict] = None,  # SDXL text_time micro-conditioning
     ) -> Tuple[Tuple[jnp.ndarray, ...], jnp.ndarray]:
         cfg = self.config
         if timesteps.ndim == 0:
             timesteps = jnp.broadcast_to(timesteps, (sample.shape[0],))
 
         t_emb = timestep_embedding(timesteps, cfg.block_out_channels[0])
+        temb_dim = cfg.block_out_channels[0] * cfg.time_embed_mult
         temb = TimestepEmbedding(
-            cfg.block_out_channels[0] * cfg.time_embed_mult, self.dtype,
-            name="time_embedding",
+            temb_dim, self.dtype, name="time_embedding",
         )(t_emb.astype(self.dtype))
+        if cfg.addition_embed_type == "text_time":
+            if added_cond is None:
+                raise ValueError(
+                    'text_time ControlNet requires added_cond (SDXL)'
+                )
+            time_ids = added_cond["time_ids"]
+            add_t = timestep_embedding(
+                time_ids.reshape(-1), cfg.addition_time_embed_dim
+            ).reshape(time_ids.shape[0], -1)
+            add_in = jnp.concatenate(
+                [added_cond["text_embeds"].astype(jnp.float32), add_t], axis=-1
+            )
+            temb = temb + TimestepEmbedding(
+                temb_dim, self.dtype, name="add_embedding"
+            )(add_in.astype(self.dtype))
         ctx = encoder_hidden_states.astype(self.dtype)
 
         x = nn.Conv(
@@ -113,7 +129,8 @@ class ControlNet(nn.Module):
                 if has_attn:
                     nh, hd = cfg.heads_for(ch)
                     x = Transformer2D(
-                        nh, hd, groups=cfg.norm_num_groups,
+                        nh, hd, depth=cfg.depth_for(bi),
+                        groups=cfg.norm_num_groups,
                         dtype=self.dtype, name=f"down_{bi}_attn_{li}",
                     )(x, ctx, pww)
                 residuals.append(
@@ -131,7 +148,8 @@ class ControlNet(nn.Module):
         x = ResnetBlock(ch, cfg.norm_num_groups, self.dtype, name="mid_resnet_0")(x, temb)
         nh, hd = cfg.heads_for(ch)
         x = Transformer2D(
-            nh, hd, groups=cfg.norm_num_groups, dtype=self.dtype,
+            nh, hd, depth=cfg.depth_for(len(cfg.block_out_channels) - 1),
+            groups=cfg.norm_num_groups, dtype=self.dtype,
             name="mid_attn",
         )(x, ctx, pww)
         x = ResnetBlock(ch, cfg.norm_num_groups, self.dtype, name="mid_resnet_1")(x, temb)

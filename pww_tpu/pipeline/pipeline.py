@@ -65,6 +65,7 @@ def _cfg_eps_fns(
                 controlnet_params, lat2, t, text_states,
                 hint2.astype(compute_dtype), pww=pww_t,
                 conditioning_scale=controlnet_scale,
+                added_cond=added_cond,
             )
         if extra_channels is not None:
             ec = jnp.concatenate([extra_channels] * 2, axis=0)
@@ -95,6 +96,8 @@ def _cfg_eps_fns(
                     controlnet_params, li, t, text_states[half],
                     control_hint.astype(compute_dtype), pww=p,
                     conditioning_scale=controlnet_scale,
+                    added_cond=None if added_cond is None
+                    else {k: v[half] for k, v in added_cond.items()},
                 )
             if extra_channels is not None:
                 li = jnp.concatenate(
@@ -557,6 +560,14 @@ class PwwPipeline:
         else:
             h = w = 2 ** (len(self.config.unet.block_out_channels) - 1)
             sf = self.config.vae.scale_factor
+            added = None
+            if self.config.is_xl:
+                added = {
+                    "text_embeds": jnp.zeros(
+                        (1, self.config.clip2.projection_dim)
+                    ),
+                    "time_ids": jnp.zeros((1, 6)),
+                }
             self.controlnet_params = self.controlnet.init(
                 jax.random.PRNGKey(seed),
                 jnp.zeros((1, h, w, self.config.unet.in_channels)),
@@ -564,6 +575,7 @@ class PwwPipeline:
                 jnp.zeros((1, self.config.clip.max_position_embeddings,
                            self.config.unet.cross_attention_dim)),
                 jnp.zeros((1, h * sf, w * sf, 3)),
+                added_cond=added,
             )
         return self
 

@@ -172,3 +172,41 @@ def test_config_from_checkpoint_detects_sdxl(tmp_path):
     assert cfg.vae.scaling_factor == 0.13025
     # head_dim derived from per-block head counts: 320/5 = 64
     assert cfg.unet.attention_head_dim == 64
+
+
+def test_tiny_xl_controlnet(pipe_xl):
+    """ControlNet on the XL config: text_time conditioning in the control
+    branch too (diffusers ControlNetModel for SDXL has its own add_embedding)."""
+    import copy
+
+    pipe = PwwPipeline(config=SDModelConfig.tiny_xl())
+    pipe.load_controlnet()
+    cm = _cm()
+    hint = np.zeros((64, 64, 3), np.uint8)
+    hint[20:40, 20:40] = 255
+    out = pipe.generate(
+        prompt="a cat", color_map_image=cm,
+        color_context={(255, 0, 0): "cat,1.5"},
+        control_image=hint, num_inference_steps=2, seed=0, output_type="np",
+    )
+    assert out.shape == (1, 64, 64, 3)
+    # fresh zero-convs make the ControlNet a no-op by design; perturb them so
+    # the residuals (and the XL add_embedding path feeding them) become visible
+    pipe.controlnet_params = jax.tree_util.tree_map_with_path(
+        lambda p, x: x + 0.05 if "zero_conv" in "".join(
+            str(getattr(k, "key", k)) for k in p
+        ) else x,
+        pipe.controlnet_params,
+    )
+    on = pipe.generate(
+        prompt="a cat", color_map_image=cm,
+        color_context={(255, 0, 0): "cat,1.5"},
+        control_image=hint, num_inference_steps=2, seed=0, output_type="np",
+    )
+    off = pipe.generate(
+        prompt="a cat", color_map_image=cm,
+        color_context={(255, 0, 0): "cat,1.5"},
+        control_image=hint, controlnet_conditioning_scale=0.0,
+        num_inference_steps=2, seed=0, output_type="np",
+    )
+    assert np.abs(on.astype(int) - off.astype(int)).mean() > 0
