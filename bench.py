@@ -140,7 +140,7 @@ def _denoise_flops(pipe, cm, kwargs, batch: int, size: int, steps: int):
         kwargs["prompt"], cm, kwargs["color_context"], "", None
     )
     schedule = pipe.scheduler.set_timesteps(steps)
-    text_states, pww = pipe._tile_cfg(enc, batch)
+    text_states, pww, _pooled = pipe._tile_cfg(enc, batch)
     sf = pipe.config.vae.scale_factor
     latents = make_noise(
         0, (batch, size // sf, size // sf, pipe.config.vae.latent_channels),

@@ -156,6 +156,9 @@ class Schedule(flax.struct.PyTreeNode):
             return jnp.zeros((5,) + tuple(shape), dtype)
         if self.kind == "dpmpp_2m":
             return jnp.zeros((1,) + tuple(shape), dtype)  # previous x0
+        if self.kind == "unipc":
+            # rows: [x0 pred at i-1, x0 pred at i-2, corrected sample at i-1]
+            return jnp.zeros((3,) + tuple(shape), dtype)
         if self.kind == "heun":
             # rows: [x at the step's start, first-visit derivative]
             return jnp.zeros((2,) + tuple(shape), dtype)
@@ -268,6 +271,42 @@ class Schedule(flax.struct.PyTreeNode):
             prev = jnp.sqrt(a_prev) * x0 + jnp.sqrt(1.0 - a_prev) * eps
             return prev.astype(sample.dtype), state
 
+        if self.kind == "unipc":
+            # UniPC-2 (Zhao et al. 2023), x0-prediction, B(h)=e^{hh}-1 ("bh2"),
+            # lower-order final step. Each scan step runs the UniC corrector
+            # on the CURRENT sample (re-derived from the previous sample with
+            # the new model information) and then the UniP predictor — one
+            # model evaluation per step, all exponential-integrator
+            # coefficients precomputed host-side.
+            tab = self.pndm_tables
+            x = sample.astype(jnp.float32)
+            eps = model_output.astype(jnp.float32)
+            a_i, s_i = tab["alpha_t"][i], tab["sigma_t"][i]
+            m_raw = (x - s_i * eps) / a_i  # x0 prediction at the raw sample
+            m1, m2, x_prev = (
+                state[0].astype(jnp.float32),
+                state[1].astype(jnp.float32),
+                state[2].astype(jnp.float32),
+            )
+            # --- corrector (skipped at step 0 via zeroed tables + where) ----
+            d1_hist = (m2 - m1) * tab["c_inv_r"][i]
+            x_c_base = tab["c_ratio"][i] * x_prev - a_i * tab["c_hphi1"][i] * m1
+            x_c = x_c_base - a_i * tab["c_bh"][i] * (
+                tab["c_rho_hist"][i] * d1_hist
+                + tab["c_rho_new"][i] * (m_raw - m1)
+            )
+            x = jnp.where(tab["use_corr"][i] > 0, x_c, x)
+            m = (x - s_i * eps) / a_i  # x0 re-derived at the corrected sample
+            # --- predictor to the next step ---------------------------------
+            d1_p = (m1 - m) * tab["p_inv_r"][i]
+            prev = (
+                tab["p_ratio"][i] * x
+                - tab["p_alpha_next"][i] * tab["p_hphi1"][i] * m
+                - tab["p_alpha_next"][i] * tab["p_bh"][i] * tab["p_rho"][i] * d1_p
+            )
+            new_state = jnp.stack([m, m1, x]).astype(state.dtype)
+            return prev.astype(sample.dtype), new_state
+
         raise ValueError(f"unknown scheduler kind {self.kind!r}")
 
     def add_noise(
@@ -329,6 +368,8 @@ class Scheduler:
             return self._set_timesteps_pndm(num_steps, alphas_cumprod)
         elif self.kind == "dpmpp_2m":
             return self._set_timesteps_dpmpp(num_steps, alphas_cumprod)
+        elif self.kind == "unipc":
+            return self._set_timesteps_unipc(num_steps, alphas_cumprod)
         else:
             raise ValueError(f"unknown scheduler kind {self.kind!r}")
 
@@ -522,6 +563,113 @@ class Scheduler:
                 "c1": jnp.asarray(c1, jnp.float32),
             },
             kind="dpmpp_2m",
+            num_steps=num_steps,
+        )
+
+
+    def _set_timesteps_unipc(self, num_steps: int, alphas_cumprod: np.ndarray) -> Schedule:
+        """UniPC-2 tables (Zhao et al. 2023, ``bh2`` variant, x0-prediction).
+
+        Per scan step ``i`` (sample x_i entering, one model eval producing
+        eps_i):
+          * UniC corrector: re-derive x_i from the PREVIOUS corrected sample
+            with the new x0 information —
+            ``x_i ← (σ_i/σ_{i-1})·x_{i-1} − α_i·φ₁·m_{i-1}
+                     − α_i·B(h)·(ρ_hist·D1_hist + ρ_new·(m_raw − m_{i-1}))``
+            where hh = −h, φ₁ = e^{hh}−1, B(h) = φ₁ (bh2), and (ρ_hist,
+            ρ_new) solve the 2×2 order system (ρ = 1/2 at the first
+            correctable step, where no D1 history exists).
+          * UniP predictor to x_{i+1} with ρ_p = 1/2 (order 2); the first and
+            final steps run first order (lower_order_final).
+        All coefficients depend only on the λ = log(α/σ) trajectory, so they
+        are host-precomputed into per-step tables.
+        """
+        cfg = self.config
+        t_int = np.linspace(
+            0, cfg.num_train_timesteps - 1, num_steps
+        ).round().astype(np.int64)[::-1].copy()
+        t_next = np.concatenate([t_int[1:], [0]])
+
+        ac = alphas_cumprod[t_int]
+        ac_n = alphas_cumprod[t_next]
+        alpha, sigma = np.sqrt(ac), np.sqrt(1 - ac)
+        alpha_n, sigma_n = np.sqrt(ac_n), np.sqrt(1 - ac_n)
+        lam = np.log(alpha) - np.log(sigma)  # increases along the trajectory
+
+        # ---- predictor tables (step i -> i+1) ----------------------------
+        lam_n = np.log(alpha_n) - np.log(np.maximum(sigma_n, 1e-12))
+        h_p = lam_n - lam
+        hh_p = -h_p
+        p_hphi1 = np.expm1(hh_p)
+        p_bh = np.expm1(hh_p)  # bh2
+        p_ratio = sigma_n / sigma
+        p_rho = np.full(num_steps, 0.5)
+        p_rho[0] = 0.0  # no history yet: first order
+        if num_steps > 1:
+            p_rho[-1] = 0.0  # lower_order_final
+        # r1 = (λ_{i-1} − λ_i) / h_p ; D1 = (m_{i-1} − m_i)/r1
+        p_inv_r = np.zeros(num_steps)
+        for i in range(1, num_steps):
+            if h_p[i] == 0:
+                continue  # degenerate no-op transition (duplicate timestep)
+            r1 = (lam[i - 1] - lam[i]) / h_p[i]
+            p_inv_r[i] = 1.0 / r1 if r1 != 0 else 0.0
+
+        # ---- corrector tables (correct x_i using x_{i-1} history) --------
+        use_corr = np.zeros(num_steps)
+        c_ratio = np.zeros(num_steps)
+        c_hphi1 = np.zeros(num_steps)
+        c_bh = np.zeros(num_steps)
+        c_rho_hist = np.zeros(num_steps)
+        c_rho_new = np.zeros(num_steps)
+        c_inv_r = np.zeros(num_steps)
+        for i in range(1, num_steps):
+            h = lam[i] - lam[i - 1]
+            hh = -h
+            phi1 = np.expm1(hh)
+            bh = np.expm1(hh)
+            use_corr[i] = 1.0
+            c_ratio[i] = sigma[i] / sigma[i - 1]
+            c_hphi1[i] = phi1
+            c_bh[i] = bh
+            if i == 1:
+                c_rho_new[i] = 0.5  # order-1 corrector: no D1 history
+            else:
+                r = (lam[i - 2] - lam[i - 1]) / h
+                c_inv_r[i] = 1.0 / r if r != 0 else 0.0
+                phi2 = phi1 / hh - 1.0
+                phi3 = phi2 / hh - 0.5
+                R = np.array([[1.0, 1.0], [r, 1.0]])
+                b = np.array([phi2 / bh, 2.0 * phi3 / bh])
+                rho = np.linalg.solve(R, b)
+                c_rho_hist[i], c_rho_new[i] = rho[0], rho[1]
+
+        sigmas = np.sqrt((1 - ac) / ac)  # PwW weight-fn sigma interface
+        return Schedule(
+            timesteps=jnp.asarray(t_int, jnp.float32),
+            sigmas=jnp.asarray(np.concatenate([sigmas, [0.0]]), jnp.float32),
+            init_noise_sigma=jnp.asarray(1.0, jnp.float32),
+            alphas_cumprod_t=jnp.asarray(ac, jnp.float32),
+            alphas_cumprod_prev=jnp.asarray(ac_n, jnp.float32),
+            lms_coeffs=None,
+            pndm_tables={
+                "alpha_t": jnp.asarray(alpha, jnp.float32),
+                "sigma_t": jnp.asarray(sigma, jnp.float32),
+                "p_ratio": jnp.asarray(p_ratio, jnp.float32),
+                "p_alpha_next": jnp.asarray(alpha_n, jnp.float32),
+                "p_hphi1": jnp.asarray(p_hphi1, jnp.float32),
+                "p_bh": jnp.asarray(p_bh, jnp.float32),
+                "p_rho": jnp.asarray(p_rho, jnp.float32),
+                "p_inv_r": jnp.asarray(p_inv_r, jnp.float32),
+                "use_corr": jnp.asarray(use_corr, jnp.float32),
+                "c_ratio": jnp.asarray(c_ratio, jnp.float32),
+                "c_hphi1": jnp.asarray(c_hphi1, jnp.float32),
+                "c_bh": jnp.asarray(c_bh, jnp.float32),
+                "c_rho_hist": jnp.asarray(c_rho_hist, jnp.float32),
+                "c_rho_new": jnp.asarray(c_rho_new, jnp.float32),
+                "c_inv_r": jnp.asarray(c_inv_r, jnp.float32),
+            },
+            kind="unipc",
             num_steps=num_steps,
         )
 

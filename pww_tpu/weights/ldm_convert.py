@@ -407,7 +407,8 @@ def _cli():
     )
     ap.add_argument(
         "--scheduler_type", default="lms",
-        choices=["lms", "euler", "euler_ancestral", "ddim", "pndm"],
+        choices=["lms", "euler", "euler_ancestral", "ddim", "pndm",
+                 "dpmpp_2m", "heun", "unipc"],
         help="recorded as the default scheduler for the converted model",
     )
     args = ap.parse_args()

@@ -365,3 +365,66 @@ def test_heun_pipeline_end_to_end():
         num_inference_steps=3, seed=0, output_type="np",
     )
     assert out.shape == (1, 64, 64, 3)
+
+
+def _run_alpha_space(kind, n, x_init, x0_fn):
+    """Drive an alpha-space scheduler with a synthetic x0-prediction model."""
+    sch = make_scheduler(kind).set_timesteps(n)
+    x = jnp.asarray(x_init, jnp.float32)
+    st = sch.init_state(x.shape, jnp.float32)
+    for i in range(sch.num_steps):
+        a = float(sch.alphas_cumprod_t[i])
+        m = x0_fn(np.asarray(x))
+        eps = (np.asarray(x) - np.sqrt(a) * m) / np.sqrt(1.0 - a)
+        x, st = sch.step(jnp.asarray(eps, jnp.float32), jnp.int32(i), x, st)
+    return np.asarray(x)
+
+
+def test_unipc_exact_for_constant_x0():
+    """Exponential integrators are EXACT when the x0 prediction is constant —
+    2 UniPC steps must land where 64 do (validates every coefficient sign)."""
+    x0 = np.full((1, 3, 3, 2), 0.37, np.float32)
+    x_init = np.random.default_rng(0).standard_normal((1, 3, 3, 2)).astype(np.float32)
+
+    def const_model(x):
+        return x0
+
+    few = _run_alpha_space("unipc", 2, x_init, const_model)
+    many = _run_alpha_space("unipc", 64, x_init, const_model)
+    np.testing.assert_allclose(few, many, rtol=1e-4, atol=1e-5)
+
+
+def test_unipc_converges_to_ode_solution():
+    """UniPC-2 must converge to the same probability-flow ODE solution as
+    DPM-Solver++ 2M (2048-step ground truth) with 2nd-order-like behavior."""
+    rng = np.random.default_rng(1)
+    x_init = rng.standard_normal((1, 4, 4, 1)).astype(np.float32)
+
+    def model(x):  # smooth nonlinear x0 prediction
+        return np.tanh(x)
+
+    # 500 steps: dense but below the 1000-train-timestep grid (a denser
+    # linspace would duplicate integer timesteps -> degenerate h=0 steps)
+    ref = _run_alpha_space("dpmpp_2m", 500, x_init, model)
+    scale = np.abs(ref).mean()
+    err = {n: np.abs(_run_alpha_space("unipc", n, x_init, model) - ref).max()
+           for n in (4, 8, 16)}
+    assert err[8] < err[4] and err[16] < err[8], err  # converging
+    assert err[16] < 0.04 * scale, (err, scale)
+    err_dpm8 = np.abs(_run_alpha_space("dpmpp_2m", 8, x_init, model) - ref).max()
+    assert err[8] < 3 * err_dpm8, (err[8], err_dpm8)  # same accuracy class
+
+
+def test_unipc_pipeline_end_to_end():
+    from pww_tpu.config import SDModelConfig
+    from pww_tpu.pipeline.pipeline import PwwPipeline
+
+    pipe = PwwPipeline(config=SDModelConfig.tiny(), scheduler="unipc")
+    cm = np.zeros((64, 64, 3), np.uint8)
+    cm[:, :32] = (255, 0, 0)
+    out = pipe.generate(
+        prompt="a cat", color_map_image=cm,
+        color_context={(255, 0, 0): "cat,1.0"},
+        num_inference_steps=4, seed=0, output_type="np",
+    )
+    assert out.shape == (1, 64, 64, 3)
