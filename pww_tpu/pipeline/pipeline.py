@@ -891,6 +891,7 @@ class PwwPipeline:
         weight_function: Optional[AnyWeightFunction] = None,
         noise_mode: str = "jax",
         output_type: str = "pil",
+        cache_interval: int = 1,
     ):
         """Heterogeneous-prompt batch: N independent PwW requests, ONE compiled
         denoise call (BASELINE config #5: batched multi-prompt PwW).
@@ -972,6 +973,7 @@ class PwwPipeline:
             latents, text_states, pww,
             schedule, jnp.float32(guidance_scale),
             cfg_batched=not isinstance(wf, CustomWeightFunction),
+            cache_interval=cache_interval,
             added_cond=added_cond,
             step_rng=(
                 jax.random.PRNGKey(0x5EED)

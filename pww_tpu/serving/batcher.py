@@ -32,6 +32,7 @@ def compat_key(req: Dict) -> Tuple:
         int(req.get("num_inference_steps", 30)),
         float(req.get("guidance_scale", 7.5)),
         repr(req.get("weight_function")),
+        int(req.get("cache_interval", 1)),
     )
 
 
@@ -105,6 +106,7 @@ class Batcher:
                     ),
                     guidance_scale=group[0].request.get("guidance_scale", 7.5),
                     weight_function=group[0].request.get("weight_function"),
+                    cache_interval=group[0].request.get("cache_interval", 1),
                 )
                 for p, img in zip(group, images):
                     p.future.set_result(img)

@@ -2,7 +2,10 @@
 
 POST /generate  {"prompt": ..., "color_context": {"#ff0000": "cat,1.0"},
                  "color_map_png_b64": ..., "seed": 0, "steps": 30,
-                 "guidance_scale": 7.5}
+                 "guidance_scale": 7.5,
+                 "weight_function": {"scale": 0.4, "sigma_mode":
+                     "log1p_sigma", "reduce_mode": "max"},   # optional
+                 "cache_interval": 1}  # >1 = DeepCache approximation
   → {"image_png_b64": ..., "latency_s": ...}
 GET  /healthz   → {"ok": true, "stats": {...}}
 
@@ -85,6 +88,11 @@ def make_handler(batcher: Batcher):
                                 (bw, bh), Image.NEAREST
                             )
                         )
+                wf = None
+                if req.get("weight_function"):
+                    from ..ops.weight_functions import WeightFunction
+
+                    wf = WeightFunction(**req["weight_function"])
                 t0 = time.time()
                 fut = batcher.submit(
                     {
@@ -95,6 +103,8 @@ def make_handler(batcher: Batcher):
                         "seed": int(req.get("seed", 0)),
                         "num_inference_steps": int(req.get("steps", 30)),
                         "guidance_scale": float(req.get("guidance_scale", 7.5)),
+                        "weight_function": wf,
+                        "cache_interval": int(req.get("cache_interval", 1)),
                     }
                 )
                 img = fut.result(timeout=600)

@@ -82,3 +82,23 @@ def test_batcher_propagates_errors(pipe):
             b.submit(bad).result(timeout=60)
     finally:
         b.close()
+
+
+def test_batcher_honors_weight_function_and_cache_interval(pipe):
+    """Structured weight-function specs and DeepCache intervals are part of
+    the compatibility key and flow into generate_batch (serving knobs)."""
+    from pww_tpu.ops.weight_functions import WeightFunction
+    from pww_tpu.serving.batcher import Batcher, compat_key
+
+    r1 = dict(_req("a cat", 0),
+              weight_function=WeightFunction(0.4, "log1p_sigma", "max"),
+              cache_interval=2)
+    r2 = {**r1, "cache_interval": 1}
+    assert compat_key(r1) != compat_key(r2)
+
+    b = Batcher(pipe, max_batch=4, max_wait_ms=50)
+    try:
+        img = b.submit(dict(r1)).result(timeout=600)
+        assert img.size == (64, 64)
+    finally:
+        b.close()
