@@ -34,4 +34,5 @@ from .pipeline.facade import (  # noqa: F401
 from .parallel.mesh import make_mesh  # noqa: F401
 from .pipeline.pipeline import PwwPipeline  # noqa: F401
 from .types import PwwState  # noqa: F401
+from .training import train_textual_inversion  # noqa: F401
 from .weights.textual_inversion import apply_textual_inversion  # noqa: F401

@@ -134,3 +134,22 @@ def test_spatial_sharding_pipeline():
     )
     rel = np.abs(got - ref).mean() / np.abs(ref).mean()
     assert rel < 1e-4, rel
+
+
+def test_sdxl_pipeline_with_mesh():
+    """SDXL conditioning (pooled embeds + time_ids) shards over dp alongside
+    the latents/text; dp x tp mesh end-to-end on the tiny XL config."""
+    import numpy as np
+
+    from pww_tpu.pipeline.pipeline import PwwPipeline
+
+    mesh = make_mesh(dp=4, tp=2, devices=jax.devices()[:8])
+    pipe = PwwPipeline(config=SDModelConfig.tiny_xl(), mesh=mesh)
+    cm = np.zeros((64, 64, 3), np.uint8)
+    cm[:, :32] = (255, 0, 0)
+    out = pipe.generate(
+        prompt="a cat", color_map_image=cm,
+        color_context={(255, 0, 0): "cat,1.0"},
+        num_inference_steps=2, seed=0, num_samples=4, output_type="np",
+    )
+    assert out.shape == (4, 64, 64, 3)
