@@ -513,6 +513,35 @@ class Scheduler:
         )
 
 
+    def _alpha_trajectory(
+        self, num_steps: int, alphas_cumprod: np.ndarray
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(timesteps, ᾱ_t, ᾱ_next) for the alpha-space multistep solvers.
+
+        With ``use_karras_sigmas`` the trajectory follows the Karras ρ=7 ramp
+        (σ ↦ ᾱ = 1/(1+σ²), fractional timesteps via log-sigma interpolation —
+        the "DPM++ 2M Karras" / "UniPC Karras" sampler variants); otherwise
+        the standard rounded-linspace integer timesteps. The final 'next'
+        alpha clamps to ᾱ[0] in both cases.
+        """
+        cfg = self.config
+        if cfg.use_karras_sigmas:
+            full = np.sqrt((1.0 - alphas_cumprod) / alphas_cumprod)
+            ts_lin = np.linspace(
+                0, cfg.num_train_timesteps - 1, num_steps, dtype=np.float64
+            )[::-1].copy()
+            lin = np.interp(ts_lin, np.arange(cfg.num_train_timesteps), full)
+            sig, ts = _karras_sigmas(lin, full, num_steps)
+            ac = 1.0 / (1.0 + sig ** 2)
+        else:
+            t_int = np.linspace(
+                0, cfg.num_train_timesteps - 1, num_steps
+            ).round().astype(np.int64)[::-1].copy()
+            ts = t_int.astype(np.float64)
+            ac = alphas_cumprod[t_int]
+        ac_next = np.concatenate([ac[1:], [alphas_cumprod[0]]])
+        return ts, ac, ac_next
+
     def _set_timesteps_dpmpp(self, num_steps: int, alphas_cumprod: np.ndarray) -> Schedule:
         """DPM-Solver++ 2M: second-order multistep in λ = log(α/σ) space with
         x0 (data) prediction. All exponential-integrator coefficients are
@@ -521,14 +550,7 @@ class Scheduler:
             x_{i+1} = (σ_{i+1}/σ_i)·x_i − α_{i+1}(e^{−h}−1)·D_i
         First and final steps run first order (lower_order_final stability).
         """
-        cfg = self.config
-        t_int = np.linspace(
-            0, cfg.num_train_timesteps - 1, num_steps
-        ).round().astype(np.int64)[::-1].copy()
-        t_prev = np.concatenate([t_int[1:], [0]])
-
-        ac_t = alphas_cumprod[t_int]
-        ac_p = alphas_cumprod[t_prev]
+        t_float, ac_t, ac_p = self._alpha_trajectory(num_steps, alphas_cumprod)
         alpha_t, sigma_t = np.sqrt(ac_t), np.sqrt(1 - ac_t)
         alpha_p, sigma_p = np.sqrt(ac_p), np.sqrt(1 - ac_p)
         lam_t = np.log(alpha_t) - np.log(sigma_t)
@@ -548,7 +570,7 @@ class Scheduler:
 
         sigmas = np.sqrt((1 - ac_t) / ac_t)  # PwW weight-fn sigma interface
         return Schedule(
-            timesteps=jnp.asarray(t_int, jnp.float32),
+            timesteps=jnp.asarray(t_float, jnp.float32),
             sigmas=jnp.asarray(np.concatenate([sigmas, [0.0]]), jnp.float32),
             init_noise_sigma=jnp.asarray(1.0, jnp.float32),
             alphas_cumprod_t=jnp.asarray(ac_t, jnp.float32),
@@ -584,14 +606,7 @@ class Scheduler:
         All coefficients depend only on the λ = log(α/σ) trajectory, so they
         are host-precomputed into per-step tables.
         """
-        cfg = self.config
-        t_int = np.linspace(
-            0, cfg.num_train_timesteps - 1, num_steps
-        ).round().astype(np.int64)[::-1].copy()
-        t_next = np.concatenate([t_int[1:], [0]])
-
-        ac = alphas_cumprod[t_int]
-        ac_n = alphas_cumprod[t_next]
+        t_float, ac, ac_n = self._alpha_trajectory(num_steps, alphas_cumprod)
         alpha, sigma = np.sqrt(ac), np.sqrt(1 - ac)
         alpha_n, sigma_n = np.sqrt(ac_n), np.sqrt(1 - ac_n)
         lam = np.log(alpha) - np.log(sigma)  # increases along the trajectory
@@ -646,7 +661,7 @@ class Scheduler:
 
         sigmas = np.sqrt((1 - ac) / ac)  # PwW weight-fn sigma interface
         return Schedule(
-            timesteps=jnp.asarray(t_int, jnp.float32),
+            timesteps=jnp.asarray(t_float, jnp.float32),
             sigmas=jnp.asarray(np.concatenate([sigmas, [0.0]]), jnp.float32),
             init_noise_sigma=jnp.asarray(1.0, jnp.float32),
             alphas_cumprod_t=jnp.asarray(ac, jnp.float32),

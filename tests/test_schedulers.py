@@ -428,3 +428,44 @@ def test_unipc_pipeline_end_to_end():
         num_inference_steps=4, seed=0, output_type="np",
     )
     assert out.shape == (1, 64, 64, 3)
+
+
+def test_karras_spacing_for_alpha_space_solvers():
+    """'DPM++ 2M Karras' / 'UniPC Karras': the alpha-space solvers follow the
+    Karras sigma ramp (same endpoints, different interior spacing, fractional
+    timesteps) and still converge for a constant-x0 model."""
+    cfg = SchedulerConfig(use_karras_sigmas=True)
+    for kind in ("dpmpp_2m", "unipc"):
+        sch_k = make_scheduler(kind, cfg).set_timesteps(10)
+        sch_l = make_scheduler(kind).set_timesteps(10)
+        sk = np.asarray(sch_k.sigmas)[:-1]
+        sl = np.asarray(sch_l.sigmas)[:-1]
+        np.testing.assert_allclose(sk[0], sl[0], rtol=1e-4)
+        np.testing.assert_allclose(sk[-1], sl[-1], rtol=1e-2)
+        assert (np.diff(sk) < 0).all()
+        assert np.abs(sk[1:-1] - sl[1:-1]).max() > 0.05, kind
+        ts = np.asarray(sch_k.timesteps)
+        assert (ts[:-1] > ts[1:]).all(), kind  # fractional but descending
+
+    # exponential-integrator exactness holds on the Karras grid too
+    x0 = np.full((1, 2, 2, 1), 0.4, np.float32)
+    x_init = np.random.default_rng(0).standard_normal((1, 2, 2, 1)).astype(np.float32)
+
+    def const_model(x):
+        return x0
+
+    import jax.numpy as _jnp
+
+    def run(kind, n):
+        sch = make_scheduler(kind, cfg).set_timesteps(n)
+        x = _jnp.asarray(x_init)
+        st = sch.init_state(x.shape, _jnp.float32)
+        for i in range(sch.num_steps):
+            a = float(sch.alphas_cumprod_t[i])
+            eps = (np.asarray(x) - np.sqrt(a) * x0) / np.sqrt(1 - a)
+            x, st = sch.step(_jnp.asarray(eps, _jnp.float32), _jnp.int32(i), x, st)
+        return np.asarray(x)
+
+    for kind in ("dpmpp_2m", "unipc"):
+        np.testing.assert_allclose(run(kind, 3), run(kind, 48),
+                                   rtol=2e-4, atol=2e-5, err_msg=kind)
