@@ -177,8 +177,6 @@ def test_config_from_checkpoint_detects_sdxl(tmp_path):
 def test_tiny_xl_controlnet(pipe_xl):
     """ControlNet on the XL config: text_time conditioning in the control
     branch too (diffusers ControlNetModel for SDXL has its own add_embedding)."""
-    import copy
-
     pipe = PwwPipeline(config=SDModelConfig.tiny_xl())
     pipe.load_controlnet()
     cm = _cm()
@@ -210,3 +208,26 @@ def test_tiny_xl_controlnet(pipe_xl):
         num_inference_steps=2, seed=0, output_type="np",
     )
     assert np.abs(on.astype(int) - off.astype(int)).mean() > 0
+
+
+def test_tiny_xl_inpaint_nine_channel():
+    """SDXL-inpainting (9-channel UNet) composes with the XL conditioning."""
+    import dataclasses
+
+    from PIL import Image
+
+    cfg = SDModelConfig.tiny_xl()
+    cfg = dataclasses.replace(
+        cfg, unet=dataclasses.replace(cfg.unet, in_channels=9)
+    )
+    pipe = PwwPipeline(config=cfg)
+    init = Image.fromarray(np.full((64, 64, 3), 120, np.uint8))
+    mask = np.zeros((64, 64), np.float32)
+    mask[16:48, 16:48] = 1.0
+    out = pipe.generate(
+        prompt="a cat", color_map_image=_cm(),
+        color_context={(255, 0, 0): "cat,1.0"},
+        init_image=init, mask_image=mask, strength=1.0,
+        num_inference_steps=2, seed=0, output_type="np",
+    )
+    assert out.shape == (1, 64, 64, 3)
