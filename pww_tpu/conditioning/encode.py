@@ -43,6 +43,7 @@ def encode_text_color_inputs(
     weight_function: Optional[AnyWeightFunction] = None,
     text_cache: Optional[Dict] = None,
     tokenizer_2=None,
+    zero_empty_negative: bool = False,  # SDXL force_zeros_for_empty_prompt
 ) -> EncodedInputs:
     """Host prologue: parse, tokenize, rasterize, CLIP-encode.
 
@@ -105,6 +106,11 @@ def encode_text_color_inputs(
         else:
             out = encode_text(ids)  # (2, T, D) or ((2,T,D), (2,Dp))
         text_states, pooled = out if isinstance(out, tuple) else (out, None)
+        if zero_empty_negative and negative_prompt == "" and pooled is not None:
+            # SDXL-base default: empty negative prompt -> all-zero uncond
+            # text + pooled embeddings (force_zeros_for_empty_prompt=true)
+            text_states = text_states.at[0].set(0.0)
+            pooled = pooled.at[0].set(0.0)
         if text_cache is not None:
             if len(text_cache) > 256:
                 text_cache.pop(next(iter(text_cache)))

@@ -26,6 +26,9 @@ class CLIPTextConfig:
     hidden_act: str = "quick_gelu"
     # text_projection output dim (SDXL pooled conditioning); None = no head
     projection_dim: Optional[int] = None
+    # EOS token id for pooled-output position (None -> argmax-of-ids
+    # fallback, which breaks if added/TI token ids exceed the EOS id)
+    eos_token_id: Optional[int] = None
 
     @staticmethod
     def sd15() -> "CLIPTextConfig":
@@ -43,6 +46,7 @@ class CLIPTextConfig:
         return CLIPTextConfig(
             hidden_size=1280, intermediate_size=5120, num_layers=32,
             num_heads=20, hidden_act="gelu", projection_dim=1280,
+            eos_token_id=49407,
         )
 
     @staticmethod
@@ -233,6 +237,10 @@ class SDModelConfig:
     scheduler: SchedulerConfig = dataclasses.field(default_factory=SchedulerConfig)
     # second text encoder (SDXL dual-CLIP); None for SD-1.x/2.x
     clip2: Optional[CLIPTextConfig] = None
+    # SDXL-base ships force_zeros_for_empty_prompt=true: an empty negative
+    # prompt uses ALL-ZERO uncond embeddings (text + pooled) instead of
+    # encoding "" (diffusers StableDiffusionXLPipeline.encode_prompt).
+    force_zeros_for_empty_prompt: bool = True
 
     @property
     def is_xl(self) -> bool:
@@ -262,6 +270,7 @@ class SDModelConfig:
         clip2 = CLIPTextConfig(
             vocab_size=1000, hidden_size=64, intermediate_size=128,
             num_layers=2, num_heads=4, hidden_act="gelu", projection_dim=64,
+            eos_token_id=1,  # toy tokenizer's eos
         )
         return SDModelConfig(
             clip=clip,

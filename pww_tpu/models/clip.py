@@ -108,7 +108,14 @@ class CLIPTextEncoder(nn.Module):
             raise ValueError(
                 "pooled output requires CLIPTextConfig.projection_dim"
             )
-        eos_pos = jnp.argmax(input_ids, axis=-1)  # CLIP: EOS has the max id
+        if cfg.eos_token_id is not None:
+            # first EOS occurrence — robust to added/TI token ids > EOS id
+            # (transformers CLIPTextModelWithProjection semantics)
+            eos_pos = jnp.argmax(
+                (input_ids == cfg.eos_token_id).astype(jnp.int32), axis=-1
+            )
+        else:
+            eos_pos = jnp.argmax(input_ids, axis=-1)  # CLIP: EOS = max id
         pooled = final[jnp.arange(final.shape[0]), eos_pos]
         pooled = nn.Dense(
             cfg.projection_dim, use_bias=False, dtype=self.dtype,

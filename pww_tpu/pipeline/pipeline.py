@@ -526,17 +526,13 @@ class PwwPipeline:
                  "scheduler_type": self.scheduler.kind},
                 f, indent=2,
             )
-        enc = getattr(self.tokenizer, "encoder", None)
-        ranks = getattr(self.tokenizer, "bpe_ranks", None)
-        if enc and ranks is not None:
-            tdir = os.path.join(path, "tokenizer")
-            os.makedirs(tdir, exist_ok=True)
-            with open(os.path.join(tdir, "vocab.json"), "w") as f:
-                json.dump(enc, f)
-            merges = sorted(ranks.items(), key=lambda kv: kv[1])
-            with open(os.path.join(tdir, "merges.txt"), "w") as f:
-                f.write("#version: 0.2\n")
-                f.writelines(f"{a} {b}\n" for (a, b), _ in merges)
+        from ..tokenizer.clip_bpe import save_tokenizer_assets
+
+        save_tokenizer_assets(self.tokenizer, os.path.join(path, "tokenizer"))
+        if self.tokenizer_2 is not None:
+            save_tokenizer_assets(
+                self.tokenizer_2, os.path.join(path, "tokenizer_2")
+            )
 
     # -- controlnet ------------------------------------------------------------
     def load_controlnet(self, source=None, params=None, seed: int = 0):
@@ -608,6 +604,9 @@ class PwwPipeline:
             weight_function,
             text_cache=self._text_cache,
             tokenizer_2=self.tokenizer_2,
+            zero_empty_negative=(
+                self.config.is_xl and self.config.force_zeros_for_empty_prompt
+            ),
         )
 
     def _tile_cfg(self, enc: EncodedInputs, n: int):
@@ -715,11 +714,17 @@ class PwwPipeline:
             t_start = _t_start_from_strength(
                 num_inference_steps, strength, cfg.scheduler.steps_offset
             )
-            if t_start > 0 and schedule.kind in ("pndm", "heun"):
+            if t_start > 0 and schedule.kind in ("pndm", "heun", "unipc",
+                                                 "dpmpp_2m"):
+                # pndm/heun: scan visits don't map 1:1 to trajectory steps;
+                # unipc/dpmpp_2m: the multistep corrector/blend tables at
+                # index t_start assume a populated history, but a truncated
+                # start carries zero-initialized state (lms is fine: a zero
+                # derivative history contributes zero terms, matching the
+                # reference's truncated-start behavior).
                 raise ValueError(
                     f"img2img strength truncation is not supported with the "
-                    f"{schedule.kind} scheduler (its scan visits don't map "
-                    f"1:1 to trajectory steps); use lms/euler/ddim"
+                    f"{schedule.kind} scheduler; use lms/euler/ddim"
                 )
             moments = run_encode_image(self.vae, self.params["vae"], init)
             key = rng if rng is not None else jax.random.PRNGKey(seed)
@@ -825,6 +830,14 @@ class PwwPipeline:
                 "cache_interval > 1 is not supported with per-step callbacks"
             )
 
+        def to_output(images: np.ndarray):
+            if output_type == "np":
+                return images
+            from PIL import Image
+
+            pil = [Image.fromarray(im) for im in images]
+            return pil[0] if n == 1 else pil
+
         # Fused single-dispatch path: denoise + decode in one program. Off
         # when the caller needs latents (return_latents) or per-phase timings
         # (profile=True keeps denoise/decode separable).
@@ -838,12 +851,7 @@ class PwwPipeline:
                     cfg_batched=cfg_batched, cache_interval=cache_interval,
                     **denoise_kwargs,
                 ))
-            if output_type == "np":
-                return images
-            from PIL import Image
-
-            pil = [Image.fromarray(im) for im in images]
-            return pil[0] if n == 1 else pil
+            return to_output(images)
         if callback is None:
             with phase("denoise"):
                 latents, _ = run_denoise(
@@ -874,12 +882,7 @@ class PwwPipeline:
         with phase("decode"):
             images = run_decode(self.vae, self.params["vae"], latents)
             images = np.asarray(images)
-        if output_type == "np":
-            return images
-        from PIL import Image
-
-        pil = [Image.fromarray(im) for im in images]
-        return pil[0] if n == 1 else pil
+        return to_output(images)
 
     __call__ = generate
 

@@ -153,7 +153,11 @@ class CLIPTokenizer:
     # -- loading -------------------------------------------------------------
     @classmethod
     def from_dir(cls, path: str) -> "CLIPTokenizer":
-        """Load from a diffusers-layout dir (``tokenizer/vocab.json`` etc.)."""
+        """Load from a diffusers-layout dir (``tokenizer/vocab.json`` etc.).
+
+        Honors ``tokenizer_config.json``'s ``pad_token_id`` when present
+        (SDXL's tokenizer_2 pads with "!" = id 0, not EOS).
+        """
         for sub in ("", "tokenizer"):
             base = os.path.join(path, sub)
             vj, mt = os.path.join(base, "vocab.json"), os.path.join(base, "merges.txt")
@@ -166,7 +170,14 @@ class CLIPTokenizer:
                     tuple(l.split()) for l in lines
                     if l and not l.startswith("#version") and len(l.split()) == 2
                 ]
-                return cls(vocab, merges)
+                tok = cls(vocab, merges)
+                tc = os.path.join(base, "tokenizer_config.json")
+                if os.path.exists(tc):
+                    with open(tc, encoding="utf-8") as f:
+                        conf = json.load(f)
+                    if isinstance(conf.get("pad_token_id"), int):
+                        tok.pad_token_id = conf["pad_token_id"]
+                return tok
         raise FileNotFoundError(f"no vocab.json/merges.txt under {path!r}")
 
     @classmethod
@@ -320,6 +331,31 @@ def toy_tokenizer(vocab_size: int = 1000) -> CLIPTokenizer:
             return " ".join(str(i) for i in ids)
 
     return _Toy(vocab_size)
+
+
+def save_tokenizer_assets(tokenizer, tdir: str) -> bool:
+    """Write ``vocab.json`` + ``merges.txt`` (+ ``tokenizer_config.json``
+    with the pad id) for a real-BPE tokenizer; returns False for toy/hashed
+    tokenizers with no serializable vocab. Shared by
+    ``PwwPipeline.save_pretrained`` and the LDM converter CLI."""
+    enc = getattr(tokenizer, "encoder", None)
+    ranks = getattr(tokenizer, "bpe_ranks", None)
+    if not enc or ranks is None:
+        return False
+    os.makedirs(tdir, exist_ok=True)
+    with open(os.path.join(tdir, "vocab.json"), "w", encoding="utf-8") as f:
+        json.dump(enc, f)
+    with open(os.path.join(tdir, "merges.txt"), "w", encoding="utf-8") as f:
+        f.write("#version: 0.2\n")
+        f.writelines(
+            f"{a} {b}\n"
+            for (a, b), _ in sorted(ranks.items(), key=lambda kv: kv[1])
+        )
+    with open(os.path.join(tdir, "tokenizer_config.json"), "w") as f:
+        json.dump({"pad_token_id": getattr(
+            tokenizer, "pad_token_id", tokenizer.eos_token_id
+        )}, f)
+    return True
 
 
 def pad_to_length(ids: List[int], length: int, pad_id: int) -> List[int]:

@@ -245,7 +245,7 @@ def convert_ldm_state_dict(
 
 
 def detect_ldm_config(
-    state: Dict[str, np.ndarray],
+    ckpt_meta: Dict,
     unet_sd: Dict[str, np.ndarray],
     prediction_type: str = "auto",
 ) -> SDModelConfig:
@@ -256,8 +256,10 @@ def detect_ldm_config(
     covers SD-2.x single files: cross-attention context dim 768 → SD-1.x,
     1024 → SD-2.x, where ``global_step == 110000`` marks the 512-base
     epsilon model and anything else the 768-v v-prediction model (the same
-    heuristic diffusers' single-file loader uses). ``prediction_type`` may
-    force "epsilon"/"v_prediction" explicitly.
+    heuristic diffusers' single-file loader uses). ``ckpt_meta`` carries the
+    checkpoint's non-tensor header fields (``read_state_dict(...,
+    return_meta=True)``) — global_step sits OUTSIDE state_dict.
+    ``prediction_type`` may force "epsilon"/"v_prediction" explicitly.
     """
     import dataclasses
 
@@ -271,7 +273,7 @@ def detect_ldm_config(
 
     if ctx_dim == 1024:
         if prediction_type == "auto":
-            step = state.get("global_step")
+            step = ckpt_meta.get("global_step")
             step = int(np.asarray(step)) if step is not None else None
             v_pred = step != 110000
         else:
@@ -348,10 +350,12 @@ def load_ldm_checkpoint(
     from ..models.vae import AutoencoderKL
     from ..tokenizer.clip_bpe import toy_tokenizer
 
-    state = read_state_dict(path)
+    state, ckpt_meta = read_state_dict(path, return_meta=True)
     unet_sd, vae_sd, clip_sd = convert_ldm_state_dict(state, extract_ema)
 
-    config = detect_ldm_config(state, unet_sd, prediction_type)
+    # global_step lives OUTSIDE state_dict in LDM checkpoints — the tensor
+    # filter drops it, so the v-prediction heuristic reads the header meta.
+    config = detect_ldm_config(ckpt_meta, unet_sd, prediction_type)
     rng = jax.random.PRNGKey(0)
 
     unet = UNet2DCondition(config.unet)
@@ -426,19 +430,9 @@ def _cli():
         tokenizer_path=args.tokenizer_dir,
     )
     os.makedirs(args.dump_path, exist_ok=True)
-    enc = getattr(tokenizer, "encoder", None)
-    ranks = getattr(tokenizer, "bpe_ranks", None)
-    if enc and ranks is not None:
-        tdir = os.path.join(args.dump_path, "tokenizer")
-        os.makedirs(tdir, exist_ok=True)
-        with open(os.path.join(tdir, "vocab.json"), "w") as f:
-            json.dump(enc, f)
-        with open(os.path.join(tdir, "merges.txt"), "w") as f:
-            f.write("#version: 0.2\n")
-            f.writelines(
-                f"{a} {b}\n"
-                for (a, b), _ in sorted(ranks.items(), key=lambda kv: kv[1])
-            )
+    from ..tokenizer.clip_bpe import save_tokenizer_assets
+
+    save_tokenizer_assets(tokenizer, os.path.join(args.dump_path, "tokenizer"))
     with open(os.path.join(args.dump_path, "params.msgpack"), "wb") as f:
         f.write(flax.serialization.to_bytes(
             jax.tree.map(lambda x: jax.device_get(x), params)

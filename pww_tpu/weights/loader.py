@@ -30,18 +30,31 @@ from ..config import (CLIPTextConfig, SchedulerConfig, SDModelConfig,
 # ---------------------------------------------------------------------------
 
 
-def read_state_dict(path: str) -> Dict[str, np.ndarray]:
-    """Load a single checkpoint file into numpy arrays."""
+def read_state_dict(path: str, return_meta: bool = False):
+    """Load a single checkpoint file into numpy arrays.
+
+    With ``return_meta=True`` also returns non-tensor header fields the
+    tensor filter would otherwise drop (currently ``global_step`` — the
+    SD-2.x epsilon-vs-v detection heuristic needs it).
+    """
     if path.endswith(".safetensors"):
         from safetensors.numpy import load_file
 
-        return load_file(path)
+        state = load_file(path)
+        return (state, {}) if return_meta else state
     import torch
 
     sd = torch.load(path, map_location="cpu", weights_only=True)
+    meta = {}
+    if "global_step" in sd:
+        try:
+            meta["global_step"] = int(sd["global_step"])
+        except (TypeError, ValueError):
+            pass
     if "state_dict" in sd:
         sd = sd["state_dict"]
-    return {k: v.float().numpy() for k, v in sd.items() if hasattr(v, "numpy")}
+    state = {k: v.float().numpy() for k, v in sd.items() if hasattr(v, "numpy")}
+    return (state, meta) if return_meta else state
 
 
 def _find_weights_file(subdir: str) -> str:
@@ -388,6 +401,7 @@ def config_from_checkpoint(model_path: str) -> SDModelConfig:
                 d.get("projection_dim") if d.get("architectures", [""])[0]
                 == "CLIPTextModelWithProjection" else None
             ),
+            eos_token_id=d.get("eos_token_id", 49407),
         )
 
     clip = _clip_config(clip_cfg)
@@ -402,7 +416,13 @@ def config_from_checkpoint(model_path: str) -> SDModelConfig:
         norm_num_groups=vae_cfg.get("norm_num_groups", 32),
         scaling_factor=vae_cfg.get("scaling_factor", 0.18215),
     )
-    return SDModelConfig(clip=clip, unet=unet, vae=vae, clip2=clip2)
+    idx = _read_json(os.path.join(model_path, "model_index.json")) or {}
+    return SDModelConfig(
+        clip=clip, unet=unet, vae=vae, clip2=clip2,
+        force_zeros_for_empty_prompt=idx.get(
+            "force_zeros_for_empty_prompt", True
+        ),
+    )
 
 
 def _load_native_checkpoint(model_path: str):
@@ -435,6 +455,7 @@ def _load_native_checkpoint(model_path: str):
             SchedulerConfig(**m["scheduler"]) if m.get("scheduler")
             else SchedulerConfig()
         ),
+        force_zeros_for_empty_prompt=m.get("force_zeros_for_empty_prompt", True),
     )
     rng = jax.random.PRNGKey(0)
     clip = CLIPTextEncoder(config.clip)
@@ -485,7 +506,13 @@ def _load_native_checkpoint(model_path: str):
         tokenizer = CLIPTokenizer.from_dir(model_path)
     except FileNotFoundError:
         tokenizer = toy_tokenizer(config.clip.vocab_size)
-    return config, params, tokenizer
+    tokenizer_2 = None
+    if config.is_xl:
+        t2dir = os.path.join(model_path, "tokenizer_2")
+        tokenizer_2 = (
+            CLIPTokenizer.from_dir(t2dir) if os.path.isdir(t2dir) else tokenizer
+        )
+    return config, params, tokenizer, tokenizer_2
 
 
 def load_pipeline_checkpoint(model_path: str):
@@ -504,7 +531,7 @@ def load_pipeline_checkpoint(model_path: str):
 
     msgpack = os.path.join(model_path, "params.msgpack")
     if os.path.exists(msgpack):
-        return (*_load_native_checkpoint(model_path), None)
+        return _load_native_checkpoint(model_path)
 
     from ..models.clip import CLIPTextEncoder
     from ..models.unet import UNet2DCondition

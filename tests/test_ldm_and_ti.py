@@ -367,3 +367,29 @@ def test_textual_inversion_training_loop():
         pipe2.params["clip"]["params"]["token_embedding"]["embedding"][-1]
     )
     np.testing.assert_allclose(emb2, result.embedding[0], rtol=1e-6)
+
+
+def test_global_step_survives_state_dict_reading(tmp_path):
+    """LDM checkpoints keep global_step OUTSIDE state_dict; the tensor filter
+    must not eat it, or SD-2.x epsilon/v detection silently misfires
+    (read_state_dict return_meta path)."""
+    import torch
+
+    from pww_tpu.weights.ldm_convert import detect_ldm_config
+    from pww_tpu.weights.loader import read_state_dict
+
+    p = str(tmp_path / "model.ckpt")
+    torch.save({
+        "state_dict": {"model.diffusion_model.time_embed.0.weight":
+                       torch.zeros(4, 2)},
+        "global_step": 110000,
+    }, p)
+    state, meta = read_state_dict(p, return_meta=True)
+    assert meta == {"global_step": 110000}
+    assert "model.diffusion_model.time_embed.0.weight" in state
+    # 512-base epsilon model detected (not v-prediction)
+    cfg = detect_ldm_config(meta, _sd2_shaped_unet_sd())
+    assert cfg.unet.prediction_type == "epsilon"
+    # and without the header field, SD-2.x defaults to 768-v
+    cfg = detect_ldm_config({}, _sd2_shaped_unet_sd())
+    assert cfg.unet.prediction_type == "v_prediction"

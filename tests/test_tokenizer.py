@@ -119,3 +119,20 @@ def test_tokenizer_matches_transformers(parity_pair, text):
     got = ours(text, max_length=77, truncation=True, padding=True)["input_ids"]
     want = hf(text, max_length=77, truncation=True, padding="max_length")["input_ids"]
     assert got == want
+
+
+def test_tokenizer_assets_roundtrip_pad_token(tmp_path):
+    """save_tokenizer_assets/from_dir must preserve a non-EOS pad id (SDXL's
+    tokenizer_2 pads with id 0)."""
+    from pww_tpu.tokenizer.clip_bpe import save_tokenizer_assets
+
+    tok = _mini_tokenizer()
+    tok.pad_token_id = 0
+    d = str(tmp_path / "tokenizer_2")
+    assert save_tokenizer_assets(tok, d)
+    tok2 = CLIPTokenizer.from_dir(d)
+    assert tok2.pad_token_id == 0
+    ids = tok2("cat", max_length=8, truncation=True, padding=True)["input_ids"]
+    assert ids[-1] == 0 and ids[2] == tok2.eos_token_id
+    # toy tokenizers have no serializable vocab
+    assert not save_tokenizer_assets(toy_tokenizer(), str(tmp_path / "toy"))
