@@ -121,10 +121,11 @@ def test_add_noise_sigma_space(rng):
 def test_all_schedulers_expose_sigmas():
     """Uniform sigma interface: the PwW weight fn works on every scheduler
     (fixes the reference's LMS-only quirk, SURVEY.md §2 quirks)."""
-    for kind in ("lms", "euler", "euler_ancestral", "ddim"):
+    for kind in ("lms", "euler", "euler_ancestral", "ddim", "pndm",
+                 "dpmpp_2m", "heun", "unipc"):
         sch = make_scheduler(kind).set_timesteps(5)
-        assert sch.sigmas.shape == (6,)
-        assert float(sch.sigma(jnp.int32(0))) > 0
+        assert sch.sigmas.shape == (sch.num_steps + 1,), kind
+        assert float(sch.sigma(jnp.int32(0))) > 0, kind
 
 
 def _reference_plms_trajectory(num_steps, eps_fn, x0, cfg=SchedulerConfig()):
