@@ -16,6 +16,7 @@ one denoise loop. TPU-native structure:
 from __future__ import annotations
 
 import functools
+import math
 from typing import Dict, Optional, Sequence, Tuple
 
 import jax
@@ -469,12 +470,9 @@ class PwwPipeline:
             jnp.float32,
         )
         lat = jnp.zeros((1, h, w, cfg.unet.in_channels), jnp.float32)
-        added = None
-        if cfg.is_xl:
-            added = {
-                "text_embeds": jnp.zeros((1, cfg.clip2.projection_dim)),
-                "time_ids": jnp.zeros((1, 6)),
-            }
+        from ..weights.loader import init_added_cond
+
+        added = init_added_cond(cfg)
         unet_p = self.unet.init(k2, lat, jnp.zeros((1,)), ctx, added_cond=added)
         img = jnp.zeros(
             (1, cfg.vae.scale_factor * 2, cfg.vae.scale_factor * 2,
@@ -575,6 +573,75 @@ class PwwPipeline:
             )
         return self
 
+    # -- lora ------------------------------------------------------------------
+    def load_lora(self, source, scale: float = 1.0) -> int:
+        """Merge a LoRA checkpoint into the pipeline weights (pre-jit).
+
+        ``source``: a ``.safetensors``/``.bin`` path, a raw state dict, or a
+        parsed :class:`~pww_tpu.weights.lora.LoraWeights`. kohya-ss/A1111 and
+        diffusers/peft key formats are both accepted. The low-rank update is
+        merged into the parameter pytree — the compiled denoise program is
+        unchanged, so LoRA costs zero at runtime. Call repeatedly to stack
+        adapters with independent scales. Returns the number of modules
+        applied; :meth:`unload_loras` restores the pristine weights exactly.
+        """
+        from ..weights.lora import (LoraWeights, load_lora_file, merge_lora,
+                                    parse_lora_state)
+
+        if isinstance(source, str):
+            lora = load_lora_file(source)
+        elif isinstance(source, LoraWeights):
+            lora = source
+        else:
+            lora = parse_lora_state(source)
+        if not hasattr(self, "_lora_saved"):
+            self._lora_saved: Dict = {}
+        params, n, touched = merge_lora(
+            self.params, lora, scale=scale, saved=self._lora_saved
+        )
+        for tower, leaves in touched.items():
+            self._lora_saved.setdefault(tower, {}).update(leaves)
+        if self.mesh is not None:
+            from ..parallel.mesh import shard_params
+
+            params = shard_params(params, self.mesh)
+        self.params = params
+        if any(t in touched and touched[t] for t in ("clip", "clip2")):
+            self._text_cache.clear()  # text-encoder weights changed
+        return n
+
+    def unload_loras(self) -> None:
+        """Restore the exact pre-LoRA weights saved by :meth:`load_lora`."""
+        saved = getattr(self, "_lora_saved", None)
+        if not saved:
+            return
+        from ..weights.lora import restore_params
+
+        params = restore_params(self.params, saved)
+        if self.mesh is not None:
+            from ..parallel.mesh import shard_params
+
+            params = shard_params(params, self.mesh)
+        self.params = params
+        self._lora_saved = {}
+        self._text_cache.clear()
+
+    def _unet_for(self, tome_ratio: float) -> UNet2DCondition:
+        """The UNet module for a per-call ToMe ratio (0.0 = self.unet).
+
+        Modules are lightweight config holders — a distinct ratio just keys a
+        distinct compiled program in the jit cache, exactly like DeepCache's
+        ``cache_interval`` static arg.
+        """
+        if not tome_ratio:
+            return self.unet
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            self.config.unet, tome_ratio=float(tome_ratio)
+        )
+        return UNet2DCondition(cfg, dtype=self.compute_dtype)
+
     # -- stages ----------------------------------------------------------------
     def encode_text(self, ids: jnp.ndarray, ids2: Optional[jnp.ndarray] = None):
         if self.clip2 is None:
@@ -654,6 +721,7 @@ class PwwPipeline:
         sharding: str = "batch",  # "batch" (dp over samples) | "spatial"
         rng: Optional[jax.Array] = None,
         cache_interval: int = 1,  # DeepCache: >1 = opt-in approximation
+        tome_ratio: float = 0.0,  # ToMe token merging: >0 = opt-in approx
         original_size: Optional[Tuple[int, int]] = None,  # SDXL micro-cond
         crops_coords_top_left: Tuple[int, int] = (0, 0),
         target_size: Optional[Tuple[int, int]] = None,
@@ -665,6 +733,7 @@ class PwwPipeline:
         exact reference signatures on top of this.
         """
         cfg = self.config
+        unet = self._unet_for(tome_ratio)
         color_map = _to_numpy_image(color_map_image)
         import contextlib
 
@@ -781,6 +850,16 @@ class PwwPipeline:
                 "text_embeds": pooled.astype(jnp.float32),
                 "time_ids": jnp.tile(tid[None], (2 * n, 1)),
             }
+        if cfg.unet.time_cond_proj_dim is not None:
+            # LCM-distilled model: guidance is an INPUT (folded into the
+            # consistency function at distillation time) — embed w and
+            # neutralize the external CFG combine.
+            w_emb = guidance_scale_embedding(
+                guidance_scale, cfg.unet.time_cond_proj_dim
+            )
+            added_cond = dict(added_cond or {})
+            added_cond["timestep_cond"] = jnp.tile(w_emb[None], (2 * n, 1))
+            guidance_scale = 1.0
         if self.mesh is not None:
             from ..parallel.mesh import replicate, shard_batch, shard_spatial
 
@@ -816,7 +895,7 @@ class PwwPipeline:
             controlnet_scale=jnp.float32(controlnet_conditioning_scale),
             step_rng=(
                 jax.random.PRNGKey(seed ^ 0x5EED)
-                if schedule.kind == "euler_ancestral" else None
+                if schedule.needs_rng else None
             ),
         )
         # Custom weight functions get the reference's exact two-forward CFG
@@ -845,7 +924,7 @@ class PwwPipeline:
         if fused:
             with phase("denoise+decode"):
                 images = np.asarray(run_denoise_decode(
-                    self.unet, self.params["unet"], self.vae,
+                    unet, self.params["unet"], self.vae,
                     self.params["vae"], latents, text_states, pww,
                     schedule, jnp.float32(guidance_scale), t_start=t_start,
                     cfg_batched=cfg_batched, cache_interval=cache_interval,
@@ -855,7 +934,7 @@ class PwwPipeline:
         if callback is None:
             with phase("denoise"):
                 latents, _ = run_denoise(
-                    self.unet, self.params["unet"], latents, text_states, pww,
+                    unet, self.params["unet"], latents, text_states, pww,
                     schedule, jnp.float32(guidance_scale), t_start=t_start,
                     cfg_batched=cfg_batched, cache_interval=cache_interval,
                     **denoise_kwargs,
@@ -870,7 +949,7 @@ class PwwPipeline:
             while i < schedule.num_steps:
                 j = min(i + callback_steps, schedule.num_steps)
                 latents, sch_state = run_denoise_segment(
-                    self.unet, self.params["unet"], latents, text_states, pww,
+                    unet, self.params["unet"], latents, text_states, pww,
                     schedule, jnp.float32(guidance_scale), sch_state,
                     jnp.int32(i), seg_len=j - i, cfg_batched=cfg_batched,
                     **denoise_kwargs,
@@ -960,6 +1039,15 @@ class PwwPipeline:
             weight_fn=wf,
         )
 
+        if self.config.unet.time_cond_proj_dim is not None:
+            # LCM-distilled model in the serving batch path: embedded guidance
+            w_emb = guidance_scale_embedding(
+                guidance_scale, self.config.unet.time_cond_proj_dim
+            )
+            added_cond = dict(added_cond or {})
+            added_cond["timestep_cond"] = jnp.tile(w_emb[None], (2 * n, 1))
+            guidance_scale = 1.0
+
         schedule = self.scheduler.set_timesteps(num_inference_steps)
         sf = self.config.vae.scale_factor
         shape = (1, h0 // sf, w0 // sf, self.config.vae.latent_channels)
@@ -980,7 +1068,7 @@ class PwwPipeline:
             added_cond=added_cond,
             step_rng=(
                 jax.random.PRNGKey(0x5EED)
-                if schedule.kind == "euler_ancestral" else None
+                if schedule.needs_rng else None
             ),
         ))
         if output_type == "np":
@@ -1065,3 +1153,21 @@ def _t_start_from_strength(num_steps: int, strength: float, offset: int) -> int:
     """Reference's timestep truncation (`paint_with_words.py:435-440`)."""
     init_timestep = min(int(num_steps * strength) + offset, num_steps)
     return max(num_steps - init_timestep + offset, 0)
+
+
+def guidance_scale_embedding(w: float, dim: int) -> jnp.ndarray:
+    """Fourier embedding of the guidance scale for LCM-distilled UNets.
+
+    diffusers ``get_guidance_scale_embedding`` semantics: embed
+    ``(w − 1)·1000`` with log-spaced frequencies, sin block then cos block,
+    zero-padded if ``dim`` is odd.
+    """
+    half = dim // 2
+    freqs = jnp.exp(
+        -math.log(10000.0) * jnp.arange(half, dtype=jnp.float32) / (half - 1)
+    )
+    args = jnp.float32((w - 1.0) * 1000.0) * freqs
+    emb = jnp.concatenate([jnp.sin(args), jnp.cos(args)])
+    if dim % 2 == 1:
+        emb = jnp.pad(emb, (0, 1))
+    return emb
