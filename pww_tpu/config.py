@@ -92,12 +92,21 @@ class UNetConfig:
     addition_time_embed_dim: int = 256
     # input width of the add_embedding MLP (SDXL-base: 1280 + 6*256 = 2816)
     projection_class_embeddings_input_dim: Optional[int] = None
+    # LCM-distilled checkpoints: width of the Fourier guidance-scale
+    # embedding projected into the timestep embedding (diffusers
+    # `time_cond_proj_dim`; e.g. 256 for LCM-Dreamshaper). None = off.
+    time_cond_proj_dim: Optional[int] = None
     # Pallas kernels, measured at 512² on v5e (full-UNet step, bf16):
     #   XLA-dense everything 54 ms · +fused cross-attn 32 ms · +flash 26 ms.
     # Isolated op micro-benchmarks invert this ordering (dispatch overhead +
     # no HBM pressure) — trust the in-context numbers (docs/ARCHITECTURE.md).
     flash_attention: bool = True  # Pallas flash self-attention (L >= 1024)
     fused_cross_attention: bool = True  # Pallas PwW bias+softmax+V epilogue
+    # ToMe token merging around self-attention (Bolya & Hoffman 2023) —
+    # opt-in APPROXIMATION like DeepCache. 0.0 = exact/off; tomesd's default
+    # is 0.5 at the full-resolution sites only (tome_min_tokens).
+    tome_ratio: float = 0.0
+    tome_min_tokens: int = 4096
 
     @property
     def up_block_has_attn(self) -> Tuple[bool, ...]:
@@ -215,6 +224,13 @@ class SchedulerConfig:
     # Karras et al. (2022) ρ=7 sigma spacing for the sigma-space schedulers
     # (lms/euler/euler_ancestral/heun) — the popular "Karras" sampler variants.
     use_karras_sigmas: bool = False
+    # LCM: the distillation grid size — inference timesteps are drawn from
+    # the teacher's `original_inference_steps`-point DDIM grid.
+    original_inference_steps: int = 50
+    # LCM consistency-boundary scalings: c_skip/c_out are evaluated at
+    # `timestep_scaling * t` with pseudo-huber constant sigma_data.
+    timestep_scaling: float = 10.0
+    sigma_data: float = 0.5
 
 
 @dataclasses.dataclass(frozen=True)

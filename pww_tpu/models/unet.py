@@ -44,7 +44,18 @@ class TimestepEmbedding(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, t_emb: jnp.ndarray) -> jnp.ndarray:
+    def __call__(
+        self, t_emb: jnp.ndarray, cond: Optional[jnp.ndarray] = None
+    ) -> jnp.ndarray:
+        if cond is not None:
+            # guidance-scale conditioning (LCM-distilled checkpoints):
+            # diffusers TimestepEmbedding.cond_proj — a bias-free projection
+            # of the Fourier-embedded guidance weight added to the timestep
+            # embedding before the MLP.
+            t_emb = t_emb + nn.Dense(
+                t_emb.shape[-1], use_bias=False, dtype=self.dtype,
+                name="cond_proj",
+            )(cond)
         h = nn.Dense(self.dim, dtype=self.dtype, name="linear_1")(t_emb)
         return nn.Dense(self.dim, dtype=self.dtype, name="linear_2")(nn.silu(h))
 
@@ -159,16 +170,29 @@ class TransformerBlock(nn.Module):
     head_dim: int
     use_flash: bool = False
     use_fused_cross: bool = True
+    tome_ratio: float = 0.0  # >0: ToMe merge around attn1 (approximation)
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, context, pww):
+    def __call__(self, x, context, pww, grid=None):
         dim = x.shape[-1]
         h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(x)
-        x = x + CrossAttention(
+        attn1 = CrossAttention(
             self.num_heads, self.head_dim, self.use_flash,
             dtype=self.dtype, name="attn1",
-        )(h.astype(self.dtype))
+        )
+        if self.tome_ratio > 0.0 and grid is not None:
+            # ToMe (tomesd default policy): merge the most-similar tokens
+            # before self-attention, broadcast the outputs back after. The
+            # metric is the block input x; attn2 (PwW-biased, per-position)
+            # and the MLP run unmerged.
+            from ..ops.tome import build_token_merge
+
+            gh, gw = grid
+            merge, unmerge, _ = build_token_merge(x, gh, gw, self.tome_ratio)
+            x = x + unmerge(attn1(merge(h.astype(self.dtype))))
+        else:
+            x = x + attn1(h.astype(self.dtype))
         h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(x)
         x = x + CrossAttention(
             self.num_heads, self.head_dim, self.use_flash,
@@ -187,6 +211,8 @@ class Transformer2D(nn.Module):
     depth: int = 1
     use_flash: bool = False
     use_fused_cross: bool = True
+    tome_ratio: float = 0.0
+    tome_min_tokens: int = 4096
     groups: int = 32
     dtype: Any = jnp.float32
 
@@ -197,11 +223,13 @@ class Transformer2D(nn.Module):
         z = nn.GroupNorm(self.groups, epsilon=1e-6, dtype=jnp.float32, name="norm")(x)
         z = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_in")(z.astype(self.dtype))
         z = z.reshape(b, h * w, c)
+        # ToMe only at the full-resolution sites (tomesd max_downsample=1)
+        tome = self.tome_ratio if h * w >= self.tome_min_tokens else 0.0
         for i in range(self.depth):
             z = TransformerBlock(
                 self.num_heads, self.head_dim, self.use_flash,
-                self.use_fused_cross, self.dtype, name=f"blocks_{i}",
-            )(z, context, pww)
+                self.use_fused_cross, tome, self.dtype, name=f"blocks_{i}",
+            )(z, context, pww, grid=(h, w))
         z = z.reshape(b, h, w, c)
         z = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_out")(z)
         return z + residual
@@ -252,6 +280,8 @@ class UNet2DCondition(nn.Module):
                     nh, hd, depth=cfg.depth_for(bi),
                     use_flash=cfg.flash_attention,
                     use_fused_cross=cfg.fused_cross_attention,
+                    tome_ratio=cfg.tome_ratio,
+                    tome_min_tokens=cfg.tome_min_tokens,
                     groups=cfg.norm_num_groups, dtype=self.dtype,
                     name=f"down_{bi}_attn_{li}",
                 )(x, ctx, pww)
@@ -274,6 +304,8 @@ class UNet2DCondition(nn.Module):
                     nh, hd, depth=depth,
                     use_flash=cfg.flash_attention,
                     use_fused_cross=cfg.fused_cross_attention,
+                    tome_ratio=cfg.tome_ratio,
+                    tome_min_tokens=cfg.tome_min_tokens,
                     groups=cfg.norm_num_groups, dtype=self.dtype,
                     name=f"up_{bi}_attn_{li}",
                 )(x, ctx, pww)
@@ -316,8 +348,21 @@ class UNet2DCondition(nn.Module):
 
         t_emb = timestep_embedding(timesteps, cfg.block_out_channels[0])
         temb_dim = cfg.block_out_channels[0] * cfg.time_embed_mult
+        t_cond = None
+        if cfg.time_cond_proj_dim is not None:
+            # LCM-distilled models: the guidance scale is an input (folded
+            # into the consistency function during distillation), delivered
+            # through added_cond like the SDXL micro-conditioning so it
+            # threads/shards with the batch.
+            if added_cond is None or "timestep_cond" not in added_cond:
+                raise ValueError(
+                    "time_cond_proj_dim is set: pass added_cond="
+                    '{"timestep_cond": (B, time_cond_proj_dim)} '
+                    "(the embedded guidance scale)"
+                )
+            t_cond = added_cond["timestep_cond"].astype(self.dtype)
         temb = TimestepEmbedding(temb_dim, self.dtype, name="time_embedding")(
-            t_emb.astype(self.dtype)
+            t_emb.astype(self.dtype), cond=t_cond
         )
         if cfg.addition_embed_type == "text_time":
             # SDXL micro-conditioning: pooled text embedding + fourier
@@ -386,6 +431,8 @@ class UNet2DCondition(nn.Module):
             nh, hd, depth=cfg.depth_for(n_blocks - 1),
             use_flash=cfg.flash_attention,
             use_fused_cross=cfg.fused_cross_attention,
+            tome_ratio=cfg.tome_ratio,
+            tome_min_tokens=cfg.tome_min_tokens,
             groups=cfg.norm_num_groups, dtype=self.dtype, name="mid_attn",
         )(x, ctx, pww)
         x = ResnetBlock(ch, cfg.norm_num_groups, self.dtype, name="mid_resnet_1")(x, temb)

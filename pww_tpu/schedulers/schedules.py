@@ -112,6 +112,11 @@ class Schedule(flax.struct.PyTreeNode):
     num_steps: int = flax.struct.field(pytree_node=False, default=30)
 
     # -- uniform interface ---------------------------------------------------
+    @property
+    def needs_rng(self) -> bool:
+        """Kinds whose ``step`` draws fresh noise (pass ``rng=``)."""
+        return self.kind in ("euler_ancestral", "lcm")
+
     def sigma(self, i: jnp.ndarray) -> jnp.ndarray:
         return self.sigmas[i]
 
@@ -262,6 +267,29 @@ class Schedule(flax.struct.PyTreeNode):
             )
             return prev.astype(sample.dtype), new_state
 
+        if self.kind == "lcm":
+            # Latent Consistency Model step (Luo et al. 2023; diffusers
+            # LCMScheduler semantics): map the sample to the consistency
+            # function's output via the boundary-condition scalings
+            #   f(x, t) = c_out(t)·x0(x, t) + c_skip(t)·x
+            # then (except at the final step) re-noise the denoised estimate
+            # to the next timestep's noise level with FRESH noise.
+            tab = self.pndm_tables
+            a_t = self.alphas_cumprod_t[i].astype(jnp.float32)
+            a_prev = self.alphas_cumprod_prev[i].astype(jnp.float32)
+            x = sample.astype(jnp.float32)
+            eps = model_output.astype(jnp.float32)
+            x0 = (x - jnp.sqrt(1.0 - a_t) * eps) / jnp.sqrt(a_t)
+            denoised = tab["c_out"][i] * x0 + tab["c_skip"][i] * x
+            if rng is None:
+                raise ValueError("lcm requires rng (fresh noise per step)")
+            noise = jax.random.normal(rng, sample.shape, jnp.float32)
+            renoised = (
+                jnp.sqrt(a_prev) * denoised + jnp.sqrt(1.0 - a_prev) * noise
+            )
+            prev = jnp.where(tab["is_last"][i] > 0, denoised, renoised)
+            return prev.astype(sample.dtype), state
+
         if self.kind == "ddim":
             a_t = self.alphas_cumprod_t[i].astype(jnp.float32)
             a_prev = self.alphas_cumprod_prev[i].astype(jnp.float32)
@@ -370,6 +398,8 @@ class Scheduler:
             return self._set_timesteps_dpmpp(num_steps, alphas_cumprod)
         elif self.kind == "unipc":
             return self._set_timesteps_unipc(num_steps, alphas_cumprod)
+        elif self.kind == "lcm":
+            return self._set_timesteps_lcm(num_steps, alphas_cumprod)
         else:
             raise ValueError(f"unknown scheduler kind {self.kind!r}")
 
@@ -435,6 +465,51 @@ class Scheduler:
             },
             kind="heun",
             num_steps=len(visit_sigma),
+        )
+
+    def _set_timesteps_lcm(
+        self, num_steps: int, alphas_cumprod: np.ndarray
+    ) -> Schedule:
+        """LCM trajectory (diffusers ``LCMScheduler.set_timesteps``):
+        inference timesteps are an evenly-skipped descending subset of the
+        teacher's ``original_inference_steps``-point grid
+        ``k·j − 1, j = 1..orig`` with ``k = train_steps / orig``. Few-step
+        (1–8) sampling for LCM-distilled checkpoints / LCM-LoRA adapters."""
+        cfg = self.config
+        orig = cfg.original_inference_steps
+        if num_steps > orig:
+            raise ValueError(
+                f"lcm: num_steps ({num_steps}) must be <= "
+                f"original_inference_steps ({orig})"
+            )
+        k = cfg.num_train_timesteps // orig
+        origin = np.arange(1, orig + 1, dtype=np.int64) * k - 1
+        skip = len(origin) // num_steps
+        t_int = origin[::-1][::skip][:num_steps].copy()
+
+        a_t = alphas_cumprod[t_int]
+        t_prev = np.concatenate([t_int[1:], [t_int[-1]]])  # last unused
+        a_prev = alphas_cumprod[t_prev]
+        is_last = np.zeros(num_steps)
+        is_last[-1] = 1.0
+        st = cfg.timestep_scaling * t_int.astype(np.float64)
+        c_skip = cfg.sigma_data**2 / (st**2 + cfg.sigma_data**2)
+        c_out = st / np.sqrt(st**2 + cfg.sigma_data**2)
+        sigmas = np.sqrt((1.0 - a_t) / a_t)  # PwW weight-fn sigma interface
+        return Schedule(
+            timesteps=jnp.asarray(t_int, jnp.float32),
+            sigmas=jnp.asarray(np.concatenate([sigmas, [0.0]]), jnp.float32),
+            init_noise_sigma=jnp.asarray(1.0, jnp.float32),
+            alphas_cumprod_t=jnp.asarray(a_t, jnp.float32),
+            alphas_cumprod_prev=jnp.asarray(a_prev, jnp.float32),
+            lms_coeffs=None,
+            pndm_tables={
+                "c_skip": jnp.asarray(c_skip, jnp.float32),
+                "c_out": jnp.asarray(c_out, jnp.float32),
+                "is_last": jnp.asarray(is_last, jnp.float32),
+            },
+            kind="lcm",
+            num_steps=num_steps,
         )
 
     def _set_timesteps_pndm(self, num_steps: int, alphas_cumprod: np.ndarray) -> Schedule:

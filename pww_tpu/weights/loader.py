@@ -345,6 +345,24 @@ def _read_json(path: str) -> Optional[dict]:
     return None
 
 
+def init_added_cond(config: SDModelConfig) -> Optional[dict]:
+    """The ``added_cond`` dict shape the UNet's init/eval_shape needs for
+    this config (SDXL text_time micro-conditioning and/or the LCM
+    guidance-embedding input); None when neither applies."""
+    added = None
+    if config.is_xl:
+        added = {
+            "text_embeds": jnp.zeros((1, config.clip2.projection_dim)),
+            "time_ids": jnp.zeros((1, 6)),
+        }
+    if config.unet.time_cond_proj_dim is not None:
+        added = dict(added or {})
+        added["timestep_cond"] = jnp.zeros(
+            (1, config.unet.time_cond_proj_dim)
+        )
+    return added
+
+
 def config_from_checkpoint(model_path: str) -> SDModelConfig:
     """Derive SDModelConfig from the checkpoint's config.json files."""
     unet_cfg = _read_json(os.path.join(model_path, "unet", "config.json")) or {}
@@ -386,6 +404,7 @@ def config_from_checkpoint(model_path: str) -> SDModelConfig:
         projection_class_embeddings_input_dim=unet_cfg.get(
             "projection_class_embeddings_input_dim"
         ),
+        time_cond_proj_dim=unet_cfg.get("time_cond_proj_dim"),
     )
 
     def _clip_config(d, default_act="quick_gelu"):
@@ -462,12 +481,7 @@ def _load_native_checkpoint(model_path: str):
     unet = UNet2DCondition(config.unet)
     vae = AutoencoderKL(config.vae)
     h = w = 2 ** (len(config.unet.block_out_channels) - 1)
-    added = None
-    if config.is_xl:
-        added = {
-            "text_embeds": jnp.zeros((1, config.clip2.projection_dim)),
-            "time_ids": jnp.zeros((1, 6)),
-        }
+    added = init_added_cond(config)
     shapes = {
         "unet": jax.eval_shape(
             unet.init, rng, jnp.zeros((1, h, w, config.unet.in_channels)),
@@ -544,7 +558,10 @@ def load_pipeline_checkpoint(model_path: str):
     unet = UNet2DCondition(config.unet)
     lat = jnp.zeros((1, 8, 8, config.unet.in_channels))
     ctx = jnp.zeros((1, config.clip.max_position_embeddings, config.unet.cross_attention_dim))
-    unet_shapes = jax.eval_shape(unet.init, rng, lat, jnp.zeros((1,)), ctx)
+    unet_shapes = jax.eval_shape(
+        unet.init, rng, lat, jnp.zeros((1,)), ctx,
+        added_cond=init_added_cond(config),
+    )
     unet_state = read_state_dict(_find_weights_file(os.path.join(model_path, "unet")))
     unet_params = fill_params(unet_shapes, unet_state, unet_key, name="unet")
 

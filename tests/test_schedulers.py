@@ -122,7 +122,7 @@ def test_all_schedulers_expose_sigmas():
     """Uniform sigma interface: the PwW weight fn works on every scheduler
     (fixes the reference's LMS-only quirk, SURVEY.md §2 quirks)."""
     for kind in ("lms", "euler", "euler_ancestral", "ddim", "pndm",
-                 "dpmpp_2m", "heun", "unipc"):
+                 "dpmpp_2m", "heun", "unipc", "lcm"):
         sch = make_scheduler(kind).set_timesteps(5)
         assert sch.sigmas.shape == (sch.num_steps + 1,), kind
         assert float(sch.sigma(jnp.int32(0))) > 0, kind
@@ -470,3 +470,133 @@ def test_karras_spacing_for_alpha_space_solvers():
     for kind in ("dpmpp_2m", "unipc"):
         np.testing.assert_allclose(run(kind, 3), run(kind, 48),
                                    rtol=2e-4, atol=2e-5, err_msg=kind)
+
+
+def _reference_lcm_trajectory(num_steps, eps_fn, x_init, noises,
+                              cfg=SchedulerConfig()):
+    """Stateful python replica of diffusers LCMScheduler.step semantics
+    (Luo et al. 2023): x0 from eps, consistency boundary scalings
+    c_skip/c_out at the scaled timestep, ancestral re-noising with the given
+    per-step noise except at the final step."""
+    betas = make_betas(cfg)
+    ac = np.cumprod(1.0 - betas)
+    k = cfg.num_train_timesteps // cfg.original_inference_steps
+    origin = np.arange(1, cfg.original_inference_steps + 1) * k - 1
+    skip = len(origin) // num_steps
+    ts = origin[::-1][::skip][:num_steps]
+
+    x = np.asarray(x_init, np.float64)
+    for i, t in enumerate(ts):
+        a_t = ac[t]
+        a_prev = ac[ts[i + 1]] if i + 1 < num_steps else None
+        eps = eps_fn(i)
+        x0 = (x - np.sqrt(1 - a_t) * eps) / np.sqrt(a_t)
+        st = cfg.timestep_scaling * t
+        c_skip = cfg.sigma_data**2 / (st**2 + cfg.sigma_data**2)
+        c_out = st / np.sqrt(st**2 + cfg.sigma_data**2)
+        denoised = c_out * x0 + c_skip * x
+        if a_prev is None:
+            x = denoised
+        else:
+            x = np.sqrt(a_prev) * denoised + np.sqrt(1 - a_prev) * noises[i]
+    return x
+
+
+def test_lcm_scan_matches_reference_math(rng):
+    import jax
+
+    num_steps = 4
+    shape = (2, 3)
+    eps_seq = [rng.standard_normal(shape) for _ in range(num_steps)]
+    x_init = rng.standard_normal(shape)
+
+    sch = make_scheduler("lcm").set_timesteps(num_steps)
+    assert sch.needs_rng
+    x = jnp.asarray(x_init, jnp.float32)
+    st = sch.init_state(x.shape, jnp.float32)
+    noises = []
+    for i in range(num_steps):
+        key = jax.random.PRNGKey(100 + i)
+        noises.append(np.asarray(jax.random.normal(key, shape, jnp.float32)))
+        x, st = sch.step(
+            jnp.asarray(eps_seq[i], jnp.float32), jnp.int32(i), x, st, rng=key
+        )
+    want = _reference_lcm_trajectory(
+        num_steps, lambda i: eps_seq[i], x_init, noises
+    )
+    np.testing.assert_allclose(np.asarray(x), want, rtol=2e-4, atol=2e-5)
+
+
+def test_lcm_timestep_grid():
+    """Timesteps come from the teacher's original_inference_steps DDIM grid."""
+    sch = make_scheduler("lcm").set_timesteps(4)
+    # k = 1000/50 = 20; descending grid 999, 979, ...; skip = 50//4 = 12
+    np.testing.assert_array_equal(
+        np.asarray(sch.timesteps), [999.0, 759.0, 519.0, 279.0]
+    )
+    with pytest.raises(ValueError, match="original_inference_steps"):
+        make_scheduler("lcm").set_timesteps(51)
+
+
+def test_lcm_pipeline_end_to_end():
+    from pww_tpu.config import SDModelConfig
+    from pww_tpu.pipeline.pipeline import PwwPipeline
+
+    pipe = PwwPipeline(config=SDModelConfig.tiny(), scheduler="lcm")
+    cm = np.zeros((64, 64, 3), np.uint8)
+    cm[:, :32] = (255, 0, 0)
+    out = pipe.generate(
+        prompt="a cat", color_map_image=cm,
+        color_context={(255, 0, 0): "cat,1.0"},
+        num_inference_steps=4, guidance_scale=1.0, seed=0, output_type="np",
+    )
+    assert out.shape == (1, 64, 64, 3)
+
+
+def test_lcm_distilled_guidance_embedding_pipeline(tmp_path):
+    """time_cond_proj_dim: the guidance scale becomes a UNet input (folded
+    CFG), the external combine is neutralized, and the knob round-trips
+    through save/load."""
+    import dataclasses
+
+    import jax
+    from pww_tpu.config import SDModelConfig
+    from pww_tpu.pipeline.pipeline import (PwwPipeline,
+                                           guidance_scale_embedding)
+
+    base = SDModelConfig.tiny()
+    cfg = dataclasses.replace(
+        base, unet=dataclasses.replace(base.unet, time_cond_proj_dim=32)
+    )
+    pipe = PwwPipeline(config=cfg, scheduler="lcm")
+    # cond_proj params exist
+    flat = jax.tree_util.tree_flatten_with_path(pipe.params["unet"])[0]
+    assert any(
+        "cond_proj" in str(kp) for kp, _ in flat
+    ), "guidance cond_proj missing from param tree"
+
+    cm = np.zeros((64, 64, 3), np.uint8)
+    cm[:, :32] = (255, 0, 0)
+    kwargs = dict(
+        prompt="a cat", color_map_image=cm,
+        color_context={(255, 0, 0): "cat,1.0"},
+        num_inference_steps=4, seed=0, output_type="np",
+    )
+    out_w8 = pipe.generate(guidance_scale=8.0, **kwargs)
+    out_w2 = pipe.generate(guidance_scale=2.0, **kwargs)
+    assert out_w8.shape == (1, 64, 64, 3)
+    # w reaches the model: different embedded guidance -> different image
+    assert not np.array_equal(out_w8, out_w2)
+
+    d = str(tmp_path / "lcm_ckpt")
+    pipe.save_pretrained(d)
+    pipe2 = PwwPipeline.from_pretrained(d, scheduler="lcm")
+    assert pipe2.config.unet.time_cond_proj_dim == 32
+    np.testing.assert_array_equal(out_w8, pipe2.generate(guidance_scale=8.0, **kwargs))
+
+    # embedding layout: sin block then cos block, dim respected
+    emb = np.asarray(guidance_scale_embedding(8.0, 32))
+    assert emb.shape == (32,)
+    w = (8.0 - 1.0) * 1000.0
+    np.testing.assert_allclose(emb[0], np.sin(w), rtol=1e-5)
+    np.testing.assert_allclose(emb[16], np.cos(w), rtol=1e-5)
