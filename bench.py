@@ -251,6 +251,7 @@ def main():
         print(f"cost analysis unavailable: {e!r}", file=sys.stderr)
 
     batch8_ips = s_per_img_768 = deepcache5_ips = None
+    tome_ips = lcm4_ips = None
     if not args.tiny and not args.no_extras:
         _, kw8 = _bench_kwargs(size, steps, 8)
         t8 = _timed_run(pipe, kw8, max(2, args.repeats - 3), f"{size}px b8")
@@ -264,8 +265,24 @@ def main():
         tdc = _timed_run(pipe, kwdc, max(2, args.repeats - 3),
                          f"{size}px b1 deepcache5")
         deepcache5_ips = args.batch / tdc
+        # opt-in ToMe point (token merging, ratio 0.5 — tomesd default)
+        kwtome = dict(kwargs, tome_ratio=0.5)
+        ttome = _timed_run(pipe, kwtome, max(2, args.repeats - 3),
+                           f"{size}px b1 tome0.5")
+        tome_ips = args.batch / ttome
+        # LCM 4-step point (the LCM-LoRA/distilled fast-sampling path;
+        # random-init weights time identically to a distilled checkpoint)
+        pipe_lcm = PwwPipeline(
+            config=cfg, params=pipe.params, scheduler="lcm",
+            weights_dtype=None,
+        )
+        kwlcm = dict(kwargs, num_inference_steps=4, guidance_scale=1.0)
+        tlcm = _timed_run(pipe_lcm, kwlcm, max(2, args.repeats - 3),
+                          f"{size}px b1 lcm4")
+        lcm4_ips = args.batch / tlcm
         print(f"batch8: {batch8_ips:.3f} img/s  768px: {s_per_img_768:.3f} "
-              f"s/img  deepcache5: {deepcache5_ips:.3f} img/s",
+              f"s/img  deepcache5: {deepcache5_ips:.3f} img/s  "
+              f"tome0.5: {tome_ips:.3f} img/s  lcm4: {lcm4_ips:.3f} img/s",
               file=sys.stderr)
 
     baseline_ips = 0.5  # north star: < 2 s/image
@@ -287,6 +304,12 @@ def main():
         ),
         "deepcache_interval5_img_per_s": (
             None if deepcache5_ips is None else round(deepcache5_ips, 4)
+        ),
+        "tome_ratio05_img_per_s": (
+            None if tome_ips is None else round(tome_ips, 4)
+        ),
+        "lcm_4step_img_per_s": (
+            None if lcm4_ips is None else round(lcm4_ips, 4)
         ),
         "repeats": args.repeats,
     }

@@ -1,0 +1,107 @@
+"""Token merging (ToMe) for the UNet's self-attention sites.
+
+Opt-in approximation (Bolya & Hoffman 2023, "Token Merging for Fast Stable
+Diffusion"): adjacent latent tokens are visually redundant, so the
+highest-similarity tokens are merged before self-attention and unmerged
+(broadcast back) afterwards — attention cost drops quadratically in the kept
+ratio. Matches the tomesd default policy: merge ONLY around attn1 (the PwW
+cross-attention bias is per-position, so attn2 is never merged), only at the
+full-resolution sites, ratio of the token count bounded by the src partition.
+
+TPU-first formulation: everything is static-shape — the merged length
+``L_m = L − r`` is a Python int, the bipartite matching runs as one batched
+``argsort`` + ``take_along_axis``/scatter program under jit, and the merge /
+unmerge are gathers XLA fuses around the attention kernel. A fixed (0,0)
+stride offset replaces tomesd's per-call random offset so the whole denoise
+scan stays a single compiled program (documented determinism win; tomesd
+itself exposes ``use_rand=False``).
+"""
+from __future__ import annotations
+
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _dst_src_indices(h: int, w: int, sx: int = 2, sy: int = 2):
+    """Partition the h*w token grid: one dst per sx*sy block (offset (0,0)),
+    the rest src. Returns (dst_idx, src_idx) flat index arrays."""
+    ys = jnp.arange(0, h, sy)
+    xs = jnp.arange(0, w, sx)
+    dst = (ys[:, None] * w + xs[None, :]).reshape(-1)
+    mask = jnp.ones((h * w,), bool).at[dst].set(False)
+    src = jnp.nonzero(mask, size=h * w - dst.shape[0])[0]
+    return dst, src
+
+
+def build_token_merge(
+    metric: jnp.ndarray,  # (B, L, C) block-input features (similarity metric)
+    h: int,
+    w: int,
+    ratio: float,
+    sx: int = 2,
+    sy: int = 2,
+) -> Tuple[Callable, Callable, int]:
+    """Bipartite soft matching on a (h, w) token grid.
+
+    Returns ``(merge, unmerge, L_m)``: ``merge`` maps (B, L, C') →
+    (B, L_m, C') averaging each merged src into its best-matching dst;
+    ``unmerge`` maps (B, L_m, C') back to (B, L, C') broadcasting dst values
+    to their merged srcs. ``r = min(int(L·ratio), L_src)`` tokens merge.
+    """
+    b, l, c = metric.shape
+    assert l == h * w, (l, h, w)
+    dst_idx, src_idx = _dst_src_indices(h, w, sx, sy)
+    n_dst = dst_idx.shape[0]
+    n_src = l - n_dst
+    r = min(int(l * ratio), n_src)
+    n_unm = n_src - r
+
+    m = metric / (jnp.linalg.norm(metric.astype(jnp.float32), axis=-1,
+                                  keepdims=True) + 1e-6)
+    a = jnp.take(m, src_idx, axis=1)  # (B, n_src, C)
+    bm = jnp.take(m, dst_idx, axis=1)  # (B, n_dst, C)
+    scores = jnp.einsum("bsc,bdc->bsd", a, bm)  # cosine similarity
+    node_max = scores.max(axis=-1)  # (B, n_src)
+    node_idx = scores.argmax(axis=-1)  # (B, n_src) best dst per src
+
+    order = jnp.argsort(-node_max, axis=-1)  # most-similar first
+    merged_src = order[:, :r]  # (B, r) positions INTO src_idx
+    unm_src = order[:, r:]  # (B, n_unm)
+    # best dst (position into dst_idx) for each merged src
+    merged_dst = jnp.take_along_axis(node_idx, merged_src, axis=1)  # (B, r)
+
+    def merge(x: jnp.ndarray) -> jnp.ndarray:
+        xf = x.astype(jnp.float32)
+        src = jnp.take(xf, src_idx, axis=1)  # (B, n_src, C')
+        dst = jnp.take(xf, dst_idx, axis=1)  # (B, n_dst, C')
+        unm = jnp.take_along_axis(src, unm_src[..., None], axis=1)
+        picked = jnp.take_along_axis(src, merged_src[..., None], axis=1)
+
+        def scatter_mean(dst_1, picked_1, mdst_1):
+            tot = dst_1.at[mdst_1].add(picked_1)
+            cnt = (
+                jnp.ones((n_dst,), jnp.float32).at[mdst_1].add(1.0)
+            )
+            return tot / cnt[:, None]
+
+        dst = jax.vmap(scatter_mean)(dst, picked, merged_dst)
+        return jnp.concatenate([unm, dst], axis=1).astype(x.dtype)
+
+    def unmerge(x: jnp.ndarray) -> jnp.ndarray:
+        unm, dst = x[:, :n_unm], x[:, n_unm:]
+        # src tokens: unmerged keep their value; merged take their dst's
+        merged_vals = jnp.take_along_axis(dst, merged_dst[..., None], axis=1)
+
+        def build_src(unm_1, merged_1, uidx_1, midx_1):
+            out = jnp.zeros((n_src, x.shape[-1]), x.dtype)
+            out = out.at[uidx_1].set(unm_1)
+            return out.at[midx_1].set(merged_1)
+
+        src = jax.vmap(build_src)(unm, merged_vals, unm_src, merged_src)
+        full = jnp.zeros((x.shape[0], l, x.shape[-1]), x.dtype)
+        full = full.at[:, dst_idx].set(dst)
+        return full.at[:, src_idx].set(src)
+
+    return merge, unmerge, n_unm + n_dst
