@@ -294,3 +294,64 @@ def test_load_lora_file_safetensors(tmp_path, pipe, rng):
     assert len(lora) == 1
     _, n, _ = merge_lora(pipe.params, lora, 1.0)
     assert n == 1
+
+
+def test_train_lora_loop(tmp_path):
+    """LoRA TRAINING on the tiny config: loss decreases, delta starts at
+    zero (B=0 init), the kohya export round-trips through load_lora, and
+    the trained adapter changes generation."""
+    from PIL import Image
+
+    from pww_tpu.training import train_lora
+
+    pipe = _make_pipe()
+    nprng = np.random.default_rng(0)
+    images = [
+        Image.fromarray((nprng.random((64, 64, 3)) * 80 + 90).astype(np.uint8))
+        for _ in range(2)
+    ]
+    result = train_lora(
+        pipe, images, "a photo of a thing", rank=2, num_steps=40,
+        batch_size=2, learning_rate=5e-3, seed=0,
+    )
+    q = max(len(result.losses) // 4, 1)
+    assert np.mean(result.losses[-q:]) < np.mean(result.losses[:q]), (
+        np.mean(result.losses[:q]), np.mean(result.losses[-q:]))
+    assert len(result.factors) > 0
+    # base pipeline untouched by training
+    sd = result.state_dict()
+    assert any(k.endswith(".alpha") for k in sd)
+    assert all(k.startswith("lora_unet_") for k in sd)
+
+    # save -> file -> load_lora applies every trained module
+    f = str(tmp_path / "trained.safetensors")
+    result.save(f)
+    cm = np.zeros((64, 64, 3), np.uint8)
+    cm[:, :32] = (255, 0, 0)
+    kwargs = dict(
+        prompt="a cat", color_map_image=cm,
+        color_context={(255, 0, 0): "cat,1.0"},
+        num_inference_steps=2, seed=0, output_type="latent",
+    )
+    base = np.asarray(pipe.generate(**kwargs))
+    n = pipe.load_lora(f)
+    assert n == len(result.factors)
+    assert not np.array_equal(base, np.asarray(pipe.generate(**kwargs)))
+    pipe.unload_loras()
+
+    # merge math: merged leaf == base + (alpha/r) * a@b for one site
+    path = next(iter(result.factors))
+    fac = result.factors[path]
+    orig = np.asarray(_flat_params(pipe.params["unet"])[path])
+    pipe.load_lora(result.state_dict())
+    got = np.asarray(_flat_params(pipe.params["unet"])[path])
+    want = orig + (result.alpha / result.rank) * (fac["a"] @ fac["b"])
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
+
+
+def test_train_lora_rejects_xl():
+    from pww_tpu.training import train_lora
+
+    pipe = PwwPipeline(config=SDModelConfig.tiny_xl(), weights_dtype=None)
+    with pytest.raises(NotImplementedError, match="single-encoder"):
+        train_lora(pipe, [np.zeros((64, 64, 3), np.uint8)], "x", num_steps=1)
