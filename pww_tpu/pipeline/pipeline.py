@@ -974,6 +974,7 @@ class PwwPipeline:
         noise_mode: str = "jax",
         output_type: str = "pil",
         cache_interval: int = 1,
+        tome_ratio: float = 0.0,
     ):
         """Heterogeneous-prompt batch: N independent PwW requests, ONE compiled
         denoise call (BASELINE config #5: batched multi-prompt PwW).
@@ -1060,7 +1061,8 @@ class PwwPipeline:
         from ..ops.weight_functions import CustomWeightFunction
 
         images = np.asarray(run_denoise_decode(
-            self.unet, self.params["unet"], self.vae, self.params["vae"],
+            self._unet_for(tome_ratio), self.params["unet"], self.vae,
+            self.params["vae"],
             latents, text_states, pww,
             schedule, jnp.float32(guidance_scale),
             cfg_batched=not isinstance(wf, CustomWeightFunction),

@@ -33,6 +33,7 @@ def compat_key(req: Dict) -> Tuple:
         float(req.get("guidance_scale", 7.5)),
         repr(req.get("weight_function")),
         int(req.get("cache_interval", 1)),
+        float(req.get("tome_ratio", 0.0)),
     )
 
 
@@ -107,6 +108,7 @@ class Batcher:
                     guidance_scale=group[0].request.get("guidance_scale", 7.5),
                     weight_function=group[0].request.get("weight_function"),
                     cache_interval=group[0].request.get("cache_interval", 1),
+                    tome_ratio=group[0].request.get("tome_ratio", 0.0),
                 )
                 for p, img in zip(group, images):
                     p.future.set_result(img)

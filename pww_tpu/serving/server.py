@@ -5,7 +5,8 @@ POST /generate  {"prompt": ..., "color_context": {"#ff0000": "cat,1.0"},
                  "guidance_scale": 7.5,
                  "weight_function": {"scale": 0.4, "sigma_mode":
                      "log1p_sigma", "reduce_mode": "max"},   # optional
-                 "cache_interval": 1}  # >1 = DeepCache approximation
+                 "cache_interval": 1,   # >1 = DeepCache approximation
+                 "tome_ratio": 0.0}     # >0 = ToMe approximation
   → {"image_png_b64": ..., "latency_s": ...}
 GET  /healthz   → {"ok": true, "stats": {...}}
 
@@ -105,6 +106,7 @@ def make_handler(batcher: Batcher):
                         "guidance_scale": float(req.get("guidance_scale", 7.5)),
                         "weight_function": wf,
                         "cache_interval": int(req.get("cache_interval", 1)),
+                        "tome_ratio": float(req.get("tome_ratio", 0.0)),
                     }
                 )
                 img = fut.result(timeout=600)

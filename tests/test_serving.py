@@ -102,3 +102,19 @@ def test_batcher_honors_weight_function_and_cache_interval(pipe):
         assert img.size == (64, 64)
     finally:
         b.close()
+
+
+def test_batcher_honors_tome_ratio(pipe):
+    """Per-request ToMe ratio keys the batch group and reaches generate_batch.
+    (tiny latents sit below tome_min_tokens, so the program is the exact one —
+    this validates the serving plumbing, not the merge itself)."""
+    r1 = dict(_req("a cat", 0), tome_ratio=0.5)
+    r2 = dict(_req("a cat", 0))
+    assert compat_key(r1) != compat_key(r2)
+
+    b = Batcher(pipe, max_batch=4, max_wait_ms=50)
+    try:
+        img = b.submit(dict(r1)).result(timeout=600)
+        assert img.size == (64, 64)
+    finally:
+        b.close()
