@@ -250,40 +250,62 @@ def main():
     except Exception as e:  # pragma: no cover - backend-dependent
         print(f"cost analysis unavailable: {e!r}", file=sys.stderr)
 
-    batch8_ips = s_per_img_768 = deepcache5_ips = None
-    tome_ips = lcm4_ips = None
+    extras = {}
+
+    def _extra(name, fn):
+        """Secondary points must never sink the headline JSON line."""
+        try:
+            extras[name] = fn()
+            print(f"{name}: {extras[name]:.3f}", file=sys.stderr)
+        except Exception as e:  # pragma: no cover - backend-dependent
+            print(f"extra {name} failed: {e!r}", file=sys.stderr)
+            extras[name] = None
+
     if not args.tiny and not args.no_extras:
-        _, kw8 = _bench_kwargs(size, steps, 8)
-        t8 = _timed_run(pipe, kw8, max(2, args.repeats - 3), f"{size}px b8")
-        batch8_ips = 8 / t8
-        _, kw768 = _bench_kwargs(768, steps, 1)
-        s_per_img_768 = _timed_run(
-            pipe, kw768, max(2, args.repeats - 3), "768px b1"
-        )
-        # opt-in DeepCache point (approximation; headline stays exact)
-        kwdc = dict(kwargs, cache_interval=5)
-        tdc = _timed_run(pipe, kwdc, max(2, args.repeats - 3),
-                         f"{size}px b1 deepcache5")
-        deepcache5_ips = args.batch / tdc
-        # opt-in ToMe point (token merging, ratio 0.5 — tomesd default)
-        kwtome = dict(kwargs, tome_ratio=0.5)
-        ttome = _timed_run(pipe, kwtome, max(2, args.repeats - 3),
-                           f"{size}px b1 tome0.5")
-        tome_ips = args.batch / ttome
-        # LCM 4-step point (the LCM-LoRA/distilled fast-sampling path;
-        # random-init weights time identically to a distilled checkpoint)
-        pipe_lcm = PwwPipeline(
-            config=cfg, params=pipe.params, scheduler="lcm",
-            weights_dtype=None,
-        )
-        kwlcm = dict(kwargs, num_inference_steps=4, guidance_scale=1.0)
-        tlcm = _timed_run(pipe_lcm, kwlcm, max(2, args.repeats - 3),
-                          f"{size}px b1 lcm4")
-        lcm4_ips = args.batch / tlcm
-        print(f"batch8: {batch8_ips:.3f} img/s  768px: {s_per_img_768:.3f} "
-              f"s/img  deepcache5: {deepcache5_ips:.3f} img/s  "
-              f"tome0.5: {tome_ips:.3f} img/s  lcm4: {lcm4_ips:.3f} img/s",
-              file=sys.stderr)
+        reps = max(2, args.repeats - 3)
+
+        def _b8():
+            _, kw8 = _bench_kwargs(size, steps, 8)
+            return 8 / _timed_run(pipe, kw8, reps, f"{size}px b8")
+
+        def _768():
+            _, kw768 = _bench_kwargs(768, steps, 1)
+            return _timed_run(pipe, kw768, reps, "768px b1")
+
+        def _dc():  # opt-in DeepCache point (headline stays exact)
+            kwdc = dict(kwargs, cache_interval=5)
+            return args.batch / _timed_run(
+                pipe, kwdc, reps, f"{size}px b1 deepcache5"
+            )
+
+        def _tome():  # opt-in ToMe (token merging, ratio 0.5 — tomesd default)
+            kwtome = dict(kwargs, tome_ratio=0.5)
+            return args.batch / _timed_run(
+                pipe, kwtome, reps, f"{size}px b1 tome0.5"
+            )
+
+        def _lcm():
+            # LCM-LoRA/distilled fast-sampling path; random-init weights
+            # time identically to a distilled checkpoint
+            pipe_lcm = PwwPipeline(
+                config=cfg, params=pipe.params, scheduler="lcm",
+                weights_dtype=None,
+            )
+            kwlcm = dict(kwargs, num_inference_steps=4, guidance_scale=1.0)
+            return args.batch / _timed_run(
+                pipe_lcm, kwlcm, reps, f"{size}px b1 lcm4"
+            )
+
+        _extra("batch8_img_per_s", _b8)
+        _extra("s_per_image_768px", _768)
+        _extra("deepcache_interval5_img_per_s", _dc)
+        _extra("tome_ratio05_img_per_s", _tome)
+        _extra("lcm_4step_img_per_s", _lcm)
+    batch8_ips = extras.get("batch8_img_per_s")
+    s_per_img_768 = extras.get("s_per_image_768px")
+    deepcache5_ips = extras.get("deepcache_interval5_img_per_s")
+    tome_ips = extras.get("tome_ratio05_img_per_s")
+    lcm4_ips = extras.get("lcm_4step_img_per_s")
 
     baseline_ips = 0.5  # north star: < 2 s/image
     record = {
