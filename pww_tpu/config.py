@@ -257,10 +257,36 @@ class SDModelConfig:
     # prompt uses ALL-ZERO uncond embeddings (text + pooled) instead of
     # encoding "" (diffusers StableDiffusionXLPipeline.encode_prompt).
     force_zeros_for_empty_prompt: bool = True
+    # SDXL-refiner: a SINGLE text tower (the bigG, stored in the `clip`
+    # slot), 1280-dim context, and 5-element time_ids ending in the
+    # aesthetic score instead of target size (diffusers
+    # requires_aesthetics_score=true).
+    xl_refiner: bool = False
 
     @property
     def is_xl(self) -> bool:
         return self.clip2 is not None
+
+    @property
+    def needs_pooled(self) -> bool:
+        """text_time micro-conditioning: a pooled text embedding is a UNet
+        input (SDXL base via clip2, SDXL refiner via the single tower)."""
+        return self.unet.addition_embed_type == "text_time"
+
+    @property
+    def pooled_dim(self) -> int:
+        src = self.clip2 if self.clip2 is not None else self.clip
+        if src.projection_dim is None:
+            raise ValueError("text_time conditioning needs projection_dim")
+        return src.projection_dim
+
+    @property
+    def num_time_ids(self) -> int:
+        """Length of the time_ids vector (6 for base XL size/crop/target;
+        5 for the refiner's size/crop/aesthetic-score)."""
+        return (
+            self.unet.projection_class_embeddings_input_dim - self.pooled_dim
+        ) // self.unet.addition_time_embed_dim
 
     @staticmethod
     def sd15() -> "SDModelConfig":
@@ -276,6 +302,55 @@ class SDModelConfig:
             clip2=CLIPTextConfig.sdxl_bigg(),
             unet=UNetConfig.sdxl(),
             vae=VAEConfig(scaling_factor=0.13025),
+        )
+
+    @staticmethod
+    def sdxl_refiner() -> "SDModelConfig":
+        """SDXL-refiner-1.0: single bigG tower (1280-dim context), 4 stages
+        (384/768/1536/1536) with attention only in the middle two (depth 4),
+        aesthetic-score micro-conditioning (2560 = 1280 + 5*256)."""
+        return SDModelConfig(
+            clip=CLIPTextConfig.sdxl_bigg(),
+            unet=UNetConfig(
+                block_out_channels=(384, 768, 1536, 1536),
+                attention_head_dim=64,
+                cross_attention_dim=1280,
+                sample_size=128,
+                down_block_has_attn=(False, True, True, False),
+                transformer_depth=(4, 4, 4, 4),
+                addition_embed_type="text_time",
+                projection_class_embeddings_input_dim=2560,
+            ),
+            vae=VAEConfig(scaling_factor=0.13025),
+            xl_refiner=True,
+        )
+
+    @staticmethod
+    def tiny_xl_refiner() -> "SDModelConfig":
+        """Tiny refiner-shaped config: ONE projected tower, 5-element
+        aesthetic time_ids, attention only in the inner block."""
+        clip = CLIPTextConfig(
+            vocab_size=1000, hidden_size=48, intermediate_size=96,
+            num_layers=2, num_heads=4, hidden_act="gelu", projection_dim=48,
+            eos_token_id=1,  # toy tokenizer's eos
+        )
+        return SDModelConfig(
+            clip=clip,
+            unet=UNetConfig(
+                block_out_channels=(32, 64),
+                layers_per_block=1,
+                num_attention_heads=4,
+                cross_attention_dim=clip.hidden_size,
+                norm_num_groups=8,
+                down_block_has_attn=(False, True),
+                transformer_depth=(0, 2),
+                addition_embed_type="text_time",
+                addition_time_embed_dim=8,
+                projection_class_embeddings_input_dim=48 + 5 * 8,
+                sample_size=16,
+            ),
+            vae=VAEConfig.tiny(),
+            xl_refiner=True,
         )
 
     @staticmethod

@@ -377,6 +377,16 @@ def run_encode_text_xl(
     return jnp.concatenate([h1, h2], axis=-1), pooled
 
 
+@functools.partial(jax.jit, static_argnames=("clip",))
+def run_encode_text_refiner(
+    clip: CLIPTextEncoder, clip_params, ids: jnp.ndarray
+):
+    """SDXL-refiner conditioning: the SINGLE bigG tower's penultimate hidden
+    states (1280-dim context) + its projected pooled embedding (diffusers
+    StableDiffusionXLImg2ImgPipeline.encode_prompt with one encoder)."""
+    return clip.apply(clip_params, ids, output="penultimate_and_pooled")
+
+
 class PwwPipeline:
     """Stable-Diffusion paint-with-words pipeline (txt2img / img2img / inpaint).
 
@@ -464,7 +474,10 @@ class PwwPipeline:
         # conv/dense param shapes are spatial-size independent: init tiny.
         h = w = 2 ** (len(cfg.unet.block_out_channels) - 1)
         ids = jnp.zeros((1, cfg.clip.max_position_embeddings), jnp.int32)
-        clip_p = self.clip.init(k1, ids)
+        if cfg.xl_refiner:
+            clip_p = self.clip.init(k1, ids, output="penultimate_and_pooled")
+        else:
+            clip_p = self.clip.init(k1, ids)
         ctx = jnp.zeros(
             (1, cfg.clip.max_position_embeddings, cfg.unet.cross_attention_dim),
             jnp.float32,
@@ -554,14 +567,9 @@ class PwwPipeline:
         else:
             h = w = 2 ** (len(self.config.unet.block_out_channels) - 1)
             sf = self.config.vae.scale_factor
-            added = None
-            if self.config.is_xl:
-                added = {
-                    "text_embeds": jnp.zeros(
-                        (1, self.config.clip2.projection_dim)
-                    ),
-                    "time_ids": jnp.zeros((1, 6)),
-                }
+            from ..weights.loader import init_added_cond
+
+            added = init_added_cond(self.config)
             self.controlnet_params = self.controlnet.init(
                 jax.random.PRNGKey(seed),
                 jnp.zeros((1, h, w, self.config.unet.in_channels)),
@@ -644,6 +652,8 @@ class PwwPipeline:
 
     # -- stages ----------------------------------------------------------------
     def encode_text(self, ids: jnp.ndarray, ids2: Optional[jnp.ndarray] = None):
+        if self.config.xl_refiner:
+            return run_encode_text_refiner(self.clip, self.params["clip"], ids)
         if self.clip2 is None:
             return run_encode_text(self.clip, self.params["clip"], ids)
         if ids2 is None:
@@ -672,7 +682,8 @@ class PwwPipeline:
             text_cache=self._text_cache,
             tokenizer_2=self.tokenizer_2,
             zero_empty_negative=(
-                self.config.is_xl and self.config.force_zeros_for_empty_prompt
+                self.config.needs_pooled
+                and self.config.force_zeros_for_empty_prompt
             ),
         )
 
@@ -725,6 +736,8 @@ class PwwPipeline:
         original_size: Optional[Tuple[int, int]] = None,  # SDXL micro-cond
         crops_coords_top_left: Tuple[int, int] = (0, 0),
         target_size: Optional[Tuple[int, int]] = None,
+        aesthetic_score: float = 6.0,  # SDXL-refiner micro-conditioning
+        negative_aesthetic_score: float = 2.5,
     ):
         """Unified txt2img / img2img / inpaint entry point.
 
@@ -837,18 +850,33 @@ class PwwPipeline:
 
         text_states, pww, pooled = self._tile_cfg(enc, n)
         added_cond = None
-        if cfg.is_xl:
+        if cfg.needs_pooled:
             # micro-conditioning (diffusers _get_add_time_ids defaults:
             # original = target = render size, crop (0, 0))
             o_h, o_w = original_size or (height, width)
-            t_h, t_w = target_size or (height, width)
-            tid = jnp.asarray(
-                [o_h, o_w, crops_coords_top_left[0], crops_coords_top_left[1],
-                 t_h, t_w], jnp.float32,
-            )
+            c_t, c_l = crops_coords_top_left
+            if cfg.xl_refiner:
+                # refiner time_ids end in the aesthetic score, with the
+                # NEGATIVE score on the uncond half (diffusers
+                # requires_aesthetics_score semantics)
+                tid_c = jnp.asarray(
+                    [o_h, o_w, c_t, c_l, aesthetic_score], jnp.float32
+                )
+                tid_u = jnp.asarray(
+                    [o_h, o_w, c_t, c_l, negative_aesthetic_score], jnp.float32
+                )
+                time_ids = jnp.concatenate(
+                    [jnp.tile(tid_u[None], (n, 1)), jnp.tile(tid_c[None], (n, 1))]
+                )
+            else:
+                t_h, t_w = target_size or (height, width)
+                tid = jnp.asarray(
+                    [o_h, o_w, c_t, c_l, t_h, t_w], jnp.float32
+                )
+                time_ids = jnp.tile(tid[None], (2 * n, 1))
             added_cond = {
                 "text_embeds": pooled.astype(jnp.float32),
-                "time_ids": jnp.tile(tid[None], (2 * n, 1)),
+                "time_ids": time_ids,
             }
         if cfg.unet.time_cond_proj_dim is not None:
             # LCM-distilled model: guidance is an INPUT (folded into the
@@ -1015,14 +1043,22 @@ class PwwPipeline:
             for k in keys
         }
         added_cond = None
-        if self.config.is_xl:
+        if self.config.needs_pooled:
             pooled = jnp.concatenate(
                 [e.pooled[:1] for e in encs] + [e.pooled[1:] for e in encs]
             )
-            tid = jnp.asarray([h0, w0, 0, 0, h0, w0], jnp.float32)
+            if self.config.xl_refiner:
+                tid_c = jnp.asarray([h0, w0, 0, 0, 6.0], jnp.float32)
+                tid_u = jnp.asarray([h0, w0, 0, 0, 2.5], jnp.float32)
+                time_ids = jnp.concatenate(
+                    [jnp.tile(tid_u[None], (n, 1)), jnp.tile(tid_c[None], (n, 1))]
+                )
+            else:
+                tid = jnp.asarray([h0, w0, 0, 0, h0, w0], jnp.float32)
+                time_ids = jnp.tile(tid[None], (2 * n, 1))
             added_cond = {
                 "text_embeds": pooled.astype(jnp.float32),
-                "time_ids": jnp.tile(tid[None], (2 * n, 1)),
+                "time_ids": time_ids,
             }
         # Per-request full-res maps so bias_for()'s ORIG resize fallback works
         # in serving too (e.g. a 500x500 map whose rounded pyramid key differs

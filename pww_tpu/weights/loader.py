@@ -13,6 +13,7 @@ files so 4-channel SD and 9-channel inpainting UNets both load
 """
 from __future__ import annotations
 
+import functools
 import json
 import os
 import re
@@ -347,13 +348,13 @@ def _read_json(path: str) -> Optional[dict]:
 
 def init_added_cond(config: SDModelConfig) -> Optional[dict]:
     """The ``added_cond`` dict shape the UNet's init/eval_shape needs for
-    this config (SDXL text_time micro-conditioning and/or the LCM
-    guidance-embedding input); None when neither applies."""
+    this config (SDXL-base/refiner text_time micro-conditioning and/or the
+    LCM guidance-embedding input); None when neither applies."""
     added = None
-    if config.is_xl:
+    if config.needs_pooled:
         added = {
-            "text_embeds": jnp.zeros((1, config.clip2.projection_dim)),
-            "time_ids": jnp.zeros((1, 6)),
+            "text_embeds": jnp.zeros((1, config.pooled_dim)),
+            "time_ids": jnp.zeros((1, config.num_time_ids)),
         }
     if config.unet.time_cond_proj_dim is not None:
         added = dict(added or {})
@@ -364,9 +365,14 @@ def init_added_cond(config: SDModelConfig) -> Optional[dict]:
 
 
 def config_from_checkpoint(model_path: str) -> SDModelConfig:
-    """Derive SDModelConfig from the checkpoint's config.json files."""
+    """Derive SDModelConfig from the checkpoint's config.json files.
+
+    An SDXL-refiner layout (text_encoder_2 present, text_encoder absent,
+    diffusers requires_aesthetics_score) maps to ``xl_refiner=True`` with
+    the bigG tower in the single ``clip`` slot.
+    """
     unet_cfg = _read_json(os.path.join(model_path, "unet", "config.json")) or {}
-    clip_cfg = _read_json(os.path.join(model_path, "text_encoder", "config.json")) or {}
+    clip_cfg = _read_json(os.path.join(model_path, "text_encoder", "config.json"))
     vae_cfg = _read_json(os.path.join(model_path, "vae", "config.json")) or {}
 
     # diffusers' "attention_head_dim" actually stores per-block HEAD COUNTS
@@ -423,11 +429,16 @@ def config_from_checkpoint(model_path: str) -> SDModelConfig:
             eos_token_id=d.get("eos_token_id", 49407),
         )
 
-    clip = _clip_config(clip_cfg)
     clip2_cfg = _read_json(
         os.path.join(model_path, "text_encoder_2", "config.json")
     )
-    clip2 = None if clip2_cfg is None else _clip_config(clip2_cfg, "gelu")
+    xl_refiner = clip_cfg is None and clip2_cfg is not None
+    if xl_refiner:
+        clip = _clip_config(clip2_cfg, "gelu")
+        clip2 = None
+    else:
+        clip = _clip_config(clip_cfg or {})
+        clip2 = None if clip2_cfg is None else _clip_config(clip2_cfg, "gelu")
     vae = VAEConfig(
         latent_channels=vae_cfg.get("latent_channels", 4),
         block_out_channels=tuple(vae_cfg.get("block_out_channels", (128, 256, 512, 512))),
@@ -441,6 +452,7 @@ def config_from_checkpoint(model_path: str) -> SDModelConfig:
         force_zeros_for_empty_prompt=idx.get(
             "force_zeros_for_empty_prompt", True
         ),
+        xl_refiner=xl_refiner,
     )
 
 
@@ -475,6 +487,7 @@ def _load_native_checkpoint(model_path: str):
             else SchedulerConfig()
         ),
         force_zeros_for_empty_prompt=m.get("force_zeros_for_empty_prompt", True),
+        xl_refiner=m.get("xl_refiner", False),
     )
     rng = jax.random.PRNGKey(0)
     clip = CLIPTextEncoder(config.clip)
@@ -496,14 +509,16 @@ def _load_native_checkpoint(model_path: str):
                        config.vae.scale_factor * 2, config.vae.in_channels)),
         ),
         "clip": jax.eval_shape(
-            clip.init, rng,
+            (
+                functools.partial(clip.init, output="penultimate_and_pooled")
+                if config.xl_refiner else clip.init
+            ),
+            rng,
             jnp.zeros((1, config.clip.max_position_embeddings), jnp.int32),
         ),
     }
     if config.is_xl:
         clip2 = CLIPTextEncoder(config.clip2)
-        import functools
-
         shapes["clip2"] = jax.eval_shape(
             functools.partial(clip2.init, output="penultimate_and_pooled"),
             rng,
@@ -567,10 +582,20 @@ def load_pipeline_checkpoint(model_path: str):
 
     clip = CLIPTextEncoder(config.clip)
     ids = jnp.zeros((1, config.clip.max_position_embeddings), jnp.int32)
-    clip_shapes = jax.eval_shape(clip.init, rng, ids)
-    clip_state = read_state_dict(
-        _find_weights_file(os.path.join(model_path, "text_encoder"))
-    )
+    if config.xl_refiner:
+        # single bigG tower lives in text_encoder_2; pooled head included
+        clip_shapes = jax.eval_shape(
+            functools.partial(clip.init, output="penultimate_and_pooled"),
+            rng, ids,
+        )
+        clip_state = read_state_dict(
+            _find_weights_file(os.path.join(model_path, "text_encoder_2"))
+        )
+    else:
+        clip_shapes = jax.eval_shape(clip.init, rng, ids)
+        clip_state = read_state_dict(
+            _find_weights_file(os.path.join(model_path, "text_encoder"))
+        )
     clip_params = fill_params(clip_shapes, clip_state, clip_key, name="clip")
 
     vae = AutoencoderKL(config.vae)
@@ -579,15 +604,22 @@ def load_pipeline_checkpoint(model_path: str):
     vae_state = read_state_dict(_find_weights_file(os.path.join(model_path, "vae")))
     vae_params = fill_params(vae_shapes, vae_state, vae_keys, multi=True, name="vae")
 
-    tokenizer = CLIPTokenizer.from_dir(model_path)
+    if config.xl_refiner and os.path.isdir(
+        os.path.join(model_path, "tokenizer_2")
+    ) and not os.path.isdir(os.path.join(model_path, "tokenizer")):
+        # refiner layout ships only tokenizer_2 (OpenCLIP-style, pads with 0)
+        tokenizer = CLIPTokenizer.from_dir(
+            os.path.join(model_path, "tokenizer_2")
+        )
+        tokenizer.pad_token_id = 0
+    else:
+        tokenizer = CLIPTokenizer.from_dir(model_path)
     params = {"unet": unet_params, "clip": clip_params, "vae": vae_params}
 
     tokenizer_2 = None
     if config.is_xl:
         clip2 = CLIPTextEncoder(config.clip2)
         ids2 = jnp.zeros((1, config.clip2.max_position_embeddings), jnp.int32)
-        import functools
-
         clip2_shapes = jax.eval_shape(
             functools.partial(clip2.init, output="penultimate_and_pooled"),
             rng, ids2,

@@ -231,3 +231,195 @@ def test_tiny_xl_inpaint_nine_channel():
         num_inference_steps=2, seed=0, output_type="np",
     )
     assert out.shape == (1, 64, 64, 3)
+
+
+# ---------------------------------------------------------------------------
+# SDXL-refiner: single bigG tower, aesthetic-score micro-conditioning
+# ---------------------------------------------------------------------------
+
+
+def _refiner_pipe():
+    from pww_tpu.pipeline.pipeline import PwwPipeline
+
+    return PwwPipeline(config=SDModelConfig.tiny_xl_refiner(), weights_dtype=None)
+
+
+def _cm(size=64):
+    cm = np.zeros((size, size, 3), np.uint8)
+    cm[:, : size // 2] = (255, 0, 0)
+    return cm
+
+
+def test_refiner_config_shapes():
+    cfg = SDModelConfig.tiny_xl_refiner()
+    assert cfg.xl_refiner and not cfg.is_xl
+    assert cfg.needs_pooled
+    assert cfg.num_time_ids == 5
+    full = SDModelConfig.sdxl_refiner()
+    assert full.num_time_ids == 5
+    assert full.unet.cross_attention_dim == 1280
+    assert full.pooled_dim == 1280
+
+
+def test_refiner_generate_and_aesthetic_score_reaches_model():
+    pipe = _refiner_pipe()
+    kwargs = dict(
+        prompt="a cat", color_map_image=_cm(),
+        color_context={(255, 0, 0): "cat,1.5"},
+        num_inference_steps=2, seed=0, output_type="latent",
+    )
+    a = np.asarray(pipe.generate(aesthetic_score=6.0, **kwargs))
+    b = np.asarray(pipe.generate(aesthetic_score=1.0, **kwargs))
+    assert np.all(np.isfinite(a))
+    assert not np.array_equal(a, b)  # the score conditions the UNet
+    # PwW region strength changes the output too (bias is live on refiner)
+    c = np.asarray(pipe.generate(
+        prompt="a cat", color_map_image=_cm(),
+        color_context={(255, 0, 0): "cat,0.0"},
+        num_inference_steps=2, seed=0, output_type="latent",
+    ))
+    assert not np.array_equal(a, c)
+
+
+def test_refiner_img2img():
+    from PIL import Image
+
+    pipe = _refiner_pipe()
+    init = Image.fromarray(
+        (np.random.default_rng(0).random((64, 64, 3)) * 255).astype(np.uint8)
+    )
+    out = pipe.generate(
+        prompt="a cat", color_map_image=_cm(),
+        color_context={(255, 0, 0): "cat,1.0"},
+        init_image=init, strength=0.5,
+        num_inference_steps=4, seed=0, output_type="np",
+    )
+    assert out.shape == (1, 64, 64, 3)
+
+
+def test_refiner_save_load_roundtrip(tmp_path):
+    pipe = _refiner_pipe()
+    kwargs = dict(
+        prompt="a cat", color_map_image=_cm(),
+        color_context={(255, 0, 0): "cat,1.0"},
+        num_inference_steps=2, seed=0, output_type="np",
+    )
+    want = pipe.generate(**kwargs)
+    d = str(tmp_path / "refiner")
+    pipe.save_pretrained(d)
+    from pww_tpu.pipeline.pipeline import PwwPipeline
+
+    pipe2 = PwwPipeline.from_pretrained(d, weights_dtype=None)
+    assert pipe2.config.xl_refiner
+    np.testing.assert_array_equal(want, pipe2.generate(**kwargs))
+
+
+def test_refiner_diffusers_layout_detection(tmp_path):
+    """A diffusers dir with text_encoder_2 but NO text_encoder loads as a
+    refiner: bigG in the clip slot, 5 time ids, weights from text_encoder_2."""
+    import json
+    import os
+
+    import jax
+    from safetensors.numpy import save_file
+
+    from pww_tpu.models.clip import CLIPTextEncoder
+    from pww_tpu.models.unet import UNet2DCondition
+    from pww_tpu.models.vae import AutoencoderKL
+    from pww_tpu.weights.loader import (clip_key, config_from_checkpoint,
+                                        load_pipeline_checkpoint, unet_key,
+                                        vae_keys)
+
+    cfg = SDModelConfig.tiny_xl_refiner()
+    root = tmp_path / "refiner_ckpt"
+    for sub in ("unet", "vae", "text_encoder_2", "tokenizer_2"):
+        os.makedirs(root / sub)
+    (root / "unet" / "config.json").write_text(json.dumps({
+        "in_channels": 4, "sample_size": 16,
+        "block_out_channels": [32, 64], "layers_per_block": 1,
+        "attention_head_dim": 4, "cross_attention_dim": 48,
+        "norm_num_groups": 8,
+        "down_block_types": ["DownBlock2D", "CrossAttnDownBlock2D"],
+        "transformer_layers_per_block": [0, 2],
+        "addition_embed_type": "text_time", "addition_time_embed_dim": 8,
+        "projection_class_embeddings_input_dim": 48 + 5 * 8,
+    }))
+    (root / "vae" / "config.json").write_text(json.dumps({
+        "latent_channels": 4, "block_out_channels": [8, 16, 16, 32],
+        "layers_per_block": 1, "norm_num_groups": 4,
+        "scaling_factor": 0.13025,
+    }))
+    (root / "text_encoder_2" / "config.json").write_text(json.dumps({
+        "vocab_size": 1000, "hidden_size": 48, "intermediate_size": 96,
+        "num_hidden_layers": 2, "num_attention_heads": 4,
+        "max_position_embeddings": 77, "hidden_act": "gelu",
+        "projection_dim": 48,
+        "architectures": ["CLIPTextModelWithProjection"],
+        "eos_token_id": 1,
+    }))
+    # minimal real-BPE tokenizer assets (refiner layout: tokenizer_2 only)
+    from pww_tpu.tokenizer.clip_bpe import bytes_to_unicode
+
+    base = list(bytes_to_unicode().values())
+    vocab = {}
+    for v in base:
+        vocab[v] = len(vocab)
+    for v in base:
+        vocab[v + "</w>"] = len(vocab)
+    vocab["<|startoftext|>"] = len(vocab)
+    vocab["<|endoftext|>"] = len(vocab)
+    (root / "tokenizer_2" / "vocab.json").write_text(json.dumps(vocab))
+    (root / "tokenizer_2" / "merges.txt").write_text("#version: 0.2\n")
+
+    got = config_from_checkpoint(str(root))
+    assert got.xl_refiner and got.clip2 is None
+    assert got.clip.projection_dim == 48
+    assert got.num_time_ids == 5
+
+    # synthesize torch-layout weights for every param our modules expect
+    from pww_tpu.weights.loader import t_conv, t_dense
+
+    def dump(module_shapes, key_fn, subdir, multi=False):
+        rng = np.random.default_rng(0)
+        state = {}
+        flat = jax.tree_util.tree_flatten_with_path(module_shapes)[0]
+        for kp, leaf in flat:
+            path = tuple(p.key for p in kp if p.key != "params")
+            keys, tf = key_fn(path, len(leaf.shape))
+            key = keys[0] if multi else keys
+            shape = list(leaf.shape)
+            if tf is t_conv:  # flax HWIO -> torch OIHW
+                shape = [shape[3], shape[2], shape[0], shape[1]]
+            elif tf is t_dense:
+                shape = [shape[1], shape[0]]
+            state[key] = rng.standard_normal(shape).astype(np.float32) * 0.05
+        save_file(state, str(root / subdir / "diffusion_pytorch_model.safetensors"))
+
+    rngk = jax.random.PRNGKey(0)
+    import functools
+
+    import jax.numpy as jnp
+
+    unet = UNet2DCondition(got.unet)
+    dump(jax.eval_shape(
+        unet.init, rngk, jnp.zeros((1, 8, 8, 4)), jnp.zeros((1,)),
+        jnp.zeros((1, 77, 48)),
+        added_cond={"text_embeds": jnp.zeros((1, 48)),
+                    "time_ids": jnp.zeros((1, 5))},
+    ), unet_key, "unet")
+    vae = AutoencoderKL(got.vae)
+    dump(jax.eval_shape(vae.init, rngk, jnp.zeros((1, 16, 16, 3))), vae_keys,
+         "vae", multi=True)
+    clip = CLIPTextEncoder(got.clip)
+    dump(jax.eval_shape(
+        functools.partial(clip.init, output="penultimate_and_pooled"),
+        rngk, jnp.zeros((1, 77), jnp.int32),
+    ), clip_key, "text_encoder_2")
+    os.rename(root / "text_encoder_2" / "diffusion_pytorch_model.safetensors",
+              root / "text_encoder_2" / "model.safetensors")
+
+    config, params, tok, tok2 = load_pipeline_checkpoint(str(root))
+    assert config.xl_refiner
+    assert "clip2" not in params
+    assert "text_projection" in params["clip"]["params"]
+    assert tok.pad_token_id == 0  # OpenCLIP-style padding
