@@ -33,6 +33,35 @@ class EncodedInputs:
     pooled: Optional[jnp.ndarray] = None  # (2, D_pool) SDXL pooled embeds
 
 
+def _apply_prompt_weights(text_states, tok_w, dual_split_dim):
+    """Scale [uncond, cond] hidden states by their per-token multipliers.
+
+    Dual-encoder states are scaled per tower (the concat split at
+    ``dual_split_dim``) since each tower tokenized the prompt independently.
+    All-ones weight vectors are skipped (bitwise no-op for plain prompts).
+    """
+    from .prompt_weighting import apply_token_weights
+
+    def scale_row(row, w):
+        if w is None or (w == 1.0).all():
+            return row
+        return apply_token_weights(row, w)
+
+    if dual_split_dim is None:
+        rows = [
+            scale_row(text_states[0], tok_w.get("1u")),
+            scale_row(text_states[1], tok_w.get("1c")),
+        ]
+        return jnp.stack(rows)
+    d = dual_split_dim
+    rows = []
+    for i, half in (("u", 0), ("c", 1)):
+        h1 = scale_row(text_states[half, :, :d], tok_w.get(f"1{i}"))
+        h2 = scale_row(text_states[half, :, d:], tok_w.get(f"2{i}"))
+        rows.append(jnp.concatenate([h1, h2], axis=-1))
+    return jnp.stack(rows)
+
+
 def encode_text_color_inputs(
     encode_text: Callable[[jnp.ndarray], jnp.ndarray],
     tokenizer,
@@ -44,6 +73,8 @@ def encode_text_color_inputs(
     text_cache: Optional[Dict] = None,
     tokenizer_2=None,
     zero_empty_negative: bool = False,  # SDXL force_zeros_for_empty_prompt
+    prompt_weighting: bool = False,  # A1111 (word:1.2) emphasis syntax
+    dual_split_dim: Optional[int] = None,  # tower-1 width of concat XL states
 ) -> EncodedInputs:
     """Host prologue: parse, tokenize, rasterize, CLIP-encode.
 
@@ -52,14 +83,26 @@ def encode_text_color_inputs(
     ``tokenizer_2`` — and returns ``(text_states, pooled)``.
     ``text_cache``: optional dict caching CLIP outputs by (prompt, negative)
     — repeated serving prompts skip the text encoder entirely.
+    ``prompt_weighting``: interpret A1111 emphasis syntax; the per-token
+    multipliers scale the encoder output hidden states (per tower, for dual-
+    encoder models — ``dual_split_dim`` gives tower 1's hidden width).
     """
     max_len = tokenizer.model_max_length
-    prompt_ids = tokenizer(
-        prompt, max_length=max_len, truncation=True, padding=True
-    )["input_ids"]
-    uncond_ids = tokenizer(
-        negative_prompt, max_length=max_len, truncation=True, padding=True
-    )["input_ids"]
+    tok_w = {}  # per-(tokenizer, row) weight vectors, keyed "1"/"2" + "u"/"c"
+    if prompt_weighting:
+        from .prompt_weighting import weighted_prompt_ids
+
+        prompt_ids, tok_w["1c"] = weighted_prompt_ids(tokenizer, prompt)
+        uncond_ids, tok_w["1u"] = weighted_prompt_ids(
+            tokenizer, negative_prompt
+        )
+    else:
+        prompt_ids = tokenizer(
+            prompt, max_length=max_len, truncation=True, padding=True
+        )["input_ids"]
+        uncond_ids = tokenizer(
+            negative_prompt, max_length=max_len, truncation=True, padding=True
+        )["input_ids"]
 
     regions, width, height = separate_image_context(
         color_map, dict(color_context), tokenizer
@@ -87,7 +130,7 @@ def encode_text_color_inputs(
     weights = {k: cfg_pair(v) for k, v in pyramid.items()}
     weight_orig = cfg_pair(orig)
 
-    cache_key = (prompt, negative_prompt)
+    cache_key = (prompt, negative_prompt, prompt_weighting)
     pooled = None
     if text_cache is not None and cache_key in text_cache:
         text_states, pooled = text_cache[cache_key]
@@ -95,17 +138,27 @@ def encode_text_color_inputs(
         ids = jnp.asarray([uncond_ids, prompt_ids], jnp.int32)
         if tokenizer_2 is not None:
             ml2 = tokenizer_2.model_max_length
-            ids2 = jnp.asarray(
-                [tokenizer_2(negative_prompt, max_length=ml2, truncation=True,
-                             padding=True)["input_ids"],
-                 tokenizer_2(prompt, max_length=ml2, truncation=True,
-                             padding=True)["input_ids"]],
-                jnp.int32,
-            )
+            if prompt_weighting:
+                from .prompt_weighting import weighted_prompt_ids
+
+                c2, tok_w["2c"] = weighted_prompt_ids(tokenizer_2, prompt)
+                u2, tok_w["2u"] = weighted_prompt_ids(
+                    tokenizer_2, negative_prompt
+                )
+            else:
+                u2 = tokenizer_2(negative_prompt, max_length=ml2,
+                                 truncation=True, padding=True)["input_ids"]
+                c2 = tokenizer_2(prompt, max_length=ml2, truncation=True,
+                                 padding=True)["input_ids"]
+            ids2 = jnp.asarray([u2, c2], jnp.int32)
             out = encode_text(ids, ids2)
         else:
             out = encode_text(ids)  # (2, T, D) or ((2,T,D), (2,Dp))
         text_states, pooled = out if isinstance(out, tuple) else (out, None)
+        if prompt_weighting:
+            text_states = _apply_prompt_weights(
+                text_states, tok_w, dual_split_dim
+            )
         if zero_empty_negative and negative_prompt == "" and pooled is not None:
             # SDXL-base default: empty negative prompt -> all-zero uncond
             # text + pooled embeddings (force_zeros_for_empty_prompt=true)

@@ -670,6 +670,7 @@ class PwwPipeline:
         color_context: Dict,
         negative_prompt: str = "",
         weight_function: Optional[AnyWeightFunction] = None,
+        prompt_weighting: bool = False,
     ) -> EncodedInputs:
         return encode_text_color_inputs(
             self.encode_text,
@@ -684,6 +685,10 @@ class PwwPipeline:
             zero_empty_negative=(
                 self.config.needs_pooled
                 and self.config.force_zeros_for_empty_prompt
+            ),
+            prompt_weighting=prompt_weighting,
+            dual_split_dim=(
+                self.config.clip.hidden_size if self.config.is_xl else None
             ),
         )
 
@@ -738,6 +743,7 @@ class PwwPipeline:
         target_size: Optional[Tuple[int, int]] = None,
         aesthetic_score: float = 6.0,  # SDXL-refiner micro-conditioning
         negative_aesthetic_score: float = 2.5,
+        prompt_weighting: bool = False,  # A1111 (word:1.2) emphasis syntax
     ):
         """Unified txt2img / img2img / inpaint entry point.
 
@@ -760,6 +766,7 @@ class PwwPipeline:
                 color_context or {},
                 negative_prompt,
                 weight_function,
+                prompt_weighting=prompt_weighting,
             )
         height, width = (
             (enc.height, enc.width)
@@ -1022,6 +1029,7 @@ class PwwPipeline:
                 self.encode_inputs(
                     r.get("prompt", ""), cm, r.get("color_context") or {},
                     r.get("negative_prompt", ""), wf,
+                    prompt_weighting=bool(r.get("prompt_weighting", False)),
                 )
             )
         h0, w0 = encs[0].height, encs[0].width
