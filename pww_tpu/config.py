@@ -59,6 +59,36 @@ class CLIPTextConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class CLIPVisionConfig:
+    """CLIP vision tower (IP-Adapter image conditioning).
+
+    Defaults match OpenCLIP ViT-H/14 (the encoder the published SD-1.5
+    IP-Adapter checkpoints pair with).
+    """
+
+    hidden_size: int = 1280
+    intermediate_size: int = 5120
+    num_layers: int = 32
+    num_heads: int = 16
+    image_size: int = 224
+    patch_size: int = 14
+    hidden_act: str = "gelu"
+    layer_norm_eps: float = 1e-5
+    projection_dim: int = 1024
+
+    @property
+    def num_positions(self) -> int:
+        return (self.image_size // self.patch_size) ** 2 + 1
+
+    @staticmethod
+    def tiny() -> "CLIPVisionConfig":
+        return CLIPVisionConfig(
+            hidden_size=32, intermediate_size=64, num_layers=2, num_heads=4,
+            image_size=32, patch_size=8, projection_dim=24,
+        )
+
+
+@dataclasses.dataclass(frozen=True)
 class UNetConfig:
     """SD UNet2DConditionModel hyperparameters.
 
@@ -96,6 +126,10 @@ class UNetConfig:
     # embedding projected into the timestep embedding (diffusers
     # `time_cond_proj_dim`; e.g. 256 for LCM-Dreamshaper). None = off.
     time_cond_proj_dim: Optional[int] = None
+    # IP-Adapter: number of image-prompt tokens attended by the decoupled
+    # to_k_ip/to_v_ip projections at every cross-attention site (4 for the
+    # standard published adapters). None = no image conditioning params.
+    ip_adapter_tokens: Optional[int] = None
     # Pallas kernels, measured at 512² on v5e (full-UNet step, bf16):
     #   XLA-dense everything 54 ms · +fused cross-attn 32 ms · +flash 26 ms.
     # Isolated op micro-benchmarks invert this ordering (dispatch overhead +

@@ -24,8 +24,9 @@ def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
 
 
 class CLIPAttention(nn.Module):
-    config: CLIPTextConfig
+    config: Any  # CLIPTextConfig or CLIPVisionConfig (hidden_size/num_heads)
     dtype: Any = jnp.float32
+    causal: bool = True  # text tower is causal; the vision tower is not
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -35,7 +36,7 @@ class CLIPAttention(nn.Module):
         k = nn.Dense(d, dtype=self.dtype, name="k_proj")(x)
         v = nn.Dense(d, dtype=self.dtype, name="v_proj")(x)
         q, k, v = (split_heads(t, cfg.num_heads) for t in (q, k, v))
-        out = merge_heads(pww_attention(q, k, v, causal=True))
+        out = merge_heads(pww_attention(q, k, v, causal=self.causal))
         return nn.Dense(d, dtype=self.dtype, name="out_proj")(out)
 
 
@@ -52,14 +53,17 @@ class CLIPMLP(nn.Module):
 
 
 class CLIPEncoderLayer(nn.Module):
-    config: CLIPTextConfig
+    config: Any
     dtype: Any = jnp.float32
+    causal: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         cfg = self.config
         h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32, name="layer_norm1")(x)
-        x = x + CLIPAttention(cfg, self.dtype, name="self_attn")(h.astype(self.dtype))
+        x = x + CLIPAttention(
+            cfg, self.dtype, self.causal, name="self_attn"
+        )(h.astype(self.dtype))
         h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32, name="layer_norm2")(x)
         x = x + CLIPMLP(cfg, self.dtype, name="mlp")(h.astype(self.dtype))
         return x

@@ -114,6 +114,7 @@ class CrossAttention(nn.Module):
     head_dim: int
     use_flash: bool = False
     use_fused_cross: bool = True
+    ip_adapter: bool = False  # decoupled image-prompt K/V (IP-Adapter)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -122,6 +123,7 @@ class CrossAttention(nn.Module):
         x: jnp.ndarray,
         context: Optional[jnp.ndarray] = None,
         pww: Optional[PwwState] = None,
+        ip=None,  # Optional[IpState]
     ) -> jnp.ndarray:
         inner = self.num_heads * self.head_dim
         is_self = context is None
@@ -162,6 +164,27 @@ class CrossAttention(nn.Module):
             out = pww_attention(
                 q, k, v, bias_w=bias_w, weight_fn=weight_fn, sigma=sigma
             )
+        if self.ip_adapter and not is_self:
+            # IP-Adapter decoupled cross-attention (Ye et al. 2023): a second
+            # attention over the image-prompt tokens with separate key/value
+            # projections, added to the text branch. The PwW bias stays on
+            # the TEXT branch only (region weights are per-text-token).
+            if ip is None:
+                raise ValueError(
+                    "ip_adapter_tokens is set: pass an IpState operand"
+                )
+            tok = ip.tokens.astype(self.dtype)
+            k_ip = nn.Dense(
+                inner, use_bias=False, dtype=self.dtype, name="to_k_ip"
+            )(tok)
+            v_ip = nn.Dense(
+                inner, use_bias=False, dtype=self.dtype, name="to_v_ip"
+            )(tok)
+            out_ip = pww_attention(
+                q, split_heads(k_ip, self.num_heads),
+                split_heads(v_ip, self.num_heads),
+            )
+            out = out + ip.scale.astype(self.dtype) * out_ip
         return nn.Dense(inner, dtype=self.dtype, name="to_out")(merge_heads(out))
 
 
@@ -171,10 +194,11 @@ class TransformerBlock(nn.Module):
     use_flash: bool = False
     use_fused_cross: bool = True
     tome_ratio: float = 0.0  # >0: ToMe merge around attn1 (approximation)
+    ip_adapter: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, context, pww, grid=None):
+    def __call__(self, x, context, pww, grid=None, ip=None):
         dim = x.shape[-1]
         h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(x)
         attn1 = CrossAttention(
@@ -196,8 +220,9 @@ class TransformerBlock(nn.Module):
         h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(x)
         x = x + CrossAttention(
             self.num_heads, self.head_dim, self.use_flash,
-            use_fused_cross=self.use_fused_cross, dtype=self.dtype, name="attn2",
-        )(h.astype(self.dtype), context=context, pww=pww)
+            use_fused_cross=self.use_fused_cross, ip_adapter=self.ip_adapter,
+            dtype=self.dtype, name="attn2",
+        )(h.astype(self.dtype), context=context, pww=pww, ip=ip)
         h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm3")(x)
         x = x + FeedForwardGEGLU(dim, dtype=self.dtype, name="ff")(h.astype(self.dtype))
         return x
@@ -213,11 +238,12 @@ class Transformer2D(nn.Module):
     use_fused_cross: bool = True
     tome_ratio: float = 0.0
     tome_min_tokens: int = 4096
+    ip_adapter: bool = False
     groups: int = 32
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, context, pww):
+    def __call__(self, x, context, pww, ip=None):
         b, h, w, c = x.shape
         residual = x
         z = nn.GroupNorm(self.groups, epsilon=1e-6, dtype=jnp.float32, name="norm")(x)
@@ -228,8 +254,9 @@ class Transformer2D(nn.Module):
         for i in range(self.depth):
             z = TransformerBlock(
                 self.num_heads, self.head_dim, self.use_flash,
-                self.use_fused_cross, tome, self.dtype, name=f"blocks_{i}",
-            )(z, context, pww, grid=(h, w))
+                self.use_fused_cross, tome, self.ip_adapter, self.dtype,
+                name=f"blocks_{i}",
+            )(z, context, pww, grid=(h, w), ip=ip)
         z = z.reshape(b, h, w, c)
         z = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_out")(z)
         return z + residual
@@ -266,7 +293,7 @@ class UNet2DCondition(nn.Module):
     config: UNetConfig
     dtype: Any = jnp.float32
 
-    def _down_block(self, x, bi, ch, temb, ctx, pww, skips):
+    def _down_block(self, x, bi, ch, temb, ctx, pww, skips, ip=None):
         cfg = self.config
         has_attn = cfg.down_block_has_attn[bi]
         for li in range(cfg.layers_per_block):
@@ -282,13 +309,14 @@ class UNet2DCondition(nn.Module):
                     use_fused_cross=cfg.fused_cross_attention,
                     tome_ratio=cfg.tome_ratio,
                     tome_min_tokens=cfg.tome_min_tokens,
+                    ip_adapter=cfg.ip_adapter_tokens is not None,
                     groups=cfg.norm_num_groups, dtype=self.dtype,
                     name=f"down_{bi}_attn_{li}",
-                )(x, ctx, pww)
+                )(x, ctx, pww, ip=ip)
             skips.append(x)
         return x
 
-    def _up_block(self, x, bi, ch, temb, ctx, pww, skips):
+    def _up_block(self, x, bi, ch, temb, ctx, pww, skips, ip=None):
         cfg = self.config
         has_attn = cfg.up_block_has_attn[bi]
         depth = cfg.depth_for(len(cfg.block_out_channels) - 1 - bi)
@@ -306,9 +334,10 @@ class UNet2DCondition(nn.Module):
                     use_fused_cross=cfg.fused_cross_attention,
                     tome_ratio=cfg.tome_ratio,
                     tome_min_tokens=cfg.tome_min_tokens,
+                    ip_adapter=cfg.ip_adapter_tokens is not None,
                     groups=cfg.norm_num_groups, dtype=self.dtype,
                     name=f"up_{bi}_attn_{li}",
-                )(x, ctx, pww)
+                )(x, ctx, pww, ip=ip)
         return x
 
     def _head(self, x):
@@ -332,6 +361,7 @@ class UNet2DCondition(nn.Module):
         cache_mode: Optional[str] = None,  # None | "collect" | "use"
         cached_feature: Optional[jnp.ndarray] = None,
         added_cond: Optional[dict] = None,  # SDXL: {"text_embeds", "time_ids"}
+        ip=None,  # Optional[IpState]: IP-Adapter image-prompt tokens
     ) -> jnp.ndarray:
         """Forward pass; optional DeepCache shallow execution.
 
@@ -404,17 +434,19 @@ class UNet2DCondition(nn.Module):
             # consumes; the deep trunk is replaced by the cached feature.
             skips = [x]
             self._down_block(
-                x, 0, cfg.block_out_channels[0], temb, ctx, pww, skips
+                x, 0, cfg.block_out_channels[0], temb, ctx, pww, skips, ip=ip
             )
             x = cached_feature.astype(self.dtype)
             bi = n_blocks - 1
-            x = self._up_block(x, bi, rev_channels[bi], temb, ctx, pww, skips)
+            x = self._up_block(
+                x, bi, rev_channels[bi], temb, ctx, pww, skips, ip=ip
+            )
             return self._head(x)
 
         # ---- down ----
         skips = [x]
         for bi, ch in enumerate(cfg.block_out_channels):
-            x = self._down_block(x, bi, ch, temb, ctx, pww, skips)
+            x = self._down_block(x, bi, ch, temb, ctx, pww, skips, ip=ip)
             if bi < n_blocks - 1:
                 x = Downsample(ch, self.dtype, name=f"down_{bi}_downsample")(x)
                 skips.append(x)
@@ -433,8 +465,9 @@ class UNet2DCondition(nn.Module):
             use_fused_cross=cfg.fused_cross_attention,
             tome_ratio=cfg.tome_ratio,
             tome_min_tokens=cfg.tome_min_tokens,
+            ip_adapter=cfg.ip_adapter_tokens is not None,
             groups=cfg.norm_num_groups, dtype=self.dtype, name="mid_attn",
-        )(x, ctx, pww)
+        )(x, ctx, pww, ip=ip)
         x = ResnetBlock(ch, cfg.norm_num_groups, self.dtype, name="mid_resnet_1")(x, temb)
         if mid_block_residual is not None:
             x = x + mid_block_residual
@@ -442,7 +475,7 @@ class UNet2DCondition(nn.Module):
         # ---- up ----
         cache_feature = None
         for bi, ch in enumerate(rev_channels):
-            x = self._up_block(x, bi, ch, temb, ctx, pww, skips)
+            x = self._up_block(x, bi, ch, temb, ctx, pww, skips, ip=ip)
             if bi < n_blocks - 1:
                 x = Upsample(ch, self.dtype, name=f"up_{bi}_upsample")(x)
                 if bi == n_blocks - 2:

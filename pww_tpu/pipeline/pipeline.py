@@ -47,6 +47,7 @@ LATENT_SCALE = 0.18215  # SD-1.x/2.x VAE scaling (reference paint_with_words.py:
 def _cfg_eps_fns(
     unet, unet_params, text_states, n, controlnet, controlnet_params,
     control_hint, controlnet_scale, extra_channels, added_cond=None,
+    ip=None,
 ):
     """(batched, split) classifier-free-guidance UNet evaluators.
 
@@ -74,7 +75,7 @@ def _cfg_eps_fns(
         eps = unet.apply(
             unet_params, lat2, t, text_states, pww=pww_t,
             down_block_residuals=down_res, mid_block_residual=mid_res,
-            added_cond=added_cond,
+            added_cond=added_cond, ip=ip,
         )
         return eps[:n].astype(jnp.float32), eps[n:].astype(jnp.float32)
 
@@ -110,6 +111,8 @@ def _cfg_eps_fns(
                     down_block_residuals=down_res, mid_block_residual=mid_res,
                     added_cond=None if added_cond is None
                     else {k: v[half] for k, v in added_cond.items()},
+                    ip=None if ip is None
+                    else ip.replace(tokens=ip.tokens[half]),
                 ).astype(jnp.float32)
             )
         return eps[0], eps[1]
@@ -135,6 +138,7 @@ def _denoise_scan(
     cfg_batched: bool = True,
     cache_interval: int = 1,
     added_cond: Optional[dict] = None,  # SDXL (2N-batched text_embeds/time_ids)
+    ip=None,  # Optional[IpState] (2N-batched image-prompt tokens)
 ) -> jnp.ndarray:
     """Full denoise loop as one scan. Returns final latents (N, h, w, C).
 
@@ -152,7 +156,7 @@ def _denoise_scan(
     compute_dtype = unet.dtype
     unet_eps_batched, unet_eps_split = _cfg_eps_fns(
         unet, unet_params, text_states, n, controlnet, controlnet_params,
-        control_hint, controlnet_scale, extra_channels, added_cond,
+        control_hint, controlnet_scale, extra_channels, added_cond, ip,
     )
     prediction_type = unet.config.prediction_type
 
@@ -189,7 +193,7 @@ def _denoise_scan(
             def run_full(lat2):
                 eps, f = unet.apply(
                     unet_params, lat2, t, text_states, pww=pww_t,
-                    cache_mode="collect", added_cond=added_cond,
+                    cache_mode="collect", added_cond=added_cond, ip=ip,
                 )
                 return eps, f.astype(feat.dtype)
 
@@ -197,7 +201,7 @@ def _denoise_scan(
                 eps = unet.apply(
                     unet_params, lat2, t, text_states, pww=pww_t,
                     cache_mode="use", cached_feature=feat,
-                    added_cond=added_cond,
+                    added_cond=added_cond, ip=ip,
                 )
                 return eps, feat
 
@@ -280,6 +284,7 @@ def run_denoise_decode(
     cfg_batched: bool = True,
     cache_interval: int = 1,
     added_cond=None,
+    ip=None,
 ):
     """Denoise scan + VAE decode + uint8 conversion as ONE compiled program —
     a single device dispatch per image (the separate-stage path pays one
@@ -289,7 +294,7 @@ def run_denoise_decode(
         unet, unet_params, latents, text_states, pww, schedule,
         guidance_scale, extra_channels, controlnet, controlnet_params,
         control_hint, controlnet_scale, step_rng, t_start, cfg_batched,
-        cache_interval, added_cond,
+        cache_interval, added_cond, ip,
     )
     return _decode_uint8(vae, vae_params, latents)
 
@@ -317,6 +322,7 @@ def run_denoise_segment(
     seg_len: int = 1,
     cfg_batched: bool = True,
     added_cond=None,
+    ip=None,
 ):
     """A ``seg_len``-step slice of the denoise loop with explicit scheduler
     state — lets the host observe latents between segments (per-step
@@ -327,7 +333,7 @@ def run_denoise_segment(
     compute_dtype = unet.dtype
     unet_eps_batched, unet_eps_split = _cfg_eps_fns(
         unet, unet_params, text_states, n, controlnet, controlnet_params,
-        control_hint, controlnet_scale, extra_channels, added_cond,
+        control_hint, controlnet_scale, extra_channels, added_cond, ip,
     )
     prediction_type = unet.config.prediction_type
 
@@ -618,6 +624,159 @@ class PwwPipeline:
             self._text_cache.clear()  # text-encoder weights changed
         return n
 
+    # -- ip-adapter ------------------------------------------------------------
+    def load_ip_adapter(
+        self,
+        source=None,
+        image_encoder=None,  # dir path | (CLIPVisionEncoder, params, cfg)
+        num_tokens: int = 4,
+        scale: float = 1.0,
+        image_embed_dim: int = 1024,  # OpenCLIP ViT-H projection (no ckpt)
+        seed: int = 0,
+    ):
+        """Attach an IP-Adapter (image-prompt conditioning, Ye et al. 2023).
+
+        ``source``: an ``ip-adapter*.bin``/``.safetensors`` path, a raw state
+        dict, a parsed ``(image_proj, sites)`` pair, or None to random-init
+        the adapter (tests/bench). The UNet gains decoupled ``to_k_ip`` /
+        ``to_v_ip`` projections at every cross-attention site; PwW region
+        bias keeps acting on the text branch, so region control and image
+        prompts compose. ``image_encoder``: a CLIP vision checkpoint dir (or
+        preloaded triple) for encoding reference images; omit it to pass
+        precomputed ``image_embeds`` to ``generate`` instead.
+        """
+        import dataclasses
+
+        from ..models.clip_vision import CLIPVisionEncoder, ImageProjection
+        from ..types import IpState
+        from ..weights import ip_adapter as ipw
+        from ..weights.loader import init_added_cond
+
+        cfg = self.config
+        proj_state = sites_state = None
+        if source is not None:
+            if isinstance(source, str):
+                proj_state, sites_state = ipw.load_ip_adapter_file(source)
+            elif isinstance(source, tuple):
+                proj_state, sites_state = source
+            else:
+                proj_state, sites_state = ipw.parse_ip_adapter_state(source)
+            num_tokens = ipw.num_tokens_from_proj(
+                proj_state, cfg.unet.cross_attention_dim
+            )
+            image_embed_dim = proj_state["proj.weight"].shape[1]
+
+        unet_cfg = dataclasses.replace(
+            cfg.unet, ip_adapter_tokens=num_tokens
+        )
+        new_unet = UNet2DCondition(unet_cfg, dtype=self.compute_dtype)
+        h = w = 2 ** (len(cfg.unet.block_out_channels) - 1)
+        dummy_ip = IpState(
+            tokens=jnp.zeros((1, num_tokens, cfg.unet.cross_attention_dim)),
+            scale=jnp.float32(1.0),
+        )
+        init_args = (
+            jax.random.PRNGKey(seed),
+            jnp.zeros((1, h, w, cfg.unet.in_channels)),
+            jnp.zeros((1,)),
+            jnp.zeros((1, cfg.clip.max_position_embeddings,
+                       cfg.unet.cross_attention_dim)),
+        )
+        init_kwargs = dict(added_cond=init_added_cond(cfg), ip=dummy_ip)
+        if sites_state is not None:
+            ip_shapes = jax.eval_shape(
+                new_unet.init, *init_args, **init_kwargs
+            )
+            unet_params = ipw.install_ip_adapter(
+                self.params["unet"], ip_shapes, unet_cfg, sites_state,
+            )
+        else:
+            rand = new_unet.init(*init_args, **init_kwargs)
+            old_flat = {
+                tuple(str(getattr(p, "key", p)) for p in kp): leaf
+                for kp, leaf in
+                jax.tree_util.tree_flatten_with_path(self.params["unet"])[0]
+            }
+            flat, treedef = jax.tree_util.tree_flatten_with_path(rand)
+            unet_params = jax.tree_util.tree_unflatten(
+                treedef,
+                [
+                    old_flat.get(
+                        tuple(str(getattr(p, "key", p)) for p in kp), leaf
+                    )
+                    for kp, leaf in flat
+                ],
+            )
+
+        proj_module = ImageProjection(
+            cfg.unet.cross_attention_dim, num_tokens, dtype=self.compute_dtype
+        )
+        if proj_state is not None:
+            proj_params = ipw.image_proj_params(proj_state)
+        else:
+            proj_params = proj_module.init(
+                jax.random.PRNGKey(seed + 1),
+                jnp.zeros((1, image_embed_dim)),
+            )
+
+        enc_triple = None
+        if isinstance(image_encoder, str):
+            vcfg, enc_params = ipw.load_image_encoder(image_encoder)
+            enc_triple = (
+                CLIPVisionEncoder(vcfg, dtype=self.compute_dtype),
+                enc_params, vcfg,
+            )
+        elif image_encoder is not None:
+            enc_triple = tuple(image_encoder)
+
+        if self.mesh is not None:
+            from ..parallel.mesh import shard_params
+
+            unet_params = shard_params(unet_params, self.mesh)
+        self.unet = new_unet
+        self.config = dataclasses.replace(cfg, unet=unet_cfg)
+        self.params = {**self.params, "unet": unet_params}
+        self._ip = {
+            "proj": proj_module, "proj_params": proj_params,
+            "num_tokens": num_tokens, "scale": scale,
+            "image_encoder": enc_triple, "embed_dim": image_embed_dim,
+        }
+        return self
+
+    def _ip_state(self, image, n: int, scale=None):
+        """Build the (2N-batched) IpState: cond rows from the reference
+        image's CLIP embedding, uncond rows from the zero embedding (the
+        IP-Adapter reference's unconditional image input)."""
+        from ..types import IpState
+
+        d = self._ip
+        if image is None:
+            emb = jnp.zeros((1, d["embed_dim"]))
+        elif hasattr(image, "ndim") and getattr(image, "ndim", 0) == 2:
+            emb = jnp.asarray(image)  # precomputed (1, D) image_embeds
+        else:
+            if d["image_encoder"] is None:
+                raise ValueError(
+                    "no image encoder attached: load_ip_adapter(..., "
+                    "image_encoder=<dir>) or pass precomputed (1, D) "
+                    "image_embeds"
+                )
+            from ..models.clip_vision import preprocess_clip_image
+
+            enc, enc_params, vcfg = d["image_encoder"]
+            px = preprocess_clip_image(image, vcfg.image_size)
+            emb = enc.apply(enc_params, px)
+        proj = d["proj"]
+        cond = proj.apply(d["proj_params"], emb.astype(jnp.float32))
+        uncond = proj.apply(d["proj_params"], jnp.zeros_like(emb))
+        tokens = jnp.concatenate(
+            [jnp.repeat(uncond, n, 0), jnp.repeat(cond, n, 0)]
+        )
+        return IpState(
+            tokens=tokens,
+            scale=jnp.float32(d["scale"] if scale is None else scale),
+        )
+
     def unload_loras(self) -> None:
         """Restore the exact pre-LoRA weights saved by :meth:`load_lora`."""
         saved = getattr(self, "_lora_saved", None)
@@ -744,6 +903,8 @@ class PwwPipeline:
         aesthetic_score: float = 6.0,  # SDXL-refiner micro-conditioning
         negative_aesthetic_score: float = 2.5,
         prompt_weighting: bool = False,  # A1111 (word:1.2) emphasis syntax
+        ip_adapter_image=None,  # reference image (needs load_ip_adapter)
+        ip_adapter_scale: Optional[float] = None,
     ):
         """Unified txt2img / img2img / inpaint entry point.
 
@@ -895,6 +1056,14 @@ class PwwPipeline:
             added_cond = dict(added_cond or {})
             added_cond["timestep_cond"] = jnp.tile(w_emb[None], (2 * n, 1))
             guidance_scale = 1.0
+        ip = None
+        if cfg.unet.ip_adapter_tokens is not None:
+            ip = self._ip_state(ip_adapter_image, n, ip_adapter_scale)
+        elif ip_adapter_image is not None:
+            raise ValueError(
+                "ip_adapter_image given but no adapter attached: call "
+                "pipe.load_ip_adapter(...) first"
+            )
         if self.mesh is not None:
             from ..parallel.mesh import replicate, shard_batch, shard_spatial
 
@@ -905,6 +1074,8 @@ class PwwPipeline:
                 pww = replicate(pww, self.mesh)
                 if added_cond is not None:
                     added_cond = replicate(added_cond, self.mesh)
+                if ip is not None:
+                    ip = replicate(ip, self.mesh)
             else:
                 latents = shard_batch(latents, self.mesh)
                 text_states = shard_batch(text_states, self.mesh)
@@ -921,8 +1092,11 @@ class PwwPipeline:
                         k: shard_batch(v, self.mesh)
                         for k, v in added_cond.items()
                     }
+                if ip is not None:
+                    ip = ip.replace(tokens=shard_batch(ip.tokens, self.mesh))
         denoise_kwargs = dict(
             added_cond=added_cond,
+            ip=ip,
             extra_channels=extra,
             controlnet=controlnet,
             controlnet_params=controlnet_params,
@@ -1010,6 +1184,7 @@ class PwwPipeline:
         output_type: str = "pil",
         cache_interval: int = 1,
         tome_ratio: float = 0.0,
+        ip_adapter_image=None,  # one reference image shared by the batch
     ):
         """Heterogeneous-prompt batch: N independent PwW requests, ONE compiled
         denoise call (BASELINE config #5: batched multi-prompt PwW).
@@ -1104,11 +1279,14 @@ class PwwPipeline:
 
         from ..ops.weight_functions import CustomWeightFunction
 
+        ip = None
+        if self.config.unet.ip_adapter_tokens is not None:
+            ip = self._ip_state(ip_adapter_image, n)
         images = np.asarray(run_denoise_decode(
             self._unet_for(tome_ratio), self.params["unet"], self.vae,
             self.params["vae"],
             latents, text_states, pww,
-            schedule, jnp.float32(guidance_scale),
+            schedule, jnp.float32(guidance_scale), ip=ip,
             cfg_batched=not isinstance(wf, CustomWeightFunction),
             cache_interval=cache_interval,
             added_cond=added_cond,

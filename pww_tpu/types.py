@@ -60,3 +60,17 @@ class PwwState(flax.struct.PyTreeNode):
 
     def with_sigma(self, sigma: jnp.ndarray) -> "PwwState":
         return self.replace(sigma=jnp.asarray(sigma, jnp.float32))
+
+
+class IpState(flax.struct.PyTreeNode):
+    """IP-Adapter image conditioning (decoupled cross-attention operand).
+
+    Attributes:
+      tokens: (B, n_ip, D_ctx) projected image-prompt tokens; the uncond
+        batch rows carry the projection of the ZERO image embedding (the
+        IP-Adapter reference's unconditional image input).
+      scale: scalar multiplier on the image-attention branch.
+    """
+
+    tokens: jnp.ndarray
+    scale: jnp.ndarray
