@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from typing import Any
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -136,3 +137,92 @@ class ImageProjection(nn.Module):
         return nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm")(
             x
         ).astype(self.dtype)
+
+
+class PerceiverAttention(nn.Module):
+    """Resampler attention (tencent-ailab IP-Adapter-plus): queries from the
+    learned latents, keys/values from [image features ; latents]; the
+    1/sqrt(sqrt(d)) scale is applied to BOTH q and k (their formulation)."""
+
+    dim: int
+    dim_head: int = 64
+    heads: int = 12
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, latents: jnp.ndarray) -> jnp.ndarray:
+        inner = self.dim_head * self.heads
+        xn = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x).astype(self.dtype)
+        ln = nn.LayerNorm(dtype=jnp.float32, name="norm2")(latents).astype(self.dtype)
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(ln)
+        kv = nn.Dense(
+            inner * 2, use_bias=False, dtype=self.dtype, name="to_kv"
+        )(jnp.concatenate([xn, ln], axis=-2))
+        k, v = jnp.split(kv, 2, axis=-1)
+
+        def heads_split(t):
+            b, l, _ = t.shape
+            return t.reshape(b, l, self.heads, self.dim_head).transpose(0, 2, 1, 3)
+
+        q, k, v = heads_split(q), heads_split(k), heads_split(v)
+        scale = 1.0 / jnp.sqrt(jnp.sqrt(jnp.float32(self.dim_head)))
+        w = jnp.einsum(
+            "bhqd,bhkd->bhqk", (q * scale).astype(jnp.float32),
+            (k * scale).astype(jnp.float32),
+        )
+        a = jax.nn.softmax(w, axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", a, v)
+        b, h, l, d = out.shape
+        out = out.transpose(0, 2, 1, 3).reshape(b, l, h * d)
+        return nn.Dense(
+            self.dim, use_bias=False, dtype=self.dtype, name="to_out"
+        )(out)
+
+
+class Resampler(nn.Module):
+    """IP-Adapter-plus image projection: a small perceiver that cross-attends
+    N learned latent queries to the image encoder's penultimate patch tokens
+    (checkpoint group ``image_proj`` with a ``latents`` entry)."""
+
+    dim: int  # internal width (768 for the sd15 plus adapter)
+    output_dim: int  # cross_attention_dim
+    num_queries: int = 16
+    depth: int = 4
+    dim_head: int = 64
+    heads: int = 12
+    ff_mult: int = 4
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, image_feats: jnp.ndarray) -> jnp.ndarray:
+        b = image_feats.shape[0]
+        lat0 = self.param(
+            "latents", nn.initializers.normal(1.0), (self.num_queries, self.dim)
+        )
+        latents = jnp.broadcast_to(
+            lat0.astype(self.dtype), (b, self.num_queries, self.dim)
+        )
+        x = nn.Dense(self.dim, dtype=self.dtype, name="proj_in")(
+            image_feats.astype(self.dtype)
+        )
+        for i in range(self.depth):
+            latents = latents + PerceiverAttention(
+                self.dim, self.dim_head, self.heads, self.dtype,
+                name=f"layers_{i}_attn",
+            )(x, latents)
+            h = nn.LayerNorm(dtype=jnp.float32, name=f"layers_{i}_ff_norm")(
+                latents
+            ).astype(self.dtype)
+            h = nn.Dense(
+                self.dim * self.ff_mult, use_bias=False, dtype=self.dtype,
+                name=f"layers_{i}_ff_in",
+            )(h)
+            h = nn.Dense(
+                self.dim, use_bias=False, dtype=self.dtype,
+                name=f"layers_{i}_ff_out",
+            )(jax.nn.gelu(h.astype(jnp.float32), approximate=False).astype(self.dtype))
+            latents = latents + h
+        out = nn.Dense(self.output_dim, dtype=self.dtype, name="proj_out")(latents)
+        return nn.LayerNorm(dtype=jnp.float32, name="norm_out")(out).astype(
+            self.dtype
+        )

@@ -654,6 +654,8 @@ class PwwPipeline:
 
         cfg = self.config
         proj_state = sites_state = None
+        plus = False
+        rcfg = None
         if source is not None:
             if isinstance(source, str):
                 proj_state, sites_state = ipw.load_ip_adapter_file(source)
@@ -661,10 +663,23 @@ class PwwPipeline:
                 proj_state, sites_state = source
             else:
                 proj_state, sites_state = ipw.parse_ip_adapter_state(source)
-            num_tokens = ipw.num_tokens_from_proj(
-                proj_state, cfg.unet.cross_attention_dim
-            )
-            image_embed_dim = proj_state["proj.weight"].shape[1]
+            plus = ipw.is_plus_format(proj_state)
+            if plus:
+                # IP-Adapter-plus: perceiver resampler over the encoder's
+                # penultimate patch tokens
+                rcfg = ipw.resampler_config(proj_state)
+                if rcfg["output_dim"] != cfg.unet.cross_attention_dim:
+                    raise ValueError(
+                        f"ip-adapter-plus output dim {rcfg['output_dim']} != "
+                        f"cross_attention_dim {cfg.unet.cross_attention_dim}"
+                    )
+                num_tokens = rcfg["num_queries"]
+                image_embed_dim = proj_state["proj_in.weight"].shape[1]
+            else:
+                num_tokens = ipw.num_tokens_from_proj(
+                    proj_state, cfg.unet.cross_attention_dim
+                )
+                image_embed_dim = proj_state["proj.weight"].shape[1]
 
         unet_cfg = dataclasses.replace(
             cfg.unet, ip_adapter_tokens=num_tokens
@@ -708,16 +723,23 @@ class PwwPipeline:
                 ],
             )
 
-        proj_module = ImageProjection(
-            cfg.unet.cross_attention_dim, num_tokens, dtype=self.compute_dtype
-        )
-        if proj_state is not None:
-            proj_params = ipw.image_proj_params(proj_state)
+        if plus:
+            from ..models.clip_vision import Resampler
+
+            proj_module = Resampler(**rcfg, dtype=self.compute_dtype)
+            proj_params = ipw.resampler_params(proj_state)
         else:
-            proj_params = proj_module.init(
-                jax.random.PRNGKey(seed + 1),
-                jnp.zeros((1, image_embed_dim)),
+            proj_module = ImageProjection(
+                cfg.unet.cross_attention_dim, num_tokens,
+                dtype=self.compute_dtype,
             )
+            if proj_state is not None:
+                proj_params = ipw.image_proj_params(proj_state)
+            else:
+                proj_params = proj_module.init(
+                    jax.random.PRNGKey(seed + 1),
+                    jnp.zeros((1, image_embed_dim)),
+                )
 
         enc_triple = None
         if isinstance(image_encoder, str):
@@ -740,6 +762,7 @@ class PwwPipeline:
             "proj": proj_module, "proj_params": proj_params,
             "num_tokens": num_tokens, "scale": scale,
             "image_encoder": enc_triple, "embed_dim": image_embed_dim,
+            "plus": plus,
         }
         return self
 
@@ -750,25 +773,54 @@ class PwwPipeline:
         from ..types import IpState
 
         d = self._ip
-        if image is None:
-            emb = jnp.zeros((1, d["embed_dim"]))
-        elif hasattr(image, "ndim") and getattr(image, "ndim", 0) == 2:
-            emb = jnp.asarray(image)  # precomputed (1, D) image_embeds
-        else:
-            if d["image_encoder"] is None:
-                raise ValueError(
-                    "no image encoder attached: load_ip_adapter(..., "
-                    "image_encoder=<dir>) or pass precomputed (1, D) "
-                    "image_embeds"
-                )
+        plus = d.get("plus", False)
+
+        def encode(img_or_zeros):
             from ..models.clip_vision import preprocess_clip_image
 
             enc, enc_params, vcfg = d["image_encoder"]
-            px = preprocess_clip_image(image, vcfg.image_size)
-            emb = enc.apply(enc_params, px)
+            px = (
+                jnp.zeros((1, vcfg.image_size, vcfg.image_size, 3))
+                if img_or_zeros is None
+                else preprocess_clip_image(img_or_zeros, vcfg.image_size)
+            )
+            if plus:
+                # plus variant consumes the penultimate patch tokens; the
+                # unconditional input is the ZERO IMAGE through the encoder
+                # (tencent-ailab IPAdapterPlus semantics)
+                feats, _ = enc.apply(enc_params, px, output="hidden_and_pooled")
+                return feats
+            return enc.apply(enc_params, px)
+
+        precomputed = hasattr(image, "ndim") and getattr(image, "ndim", 0) in (
+            (3,) if plus else (2,)
+        )
+        if precomputed:
+            emb = jnp.asarray(image)
+            emb_uncond = jnp.zeros_like(emb) if not plus else None
+            if plus:
+                emb_uncond = (
+                    encode(None) if d["image_encoder"] is not None
+                    else jnp.zeros_like(emb)
+                )
+        elif image is None and d["image_encoder"] is None:
+            if plus:
+                emb = jnp.zeros((1, 1, d["embed_dim"]))
+            else:
+                emb = jnp.zeros((1, d["embed_dim"]))
+            emb_uncond = emb
+        elif d["image_encoder"] is None:
+            raise ValueError(
+                "no image encoder attached: load_ip_adapter(..., "
+                "image_encoder=<dir>) or pass precomputed image embeddings "
+                "((1, D) standard / (1, L, D) plus)"
+            )
+        else:
+            emb = encode(image)
+            emb_uncond = encode(None) if plus else jnp.zeros_like(emb)
         proj = d["proj"]
         cond = proj.apply(d["proj_params"], emb.astype(jnp.float32))
-        uncond = proj.apply(d["proj_params"], jnp.zeros_like(emb))
+        uncond = proj.apply(d["proj_params"], emb_uncond.astype(jnp.float32))
         tokens = jnp.concatenate(
             [jnp.repeat(uncond, n, 0), jnp.repeat(cond, n, 0)]
         )

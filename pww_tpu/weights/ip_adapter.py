@@ -218,3 +218,72 @@ def load_image_encoder(path: str):
     )
     state = read_state_dict(_find_weights_file(path))
     return cfg, fill_params(shapes, state, vision_key, name="image_encoder")
+
+
+def is_plus_format(proj: Dict[str, np.ndarray]) -> bool:
+    return "latents" in proj
+
+
+def resampler_params(proj: Dict[str, np.ndarray]) -> dict:
+    """checkpoint plus-format ``image_proj`` group → Resampler param pytree.
+
+    tencent-ailab naming: ``layers.{i}.0`` = PerceiverAttention
+    (norm1/norm2/to_q/to_kv/to_out), ``layers.{i}.1`` = Sequential
+    [LayerNorm, Linear, GELU, Linear] (keys 0/1/3).
+    """
+    p = {
+        "latents": jnp.asarray(proj["latents"]),
+        "proj_in": {
+            "kernel": jnp.asarray(t_dense(proj["proj_in.weight"])),
+            "bias": jnp.asarray(proj["proj_in.bias"]),
+        },
+        "proj_out": {
+            "kernel": jnp.asarray(t_dense(proj["proj_out.weight"])),
+            "bias": jnp.asarray(proj["proj_out.bias"]),
+        },
+        "norm_out": {
+            "scale": jnp.asarray(proj["norm_out.weight"]),
+            "bias": jnp.asarray(proj["norm_out.bias"]),
+        },
+    }
+    depth = 0
+    while f"layers.{depth}.0.to_q.weight" in proj:
+        depth += 1
+    for i in range(depth):
+        a = f"layers.{i}.0."
+        f = f"layers.{i}.1."
+        p[f"layers_{i}_attn"] = {
+            "norm1": {"scale": jnp.asarray(proj[a + "norm1.weight"]),
+                      "bias": jnp.asarray(proj[a + "norm1.bias"])},
+            "norm2": {"scale": jnp.asarray(proj[a + "norm2.weight"]),
+                      "bias": jnp.asarray(proj[a + "norm2.bias"])},
+            "to_q": {"kernel": jnp.asarray(t_dense(proj[a + "to_q.weight"]))},
+            "to_kv": {"kernel": jnp.asarray(t_dense(proj[a + "to_kv.weight"]))},
+            "to_out": {"kernel": jnp.asarray(t_dense(proj[a + "to_out.weight"]))},
+        }
+        p[f"layers_{i}_ff_norm"] = {
+            "scale": jnp.asarray(proj[f + "0.weight"]),
+            "bias": jnp.asarray(proj[f + "0.bias"]),
+        }
+        p[f"layers_{i}_ff_in"] = {
+            "kernel": jnp.asarray(t_dense(proj[f + "1.weight"]))
+        }
+        p[f"layers_{i}_ff_out"] = {
+            "kernel": jnp.asarray(t_dense(proj[f + "3.weight"]))
+        }
+    return {"params": p}
+
+
+def resampler_config(proj: Dict[str, np.ndarray]) -> dict:
+    """Derive Resampler hyperparameters from the checkpoint shapes."""
+    num_queries, dim = proj["latents"].shape
+    depth = 0
+    while f"layers.{depth}.0.to_q.weight" in proj:
+        depth += 1
+    inner = proj["layers.0.0.to_q.weight"].shape[0]
+    output_dim = proj["proj_out.weight"].shape[0]
+    ff_mult = proj["layers.0.1.1.weight"].shape[0] // dim
+    return dict(
+        dim=dim, output_dim=output_dim, num_queries=num_queries,
+        depth=depth, dim_head=64, heads=inner // 64, ff_mult=ff_mult,
+    )
