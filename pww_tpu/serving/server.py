@@ -107,6 +107,9 @@ def make_handler(batcher: Batcher):
                         "weight_function": wf,
                         "cache_interval": int(req.get("cache_interval", 1)),
                         "tome_ratio": float(req.get("tome_ratio", 0.0)),
+                        "prompt_weighting": bool(
+                            req.get("prompt_weighting", False)
+                        ),
                     }
                 )
                 img = fut.result(timeout=600)

@@ -304,3 +304,22 @@ def test_ip_adapter_plus_pipeline_end_to_end():
     b = np.asarray(pipe.generate(ip_adapter_image=None, **_kwargs()))
     assert np.isfinite(a).all()
     assert not np.array_equal(a, b)
+
+
+def test_ip_adapter_on_sdxl_family():
+    """The site enumeration handles per-block transformer depths (XL) —
+    adapter K/V install + generate on the tiny XL config."""
+    pipe = PwwPipeline(config=SDModelConfig.tiny_xl(), weights_dtype=None)
+    from pww_tpu.weights.ip_adapter import attn2_sites as sites_fn
+
+    sites = sites_fn(pipe.config.unet)
+    # tiny_xl: down_1_attn_0 (depth 2) + up_0_attn_{0,1} (depth 2 each)
+    # + mid (depth 2) = 8 cross-attention sites
+    assert len(sites) == 8
+    assert sites[0] == ("down_1_attn_0", "blocks_0")
+    assert sites[1] == ("down_1_attn_0", "blocks_1")
+    state = _synthetic_ip_state(pipe.config, embed_dim=12)
+    pipe.load_ip_adapter(state, image_embed_dim=12)
+    emb = np.random.default_rng(4).standard_normal((1, 12)).astype(np.float32)
+    out = pipe.generate(ip_adapter_image=emb, **_kwargs())
+    assert np.isfinite(np.asarray(out)).all()
