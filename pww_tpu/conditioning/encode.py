@@ -74,6 +74,7 @@ def encode_text_color_inputs(
     tokenizer_2=None,
     zero_empty_negative: bool = False,  # SDXL force_zeros_for_empty_prompt
     prompt_weighting: bool = False,  # A1111 (word:1.2) emphasis syntax
+    clip_skip: int = 0,  # take hidden states k layers early (A1111 n-1)
     dual_split_dim: Optional[int] = None,  # tower-1 width of concat XL states
 ) -> EncodedInputs:
     """Host prologue: parse, tokenize, rasterize, CLIP-encode.
@@ -130,7 +131,7 @@ def encode_text_color_inputs(
     weights = {k: cfg_pair(v) for k, v in pyramid.items()}
     weight_orig = cfg_pair(orig)
 
-    cache_key = (prompt, negative_prompt, prompt_weighting)
+    cache_key = (prompt, negative_prompt, prompt_weighting, clip_skip)
     pooled = None
     if text_cache is not None and cache_key in text_cache:
         text_states, pooled = text_cache[cache_key]
@@ -151,9 +152,13 @@ def encode_text_color_inputs(
                 c2 = tokenizer_2(prompt, max_length=ml2, truncation=True,
                                  padding=True)["input_ids"]
             ids2 = jnp.asarray([u2, c2], jnp.int32)
-            out = encode_text(ids, ids2)
-        else:
-            out = encode_text(ids)  # (2, T, D) or ((2,T,D), (2,Dp))
+            out = encode_text(ids, ids2, **(
+                {"clip_skip": clip_skip} if clip_skip else {}
+            ))
+        else:  # (2, T, D) or ((2,T,D), (2,Dp))
+            out = encode_text(ids, **(
+                {"clip_skip": clip_skip} if clip_skip else {}
+            ))
         text_states, pooled = out if isinstance(out, tuple) else (out, None)
         if prompt_weighting:
             text_states = _apply_prompt_weights(

@@ -141,6 +141,11 @@ class UNetConfig:
     # is 0.5 at the full-resolution sites only (tome_min_tokens).
     tome_ratio: float = 0.0
     tome_min_tokens: int = 4096
+    # FreeU (Si et al. 2023) decoder re-weighting: (b1, b2, s1, s2) —
+    # backbone-channel gains for the two deepest up blocks and low-frequency
+    # scales for their skip connections. None = off (exact). A free-lunch
+    # quality knob; does not change parameters.
+    freeu: Optional[Tuple[float, float, float, float]] = None
 
     @property
     def up_block_has_attn(self) -> Tuple[bool, ...]:

@@ -77,13 +77,27 @@ class CLIPTextEncoder(nn.Module):
     entering the last layer (no final LayerNorm — transformers'
     ``output_hidden_states`` convention) plus the projected pooled embedding
     taken at the argmax token id (the EOS position, CLIP convention).
+
+    ``skip_layers=k`` (A1111 "CLIP skip", diffusers ``clip_skip``): take the
+    hidden state ``k`` layers earlier. For ``output="final"`` this is
+    ``final_layer_norm(hidden_states[-(k+1)])`` — diffusers
+    ``StableDiffusionPipeline.encode_prompt`` semantics (A1111's
+    "CLIP skip = n" equals ``skip_layers = n - 1``). For the penultimate
+    modes it shifts the capture to ``hidden_states[-(k+2)]``, matching
+    diffusers' SDXL ``clip_skip`` handling. The pooled projection always
+    uses the full tower.
     """
 
     config: CLIPTextConfig
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, input_ids: jnp.ndarray, output: str = "final"):
+    def __call__(
+        self,
+        input_ids: jnp.ndarray,
+        output: str = "final",
+        skip_layers: int = 0,
+    ):
         cfg = self.config
         tok = nn.Embed(
             cfg.vocab_size, cfg.hidden_size, dtype=self.dtype, name="token_embedding"
@@ -94,16 +108,25 @@ class CLIPTextEncoder(nn.Module):
             (cfg.max_position_embeddings, cfg.hidden_size),
         )
         x = tok + pos_table[None, : input_ids.shape[1]].astype(self.dtype)
+        if not 0 <= skip_layers < cfg.num_layers:
+            raise ValueError(
+                f"skip_layers={skip_layers} out of range for "
+                f"{cfg.num_layers}-layer tower"
+            )
         penultimate = None
+        skipped = None  # hidden_states[-(skip_layers+1)], for output="final"
         for i in range(cfg.num_layers):
-            if i == cfg.num_layers - 1:
+            if i == cfg.num_layers - 1 - skip_layers:
                 penultimate = x
             x = CLIPEncoderLayer(cfg, self.dtype, name=f"layers_{i}")(x)
-        final = nn.LayerNorm(
+            if i == cfg.num_layers - 1 - skip_layers:
+                skipped = x
+        ln = nn.LayerNorm(
             epsilon=cfg.layer_norm_eps, dtype=jnp.float32, name="final_layer_norm"
-        )(x).astype(self.dtype)
+        )
         if output == "final":
-            return final
+            return ln(skipped).astype(self.dtype)
+        final = ln(x).astype(self.dtype)  # pooled always uses the full tower
         if output == "penultimate":
             return penultimate
         if output != "penultimate_and_pooled":

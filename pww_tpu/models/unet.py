@@ -287,6 +287,26 @@ class Upsample(nn.Module):
         )(upsample_nearest_2x(x))
 
 
+def fourier_filter(x: jnp.ndarray, threshold: int, scale: float) -> jnp.ndarray:
+    """FreeU skip-connection spectral modulation (Si et al. 2023,
+    ``Fourier_filter``): frequencies inside the centered ``threshold`` box of
+    the shifted 2-D spectrum are multiplied by ``scale`` (<1 damps the
+    low-frequency component of the skip). NHWC; FFT over the spatial axes."""
+    dtype = x.dtype
+    xf = jnp.fft.fftshift(
+        jnp.fft.fftn(x.astype(jnp.float32), axes=(1, 2)), axes=(1, 2)
+    )
+    h, w = x.shape[1], x.shape[2]
+    rows = jnp.arange(h) - h // 2
+    cols = jnp.arange(w) - w // 2
+    box = (
+        (rows >= -threshold) & (rows < threshold)
+    )[:, None] & ((cols >= -threshold) & (cols < threshold))[None, :]
+    xf = xf * jnp.where(box, scale, 1.0)[None, :, :, None]
+    xf = jnp.fft.ifftshift(xf, axes=(1, 2))
+    return jnp.fft.ifftn(xf, axes=(1, 2)).real.astype(dtype)
+
+
 class UNet2DCondition(nn.Module):
     """SD UNet; ``pww`` carries the paint-with-words bias pyramid."""
 
@@ -322,6 +342,15 @@ class UNet2DCondition(nn.Module):
         depth = cfg.depth_for(len(cfg.block_out_channels) - 1 - bi)
         for li in range(cfg.layers_per_block + 1):
             skip = skips.pop()
+            if cfg.freeu is not None and bi < 2:
+                # FreeU (diffusers apply_freeu semantics): gain on the first
+                # half of the backbone channels, low-freq damping on the skip,
+                # at the two deepest decoder stages only.
+                b1, b2, s1, s2 = cfg.freeu
+                b, s = (b1, s1) if bi == 0 else (b2, s2)
+                half = x.shape[-1] // 2
+                x = jnp.concatenate([x[..., :half] * b, x[..., half:]], axis=-1)
+                skip = fourier_filter(skip, threshold=1, scale=s)
             x = jnp.concatenate([x, skip], axis=-1)
             x = ResnetBlock(
                 ch, cfg.norm_num_groups, self.dtype, name=f"up_{bi}_resnet_{li}"

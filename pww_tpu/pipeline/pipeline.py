@@ -44,6 +44,32 @@ LATENT_SCALE = 0.18215  # SD-1.x/2.x VAE scaling (reference paint_with_words.py:
 # --------------------------------------------------------------------------
 
 
+def _apply_controlnets(
+    controlnet, params, lat, t, text, hints, pww, scales, added_cond, dtype
+):
+    """Residuals from one or more attached ControlNets, summed.
+
+    ``params``/``hints``/``scales`` may be single values (one net) or
+    parallel tuples (diffusers ``MultiControlNetModel`` semantics: each net
+    sees its own hint and conditioning scale; down/mid residuals are summed
+    before entering the UNet). The tuple length is static, so the loop
+    unrolls into one fused program."""
+    if not isinstance(params, tuple):
+        params, hints, scales = (params,), (hints,), (scales,)
+    down = mid = None
+    for p, h, s in zip(params, hints, scales):
+        d, m = controlnet.apply(
+            p, lat, t, text, h.astype(dtype), pww=pww,
+            conditioning_scale=s, added_cond=added_cond,
+        )
+        if down is None:
+            down, mid = list(d), m
+        else:
+            down = [a + b for a, b in zip(down, d)]
+            mid = mid + m
+    return down, mid
+
+
 def _cfg_eps_fns(
     unet, unet_params, text_states, n, controlnet, controlnet_params,
     control_hint, controlnet_scale, extra_channels, added_cond=None,
@@ -62,12 +88,12 @@ def _cfg_eps_fns(
         lat2 = jnp.concatenate([lat_in, lat_in], axis=0)
         down_res = mid_res = None
         if controlnet is not None:
-            hint2 = jnp.concatenate([control_hint, control_hint], axis=0)
-            down_res, mid_res = controlnet.apply(
-                controlnet_params, lat2, t, text_states,
-                hint2.astype(compute_dtype), pww=pww_t,
-                conditioning_scale=controlnet_scale,
-                added_cond=added_cond,
+            hint2 = jax.tree.map(
+                lambda h: jnp.concatenate([h, h], axis=0), control_hint
+            )
+            down_res, mid_res = _apply_controlnets(
+                controlnet, controlnet_params, lat2, t, text_states,
+                hint2, pww_t, controlnet_scale, added_cond, compute_dtype,
             )
         if extra_channels is not None:
             ec = jnp.concatenate([extra_channels] * 2, axis=0)
@@ -94,12 +120,12 @@ def _cfg_eps_fns(
             down_res = mid_res = None
             li = lat_in
             if controlnet is not None:
-                down_res, mid_res = controlnet.apply(
-                    controlnet_params, li, t, text_states[half],
-                    control_hint.astype(compute_dtype), pww=p,
-                    conditioning_scale=controlnet_scale,
-                    added_cond=None if added_cond is None
+                down_res, mid_res = _apply_controlnets(
+                    controlnet, controlnet_params, li, t, text_states[half],
+                    control_hint, p, controlnet_scale,
+                    None if added_cond is None
                     else {k: v[half] for k, v in added_cond.items()},
+                    compute_dtype,
                 )
             if extra_channels is not None:
                 li = jnp.concatenate(
@@ -365,32 +391,41 @@ def run_encode_image(vae: AutoencoderKL, vae_params, image: jnp.ndarray) -> jnp.
     return vae.apply(vae_params, image, method=AutoencoderKL.encode_moments)
 
 
-@functools.partial(jax.jit, static_argnames=("clip",))
-def run_encode_text(clip: CLIPTextEncoder, clip_params, ids: jnp.ndarray) -> jnp.ndarray:
-    return clip.apply(clip_params, ids)
+@functools.partial(jax.jit, static_argnames=("clip", "skip_layers"))
+def run_encode_text(
+    clip: CLIPTextEncoder, clip_params, ids: jnp.ndarray,
+    skip_layers: int = 0,
+) -> jnp.ndarray:
+    return clip.apply(clip_params, ids, skip_layers=skip_layers)
 
 
-@functools.partial(jax.jit, static_argnames=("clip", "clip2"))
+@functools.partial(jax.jit, static_argnames=("clip", "clip2", "skip_layers"))
 def run_encode_text_xl(
     clip: CLIPTextEncoder, clip2: CLIPTextEncoder,
     clip_params, clip2_params, ids: jnp.ndarray, ids2: jnp.ndarray,
+    skip_layers: int = 0,
 ):
     """SDXL dual-encoder conditioning: penultimate hidden states of both
     towers concatenated (→ 2048-dim context) + the bigG projected pooled
     embedding (diffusers StableDiffusionXLPipeline.encode_prompt semantics)."""
-    h1 = clip.apply(clip_params, ids, output="penultimate")
-    h2, pooled = clip2.apply(clip2_params, ids2, output="penultimate_and_pooled")
+    h1 = clip.apply(clip_params, ids, output="penultimate",
+                    skip_layers=skip_layers)
+    h2, pooled = clip2.apply(clip2_params, ids2,
+                             output="penultimate_and_pooled",
+                             skip_layers=skip_layers)
     return jnp.concatenate([h1, h2], axis=-1), pooled
 
 
-@functools.partial(jax.jit, static_argnames=("clip",))
+@functools.partial(jax.jit, static_argnames=("clip", "skip_layers"))
 def run_encode_text_refiner(
-    clip: CLIPTextEncoder, clip_params, ids: jnp.ndarray
+    clip: CLIPTextEncoder, clip_params, ids: jnp.ndarray,
+    skip_layers: int = 0,
 ):
     """SDXL-refiner conditioning: the SINGLE bigG tower's penultimate hidden
     states (1280-dim context) + its projected pooled embedding (diffusers
     StableDiffusionXLImg2ImgPipeline.encode_prompt with one encoder)."""
-    return clip.apply(clip_params, ids, output="penultimate_and_pooled")
+    return clip.apply(clip_params, ids, output="penultimate_and_pooled",
+                      skip_layers=skip_layers)
 
 
 class PwwPipeline:
@@ -558,6 +593,8 @@ class PwwPipeline:
         ``source``: a diffusers controlnet checkpoint dir, or None to random-
         init (tests/bench). The ControlNet shares the UNet's config family and
         the PwW-biased attention, so region + structural control compose.
+        Replaces any previously attached nets; use :meth:`add_controlnet` to
+        stack several (multi-ControlNet).
         """
         from ..models.controlnet import ControlNet
 
@@ -585,6 +622,20 @@ class PwwPipeline:
                 jnp.zeros((1, h * sf, w * sf, 3)),
                 added_cond=added,
             )
+        return self
+
+    def add_controlnet(self, source=None, params=None, seed: int = 1):
+        """Stack an ADDITIONAL ControlNet (multi-ControlNet, diffusers
+        ``MultiControlNetModel`` semantics): each attached net gets its own
+        ``control_image`` and ``controlnet_conditioning_scale`` entry at
+        ``generate(...)`` time and the residuals are summed. All nets must
+        share the pipeline's model family (same architecture)."""
+        if getattr(self, "controlnet", None) is None:
+            return self.load_controlnet(source=source, params=params, seed=seed)
+        prev = self.controlnet_params
+        prev = list(prev) if isinstance(prev, list) else [prev]
+        self.load_controlnet(source=source, params=params, seed=seed)
+        self.controlnet_params = prev + [self.controlnet_params]
         return self
 
     # -- lora ------------------------------------------------------------------
@@ -845,33 +896,53 @@ class PwwPipeline:
         self._lora_saved = {}
         self._text_cache.clear()
 
-    def _unet_for(self, tome_ratio: float) -> UNet2DCondition:
-        """The UNet module for a per-call ToMe ratio (0.0 = self.unet).
+    def _unet_for(self, tome_ratio: float, freeu=None) -> UNet2DCondition:
+        """The UNet module for per-call ToMe ratio / FreeU params (defaults =
+        ``self.unet``).
 
         Modules are lightweight config holders — a distinct ratio just keys a
         distinct compiled program in the jit cache, exactly like DeepCache's
         ``cache_interval`` static arg.
         """
-        if not tome_ratio:
+        if freeu is True:
+            # published per-family defaults (FreeU README): (b1, b2, s1, s2)
+            freeu = (
+                (1.3, 1.4, 0.9, 0.2) if self.config.is_xl
+                else (1.5, 1.6, 0.9, 0.2)
+            )
+        elif freeu is not None:
+            freeu = tuple(float(v) for v in freeu)
+            if len(freeu) != 4:
+                raise ValueError("freeu must be (b1, b2, s1, s2) or True")
+        if not tome_ratio and freeu is None:
             return self.unet
         import dataclasses
 
         cfg = dataclasses.replace(
-            self.config.unet, tome_ratio=float(tome_ratio)
+            self.config.unet, tome_ratio=float(tome_ratio), freeu=freeu
         )
         return UNet2DCondition(cfg, dtype=self.compute_dtype)
 
     # -- stages ----------------------------------------------------------------
-    def encode_text(self, ids: jnp.ndarray, ids2: Optional[jnp.ndarray] = None):
+    def encode_text(
+        self,
+        ids: jnp.ndarray,
+        ids2: Optional[jnp.ndarray] = None,
+        clip_skip: int = 0,
+    ):
         if self.config.xl_refiner:
-            return run_encode_text_refiner(self.clip, self.params["clip"], ids)
+            return run_encode_text_refiner(
+                self.clip, self.params["clip"], ids, skip_layers=clip_skip
+            )
         if self.clip2 is None:
-            return run_encode_text(self.clip, self.params["clip"], ids)
+            return run_encode_text(
+                self.clip, self.params["clip"], ids, skip_layers=clip_skip
+            )
         if ids2 is None:
             ids2 = ids
         return run_encode_text_xl(
             self.clip, self.clip2, self.params["clip"], self.params["clip2"],
-            ids, ids2,
+            ids, ids2, skip_layers=clip_skip,
         )
 
     def encode_inputs(
@@ -882,6 +953,7 @@ class PwwPipeline:
         negative_prompt: str = "",
         weight_function: Optional[AnyWeightFunction] = None,
         prompt_weighting: bool = False,
+        clip_skip: int = 0,
     ) -> EncodedInputs:
         return encode_text_color_inputs(
             self.encode_text,
@@ -898,6 +970,7 @@ class PwwPipeline:
                 and self.config.force_zeros_for_empty_prompt
             ),
             prompt_weighting=prompt_weighting,
+            clip_skip=clip_skip,
             dual_split_dim=(
                 self.config.clip.hidden_size if self.config.is_xl else None
             ),
@@ -949,12 +1022,14 @@ class PwwPipeline:
         rng: Optional[jax.Array] = None,
         cache_interval: int = 1,  # DeepCache: >1 = opt-in approximation
         tome_ratio: float = 0.0,  # ToMe token merging: >0 = opt-in approx
+        freeu=None,  # FreeU: True (family defaults) or (b1, b2, s1, s2)
         original_size: Optional[Tuple[int, int]] = None,  # SDXL micro-cond
         crops_coords_top_left: Tuple[int, int] = (0, 0),
         target_size: Optional[Tuple[int, int]] = None,
         aesthetic_score: float = 6.0,  # SDXL-refiner micro-conditioning
         negative_aesthetic_score: float = 2.5,
         prompt_weighting: bool = False,  # A1111 (word:1.2) emphasis syntax
+        clip_skip: int = 0,  # text states k layers early (A1111 skip = k+1)
         ip_adapter_image=None,  # reference image (needs load_ip_adapter)
         ip_adapter_scale: Optional[float] = None,
     ):
@@ -965,7 +1040,7 @@ class PwwPipeline:
         exact reference signatures on top of this.
         """
         cfg = self.config
-        unet = self._unet_for(tome_ratio)
+        unet = self._unet_for(tome_ratio, freeu)
         color_map = _to_numpy_image(color_map_image)
         import contextlib
 
@@ -980,6 +1055,7 @@ class PwwPipeline:
                 negative_prompt,
                 weight_function,
                 prompt_weighting=prompt_weighting,
+                clip_skip=clip_skip,
             )
         height, width = (
             (enc.height, enc.width)
@@ -1017,7 +1093,7 @@ class PwwPipeline:
                 num_inference_steps, strength, cfg.scheduler.steps_offset
             )
             if t_start > 0 and schedule.kind in ("pndm", "heun", "unipc",
-                                                 "dpmpp_2m"):
+                                                 "dpmpp_2m", "dpmpp_2m_sde"):
                 # pndm/heun: scan visits don't map 1:1 to trajectory steps;
                 # unipc/dpmpp_2m: the multistep corrector/blend tables at
                 # index t_start assume a populated history, but a truncated
@@ -1056,6 +1132,7 @@ class PwwPipeline:
                 latents = schedule.add_noise(init_lat, noise, jnp.int32(t_start))
 
         controlnet = controlnet_params = hint = None
+        cn_scale = jnp.float32(1.0)
         if control_image is not None:
             if getattr(self, "controlnet", None) is None:
                 raise ValueError(
@@ -1063,10 +1140,44 @@ class PwwPipeline:
                     "pipeline.load_controlnet(...) first"
                 )
             controlnet = self.controlnet
-            controlnet_params = self.controlnet_params
-            arr = _to_numpy_image(control_image).astype(np.float32) / 255.0
-            hint = jnp.asarray(arr)[None] if arr.ndim == 3 else jnp.asarray(arr)
-            hint = jnp.repeat(hint, n, axis=0)
+
+            def _prep_hint(img):
+                arr = _to_numpy_image(img).astype(np.float32) / 255.0
+                h = jnp.asarray(arr)[None] if arr.ndim == 3 else jnp.asarray(arr)
+                return jnp.repeat(h, n, axis=0)
+
+            cps = self.controlnet_params
+            if isinstance(cps, list):  # multi-ControlNet (add_controlnet)
+                k = len(cps)
+                imgs = (
+                    list(control_image)
+                    if isinstance(control_image, (list, tuple))
+                    else [control_image] * k
+                )
+                if len(imgs) != k:
+                    raise ValueError(
+                        f"{k} ControlNets attached but {len(imgs)} control "
+                        f"images given"
+                    )
+                s = controlnet_conditioning_scale
+                scales = list(s) if isinstance(s, (list, tuple)) else [s] * k
+                if len(scales) != k:
+                    raise ValueError(
+                        f"{k} ControlNets attached but {len(scales)} "
+                        f"conditioning scales given"
+                    )
+                controlnet_params = tuple(cps)
+                hint = tuple(_prep_hint(im) for im in imgs)
+                cn_scale = tuple(jnp.float32(x) for x in scales)
+            else:
+                if isinstance(control_image, (list, tuple)):
+                    raise ValueError(
+                        "a list of control images requires stacked "
+                        "ControlNets; call pipeline.add_controlnet(...)"
+                    )
+                controlnet_params = cps
+                hint = _prep_hint(control_image)
+                cn_scale = jnp.float32(controlnet_conditioning_scale)
 
         text_states, pww, pooled = self._tile_cfg(enc, n)
         added_cond = None
@@ -1153,7 +1264,7 @@ class PwwPipeline:
             controlnet=controlnet,
             controlnet_params=controlnet_params,
             control_hint=hint,
-            controlnet_scale=jnp.float32(controlnet_conditioning_scale),
+            controlnet_scale=cn_scale,
             step_rng=(
                 jax.random.PRNGKey(seed ^ 0x5EED)
                 if schedule.needs_rng else None
@@ -1236,6 +1347,7 @@ class PwwPipeline:
         output_type: str = "pil",
         cache_interval: int = 1,
         tome_ratio: float = 0.0,
+        freeu=None,  # FreeU: True (family defaults) or (b1, b2, s1, s2)
         ip_adapter_image=None,  # one reference image shared by the batch
     ):
         """Heterogeneous-prompt batch: N independent PwW requests, ONE compiled
@@ -1257,6 +1369,7 @@ class PwwPipeline:
                     r.get("prompt", ""), cm, r.get("color_context") or {},
                     r.get("negative_prompt", ""), wf,
                     prompt_weighting=bool(r.get("prompt_weighting", False)),
+                    clip_skip=int(r.get("clip_skip", 0)),
                 )
             )
         h0, w0 = encs[0].height, encs[0].width
@@ -1335,7 +1448,7 @@ class PwwPipeline:
         if self.config.unet.ip_adapter_tokens is not None:
             ip = self._ip_state(ip_adapter_image, n)
         images = np.asarray(run_denoise_decode(
-            self._unet_for(tome_ratio), self.params["unet"], self.vae,
+            self._unet_for(tome_ratio, freeu), self.params["unet"], self.vae,
             self.params["vae"],
             latents, text_states, pww,
             schedule, jnp.float32(guidance_scale), ip=ip,

@@ -115,7 +115,7 @@ class Schedule(flax.struct.PyTreeNode):
     @property
     def needs_rng(self) -> bool:
         """Kinds whose ``step`` draws fresh noise (pass ``rng=``)."""
-        return self.kind in ("euler_ancestral", "lcm")
+        return self.kind in ("euler_ancestral", "lcm", "dpmpp_2m_sde")
 
     def sigma(self, i: jnp.ndarray) -> jnp.ndarray:
         return self.sigmas[i]
@@ -159,7 +159,7 @@ class Schedule(flax.struct.PyTreeNode):
         if self.kind == "pndm":
             # rows 0..3 = eps history (most recent first), row 4 = cur_sample
             return jnp.zeros((5,) + tuple(shape), dtype)
-        if self.kind == "dpmpp_2m":
+        if self.kind in ("dpmpp_2m", "dpmpp_2m_sde"):
             return jnp.zeros((1,) + tuple(shape), dtype)  # previous x0
         if self.kind == "unipc":
             # rows: [x0 pred at i-1, x0 pred at i-2, corrected sample at i-1]
@@ -241,6 +241,31 @@ class Schedule(flax.struct.PyTreeNode):
             c0, c1 = tab["c0"][i], tab["c1"][i]  # blend coeffs (1st order: 1,0)
             d = c0 * x0 + c1 * prev_x0
             prev = tab["x_coeff"][i] * x + tab["d_coeff"][i] * d
+            new_state = jnp.concatenate(
+                [x0[None].astype(state.dtype), state[1:]], axis=0
+            )
+            return prev.astype(sample.dtype), new_state
+
+        if self.kind == "dpmpp_2m_sde":
+            # SDE-DPM-Solver++ 2M (midpoint noise; diffusers
+            # ``algorithm_type="sde-dpmsolver++"``): the 2M data-prediction
+            # blend plus an exact Ornstein–Uhlenbeck noise refresh —
+            #   x_{i+1} = (σ'/σ)e^{−h}·x + α'(1−e^{−2h})·D + σ'√(1−e^{−2h})·z
+            tab = self.pndm_tables
+            a_t = tab["alpha_t"][i]
+            s_t = tab["sigma_t"][i]
+            x = sample.astype(jnp.float32)
+            x0 = (x - s_t * model_output.astype(jnp.float32)) / a_t
+            prev_x0 = state[0].astype(jnp.float32)
+            d = tab["c0"][i] * x0 + tab["c1"][i] * prev_x0
+            if rng is None:
+                raise ValueError("dpmpp_2m_sde requires rng")
+            noise = jax.random.normal(rng, sample.shape, jnp.float32)
+            prev = (
+                tab["x_coeff"][i] * x
+                + tab["d_coeff"][i] * d
+                + tab["n_coeff"][i] * noise
+            )
             new_state = jnp.concatenate(
                 [x0[None].astype(state.dtype), state[1:]], axis=0
             )
@@ -394,8 +419,10 @@ class Scheduler:
             lms = None
         elif self.kind == "pndm":
             return self._set_timesteps_pndm(num_steps, alphas_cumprod)
-        elif self.kind == "dpmpp_2m":
-            return self._set_timesteps_dpmpp(num_steps, alphas_cumprod)
+        elif self.kind in ("dpmpp_2m", "dpmpp_2m_sde"):
+            return self._set_timesteps_dpmpp(
+                num_steps, alphas_cumprod, sde=(self.kind == "dpmpp_2m_sde")
+            )
         elif self.kind == "unipc":
             return self._set_timesteps_unipc(num_steps, alphas_cumprod)
         elif self.kind == "lcm":
@@ -617,13 +644,21 @@ class Scheduler:
         ac_next = np.concatenate([ac[1:], [alphas_cumprod[0]]])
         return ts, ac, ac_next
 
-    def _set_timesteps_dpmpp(self, num_steps: int, alphas_cumprod: np.ndarray) -> Schedule:
+    def _set_timesteps_dpmpp(
+        self, num_steps: int, alphas_cumprod: np.ndarray, sde: bool = False
+    ) -> Schedule:
         """DPM-Solver++ 2M: second-order multistep in λ = log(α/σ) space with
         x0 (data) prediction. All exponential-integrator coefficients are
         precomputed so the device step is two multiplies and a blend:
             D_i = c0·x0_i + c1·x0_{i-1}
             x_{i+1} = (σ_{i+1}/σ_i)·x_i − α_{i+1}(e^{−h}−1)·D_i
         First and final steps run first order (lower_order_final stability).
+
+        ``sde=True`` builds the SDE-DPM-Solver++ 2M tables instead (diffusers
+        ``algorithm_type="sde-dpmsolver++"``, ``solver_type="midpoint"``):
+        same D blend, with the deterministic coefficients replaced by the
+        exact variance-preserving OU transition
+            x_{i+1} = (σ'/σ)e^{−h}·x + α'(1−e^{−2h})·D + σ'√(1−e^{−2h})·z.
         """
         t_float, ac_t, ac_p = self._alpha_trajectory(num_steps, alphas_cumprod)
         alpha_t, sigma_t = np.sqrt(ac_t), np.sqrt(1 - ac_t)
@@ -633,8 +668,14 @@ class Scheduler:
         h = lam_p - lam_t  # step size in λ space (positive: λ grows)
         h_last = np.concatenate([[np.nan], h[:-1]])
 
-        x_coeff = sigma_p / sigma_t
-        d_coeff = -alpha_p * (np.exp(-h) - 1.0)
+        if sde:
+            x_coeff = (sigma_p / sigma_t) * np.exp(-h)
+            d_coeff = -alpha_p * np.expm1(-2.0 * h)
+            n_coeff = sigma_p * np.sqrt(np.maximum(-np.expm1(-2.0 * h), 0.0))
+        else:
+            x_coeff = sigma_p / sigma_t
+            d_coeff = -alpha_p * (np.exp(-h) - 1.0)
+            n_coeff = np.zeros(num_steps)
 
         c0 = np.ones(num_steps)
         c1 = np.zeros(num_steps)
@@ -658,8 +699,9 @@ class Scheduler:
                 "d_coeff": jnp.asarray(d_coeff, jnp.float32),
                 "c0": jnp.asarray(c0, jnp.float32),
                 "c1": jnp.asarray(c1, jnp.float32),
+                "n_coeff": jnp.asarray(n_coeff, jnp.float32),
             },
-            kind="dpmpp_2m",
+            kind="dpmpp_2m_sde" if sde else "dpmpp_2m",
             num_steps=num_steps,
         )
 

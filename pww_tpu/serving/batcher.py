@@ -34,6 +34,7 @@ def compat_key(req: Dict) -> Tuple:
         repr(req.get("weight_function")),
         int(req.get("cache_interval", 1)),
         float(req.get("tome_ratio", 0.0)),
+        repr(req.get("freeu")),
     )
 
 
@@ -109,6 +110,7 @@ class Batcher:
                     weight_function=group[0].request.get("weight_function"),
                     cache_interval=group[0].request.get("cache_interval", 1),
                     tome_ratio=group[0].request.get("tome_ratio", 0.0),
+                    freeu=group[0].request.get("freeu"),
                 )
                 for p, img in zip(group, images):
                     p.future.set_result(img)

@@ -110,6 +110,12 @@ def make_handler(batcher: Batcher):
                         "prompt_weighting": bool(
                             req.get("prompt_weighting", False)
                         ),
+                        "clip_skip": int(req.get("clip_skip", 0)),
+                        "freeu": (
+                            True if req.get("freeu") is True
+                            else tuple(req["freeu"]) if req.get("freeu")
+                            else None
+                        ),
                     }
                 )
                 img = fut.result(timeout=600)

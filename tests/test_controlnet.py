@@ -95,3 +95,87 @@ def test_controlnet_key_mapping():
     # non-controlnet paths fall through to the UNet table
     k, _ = controlnet_key(("down_0_resnet_0", "conv1", "kernel"), 4)
     assert k == "down_blocks.0.resnets.0.conv1.weight"
+
+def _cm_and_hints():
+    cm = np.zeros((64, 64, 3), np.uint8)
+    cm[:, :32] = (255, 0, 0)
+    h1 = np.zeros((64, 64, 3), np.uint8)
+    h1[20:40, 20:40] = 255
+    h2 = np.zeros((64, 64, 3), np.uint8)
+    h2[5:15, 5:60] = 255
+    return cm, h1, h2
+
+
+def _gen(pipe, **over):
+    cm, h1, h2 = _cm_and_hints()
+    kw = dict(
+        prompt="a cat", color_map_image=cm,
+        color_context={(255, 0, 0): "cat,1.0"},
+        num_inference_steps=2, seed=0, output_type="np",
+    )
+    kw.update(over)
+    return np.asarray(pipe.generate(**kw))
+
+
+def _denonzeroed(params):
+    """Fresh ControlNets have zero output convs (no-op by design) — shift
+    every weight so the net emits real residuals."""
+    return jax.tree.map(lambda p: p + 0.02, params)
+
+
+def test_multi_controlnet_runs_and_scales_compose():
+    """Stacked nets: residuals sum (diffusers MultiControlNetModel); a
+    zero-scaled second net must exactly reproduce the single-net output."""
+    cm, h1, h2 = _cm_and_hints()
+    pipe = PwwPipeline(config=SDModelConfig.tiny(), weights_dtype=None)
+    pipe.load_controlnet(seed=3)
+    pipe.controlnet_params = _denonzeroed(pipe.controlnet_params)
+    single_params = pipe.controlnet_params
+    single = _gen(pipe, control_image=h1, controlnet_conditioning_scale=0.7)
+
+    pipe.add_controlnet(seed=9)
+    pipe.controlnet_params[1] = jax.tree.map(
+        lambda p: p * 1.5 + 0.03, pipe.controlnet_params[1]
+    )
+    assert isinstance(pipe.controlnet_params, list)
+    assert len(pipe.controlnet_params) == 2
+    # second net scaled to zero -> identical to the single-net program
+    both_zero2 = _gen(
+        pipe, control_image=[h1, h2],
+        controlnet_conditioning_scale=[0.7, 0.0],
+    )
+    np.testing.assert_array_equal(single, both_zero2)
+    # live second net changes the image
+    both = _gen(
+        pipe, control_image=[h1, h2],
+        controlnet_conditioning_scale=[0.7, 0.9],
+    )
+    assert np.isfinite(both).all()
+    assert not np.array_equal(single, both)
+    # one shared hint broadcasts to every net
+    shared = _gen(pipe, control_image=h1,
+                  controlnet_conditioning_scale=[0.7, 0.9])
+    assert shared.shape == both.shape
+    # restoring a single net goes back to the bare-tree form
+    pipe.load_controlnet(params=single_params)
+    again = _gen(pipe, control_image=h1, controlnet_conditioning_scale=0.7)
+    np.testing.assert_array_equal(single, again)
+
+
+def test_multi_controlnet_arg_count_mismatch_raises():
+    cm, h1, h2 = _cm_and_hints()
+    pipe = PwwPipeline(config=SDModelConfig.tiny(), weights_dtype=None)
+    pipe.load_controlnet(seed=3).add_controlnet(seed=9)
+    with pytest.raises(ValueError, match="control"):
+        _gen(pipe, control_image=[h1, h2, h2])
+    with pytest.raises(ValueError, match="scales"):
+        _gen(pipe, control_image=[h1, h2],
+             controlnet_conditioning_scale=[1.0, 1.0, 1.0])
+
+
+def test_control_image_list_without_stacking_raises():
+    cm, h1, h2 = _cm_and_hints()
+    pipe = PwwPipeline(config=SDModelConfig.tiny(), weights_dtype=None)
+    pipe.load_controlnet(seed=3)
+    with pytest.raises(ValueError, match="add_controlnet"):
+        _gen(pipe, control_image=[h1, h2])

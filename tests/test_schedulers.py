@@ -18,6 +18,7 @@ from pww_tpu.schedulers.schedules import (
     make_scheduler,
 )
 
+import jax
 import jax.numpy as jnp
 
 
@@ -122,7 +123,7 @@ def test_all_schedulers_expose_sigmas():
     """Uniform sigma interface: the PwW weight fn works on every scheduler
     (fixes the reference's LMS-only quirk, SURVEY.md §2 quirks)."""
     for kind in ("lms", "euler", "euler_ancestral", "ddim", "pndm",
-                 "dpmpp_2m", "heun", "unipc", "lcm"):
+                 "dpmpp_2m", "dpmpp_2m_sde", "heun", "unipc", "lcm"):
         sch = make_scheduler(kind).set_timesteps(5)
         assert sch.sigmas.shape == (sch.num_steps + 1,), kind
         assert float(sch.sigma(jnp.int32(0))) > 0, kind
@@ -600,3 +601,122 @@ def test_lcm_distilled_guidance_embedding_pipeline(tmp_path):
     w = (8.0 - 1.0) * 1000.0
     np.testing.assert_allclose(emb[0], np.sin(w), rtol=1e-5)
     np.testing.assert_allclose(emb[16], np.cos(w), rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# DPM++ 2M SDE (diffusers algorithm_type="sde-dpmsolver++", midpoint)
+# ---------------------------------------------------------------------------
+
+
+def test_dpmpp_2m_sde_coefficient_identities():
+    """The SDE tables must satisfy the exact OU-transition identities:
+    mean lands on alpha_next (x_coeff*a_t + d_coeff == a_next at first order)
+    and variance is preserved ((x_coeff*s_t)^2 + n_coeff^2 == s_next^2)."""
+    sch = make_scheduler("dpmpp_2m_sde").set_timesteps(9)
+    tab = sch.pndm_tables
+    a_t = np.asarray(tab["alpha_t"])
+    s_t = np.asarray(tab["sigma_t"])
+    a_n = np.sqrt(np.asarray(sch.alphas_cumprod_prev))
+    s_n = np.sqrt(1.0 - np.asarray(sch.alphas_cumprod_prev))
+    x_c = np.asarray(tab["x_coeff"])
+    d_c = np.asarray(tab["d_coeff"])
+    n_c = np.asarray(tab["n_coeff"])
+    np.testing.assert_allclose(x_c * a_t + d_c, a_n, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        (x_c * s_t) ** 2 + n_c ** 2, s_n ** 2, rtol=1e-5, atol=1e-6
+    )
+
+
+def _sde_dpmpp_replica_trajectory(sch, eps_fn, x_init, noise_fn):
+    """Stateful re-derivation of diffusers DPMSolverMultistepScheduler with
+    algorithm_type="sde-dpmsolver++", solver_type="midpoint", order 2,
+    lower_order_final — coefficients recomputed per step from the alpha
+    trajectory (independent of the Schedule's precomputed tables)."""
+    ac_t = np.asarray(sch.alphas_cumprod_t, np.float64)
+    ac_n = np.asarray(sch.alphas_cumprod_prev, np.float64)
+    n = sch.num_steps
+    x = np.asarray(x_init, np.float64)
+    m_prev = None
+    h_prev = None
+    for i in range(n):
+        a_t, s_t = np.sqrt(ac_t[i]), np.sqrt(1 - ac_t[i])
+        a_n, s_n = np.sqrt(ac_n[i]), np.sqrt(1 - ac_n[i])
+        lam_t = np.log(a_t) - np.log(s_t)
+        lam_n = np.log(a_n) - np.log(s_n)
+        h = lam_n - lam_t
+        eps = eps_fn(x, i)
+        m0 = (x - s_t * eps) / a_t
+        if m_prev is None or i == n - 1:
+            d = m0  # first order: no history / lower_order_final
+        else:
+            r0 = h_prev / h
+            d1 = (m0 - m_prev) / r0
+            d = m0 + 0.5 * d1  # midpoint
+        z = noise_fn(i)
+        x = (
+            (s_n / s_t) * np.exp(-h) * x
+            + a_n * (1.0 - np.exp(-2.0 * h)) * d
+            + s_n * np.sqrt(1.0 - np.exp(-2.0 * h)) * z
+        )
+        m_prev, h_prev = m0, h
+    return x
+
+
+def test_dpmpp_2m_sde_matches_diffusers_replica(rng):
+    sch = make_scheduler("dpmpp_2m_sde").set_timesteps(7)
+    shape = (1, 4, 4, 2)
+    x0 = rng.standard_normal(shape).astype(np.float32)
+
+    def eps_fn(x, i):
+        # a fixed-x0 model keeps the trajectory smooth and well-conditioned
+        a_i = np.sqrt(float(sch.alphas_cumprod_t[i]))
+        s_i = np.sqrt(1 - float(sch.alphas_cumprod_t[i]))
+        return (np.asarray(x, np.float64) - a_i * x0) / s_i
+
+    base = jax.random.PRNGKey(3)
+
+    def noise_fn(i):
+        return np.asarray(
+            jax.random.normal(jax.random.fold_in(base, i), shape, jnp.float32),
+            np.float64,
+        )
+
+    x_init = rng.standard_normal(shape).astype(np.float32)
+    want = _sde_dpmpp_replica_trajectory(sch, eps_fn, x_init, noise_fn)
+
+    x = jnp.asarray(x_init)
+    state = sch.init_state(shape, jnp.float32)
+    for i in range(sch.num_steps):
+        eps = jnp.asarray(eps_fn(np.asarray(x), i), jnp.float32)
+        x, state = sch.step(
+            eps, jnp.int32(i), x, state, rng=jax.random.fold_in(base, i)
+        )
+    np.testing.assert_allclose(np.asarray(x), want, atol=5e-4, rtol=5e-4)
+
+
+def test_dpmpp_2m_sde_pipeline_end_to_end():
+    from pww_tpu import PwwPipeline
+    from pww_tpu.config import SDModelConfig
+
+    pipe = PwwPipeline(config=SDModelConfig.tiny(), scheduler="dpmpp_2m_sde")
+    cm = np.zeros((64, 64, 3), np.uint8)
+    cm[:, :32] = (255, 0, 0)
+    kw = dict(
+        prompt="a cat", color_map_image=cm,
+        color_context={(255, 0, 0): "cat,1.0"},
+        num_inference_steps=4, output_type="np",
+    )
+    a = np.asarray(pipe.generate(seed=0, **kw))
+    a2 = np.asarray(pipe.generate(seed=0, **kw))
+    b = np.asarray(pipe.generate(seed=1, **kw))
+    assert a.shape == (1, 64, 64, 3)
+    np.testing.assert_array_equal(a, a2)  # deterministic under fixed seed
+    assert not np.array_equal(a, b)
+
+
+def test_dpmpp_2m_sde_karras_spacing_runs():
+    sch = make_scheduler(
+        "dpmpp_2m_sde", SchedulerConfig(use_karras_sigmas=True)
+    ).set_timesteps(6)
+    s = np.asarray(sch.sigmas)[:-1]
+    assert (np.diff(s) < 0).all()  # strictly decreasing Karras ramp
