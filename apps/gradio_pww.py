@@ -60,6 +60,8 @@ def run_pww(
     guidance_scale: float,
     seed: int,
     strength: float,
+    clip_skip: int = 0,
+    freeu: bool = False,
     model_path=None,
 ):
     """One request → list of PIL images (serving path)."""
@@ -88,6 +90,8 @@ def run_pww(
                 init_image=init_image,
                 strength=strength,
                 preloaded_utils=pipe,
+                clip_skip=int(clip_skip),
+                freeu=True if freeu else None,
             )
         )
     return images
@@ -123,6 +127,10 @@ def build_ui(model_path=None):
                     seed = gr.Number(value=0, label="seed", precision=0)
                     strength = gr.Slider(0.0, 1.0, value=0.5,
                                          label="img2img strength")
+                with gr.Accordion("advanced", open=False):
+                    clip_skip = gr.Slider(0, 4, value=0, step=1,
+                                          label="CLIP skip (diffusers k)")
+                    freeu = gr.Checkbox(value=False, label="FreeU")
                 go = gr.Button("generate", variant="primary")
             with gr.Column():
                 # per-color accordion panels with mask previews and editable
@@ -139,7 +147,7 @@ def build_ui(model_path=None):
         go.click(
             lambda *a: run_pww(*a, model_path=model_path),
             inputs=[sketch, content, prompt, negative, init, width, height,
-                    samples, steps, scale, seed, strength],
+                    samples, steps, scale, seed, strength, clip_skip, freeu],
             outputs=[gallery],
         )
     return demo

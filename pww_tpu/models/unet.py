@@ -313,7 +313,8 @@ class UNet2DCondition(nn.Module):
     config: UNetConfig
     dtype: Any = jnp.float32
 
-    def _down_block(self, x, bi, ch, temb, ctx, pww, skips, ip=None):
+    def _down_block(self, x, bi, ch, temb, ctx, pww, skips, ip=None,
+                    intrablock=None):
         cfg = self.config
         has_attn = cfg.down_block_has_attn[bi]
         for li in range(cfg.layers_per_block):
@@ -333,6 +334,11 @@ class UNet2DCondition(nn.Module):
                     groups=cfg.norm_num_groups, dtype=self.dtype,
                     name=f"down_{bi}_attn_{li}",
                 )(x, ctx, pww, ip=ip)
+            if intrablock is not None and li == cfg.layers_per_block - 1:
+                # T2I-Adapter feature: added after the block's last layer,
+                # INCLUDED in the skip (diffusers
+                # down_intrablock_additional_residuals semantics).
+                x = x + intrablock.astype(x.dtype)
             skips.append(x)
         return x
 
@@ -387,6 +393,7 @@ class UNet2DCondition(nn.Module):
         pww: Optional[PwwState] = None,
         down_block_residuals: Optional[Tuple[jnp.ndarray, ...]] = None,
         mid_block_residual: Optional[jnp.ndarray] = None,
+        down_intrablock_residuals: Optional[Tuple[jnp.ndarray, ...]] = None,
         cache_mode: Optional[str] = None,  # None | "collect" | "use"
         cached_feature: Optional[jnp.ndarray] = None,
         added_cond: Optional[dict] = None,  # SDXL: {"text_embeds", "time_ids"}
@@ -475,7 +482,11 @@ class UNet2DCondition(nn.Module):
         # ---- down ----
         skips = [x]
         for bi, ch in enumerate(cfg.block_out_channels):
-            x = self._down_block(x, bi, ch, temb, ctx, pww, skips, ip=ip)
+            x = self._down_block(
+                x, bi, ch, temb, ctx, pww, skips, ip=ip,
+                intrablock=None if down_intrablock_residuals is None
+                else down_intrablock_residuals[bi],
+            )
             if bi < n_blocks - 1:
                 x = Downsample(ch, self.dtype, name=f"down_{bi}_downsample")(x)
                 skips.append(x)

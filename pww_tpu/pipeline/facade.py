@@ -78,11 +78,14 @@ def paint_with_words(
     strength: float = 0.5,
     num_samples: int = 1,
     noise_mode: str = "jax",
+    **extra,
 ):
     """txt2img / img2img with paint-with-words (reference ``:391-510``).
 
     Default weight function is the reference's
     ``0.1 · w · log(1+σ) · max(QKᵀ)`` (reference ``:402-405``).
+    ``**extra`` forwards beyond-reference knobs (``clip_skip``, ``freeu``,
+    ``tome_ratio``, ``cache_interval``, ...) to :meth:`PwwPipeline.generate`.
     """
     pipe = preloaded_utils or pww_load_tools(
         device, scheduler_type,
@@ -103,6 +106,7 @@ def paint_with_words(
         strength=strength,
         num_samples=num_samples,
         noise_mode=noise_mode,
+        **extra,
     )
 
 

@@ -73,7 +73,7 @@ def _apply_controlnets(
 def _cfg_eps_fns(
     unet, unet_params, text_states, n, controlnet, controlnet_params,
     control_hint, controlnet_scale, extra_channels, added_cond=None,
-    ip=None,
+    ip=None, adapter_residuals=None,
 ):
     """(batched, split) classifier-free-guidance UNet evaluators.
 
@@ -98,9 +98,15 @@ def _cfg_eps_fns(
         if extra_channels is not None:
             ec = jnp.concatenate([extra_channels] * 2, axis=0)
             lat2 = jnp.concatenate([lat2, ec.astype(compute_dtype)], axis=-1)
+        ar2 = None
+        if adapter_residuals is not None:
+            ar2 = tuple(
+                jnp.concatenate([a, a], axis=0) for a in adapter_residuals
+            )
         eps = unet.apply(
             unet_params, lat2, t, text_states, pww=pww_t,
             down_block_residuals=down_res, mid_block_residual=mid_res,
+            down_intrablock_residuals=ar2,
             added_cond=added_cond, ip=ip,
         )
         return eps[:n].astype(jnp.float32), eps[n:].astype(jnp.float32)
@@ -135,6 +141,7 @@ def _cfg_eps_fns(
                 unet.apply(
                     unet_params, li, t, text_states[half], pww=p,
                     down_block_residuals=down_res, mid_block_residual=mid_res,
+                    down_intrablock_residuals=adapter_residuals,
                     added_cond=None if added_cond is None
                     else {k: v[half] for k, v in added_cond.items()},
                     ip=None if ip is None
@@ -165,6 +172,8 @@ def _denoise_scan(
     cache_interval: int = 1,
     added_cond: Optional[dict] = None,  # SDXL (2N-batched text_embeds/time_ids)
     ip=None,  # Optional[IpState] (2N-batched image-prompt tokens)
+    t_end: Optional[int] = None,  # exclusive stop step (ensemble-of-denoisers)
+    adapter_residuals=None,  # T2I-Adapter features (N-batched tuple)
 ) -> jnp.ndarray:
     """Full denoise loop as one scan. Returns final latents (N, h, w, C).
 
@@ -183,6 +192,7 @@ def _denoise_scan(
     unet_eps_batched, unet_eps_split = _cfg_eps_fns(
         unet, unet_params, text_states, n, controlnet, controlnet_params,
         control_hint, controlnet_scale, extra_channels, added_cond, ip,
+        adapter_residuals,
     )
     prediction_type = unet.config.prediction_type
 
@@ -204,6 +214,12 @@ def _denoise_scan(
     if cache_interval > 1:
         if controlnet is not None:
             raise ValueError("cache_interval > 1 is not supported with ControlNet")
+        if adapter_residuals is not None:
+            raise ValueError(
+                "cache_interval > 1 is not supported with a T2I-Adapter (the "
+                "deep-trunk features the cache reuses include the adapter "
+                "residuals of the cached step)"
+            )
         if not cfg_batched:
             raise ValueError(
                 "cache_interval > 1 requires the batched CFG path; custom "
@@ -256,14 +272,16 @@ def _denoise_scan(
             compute_dtype,
         )
         sch_state = schedule.init_state(latents.shape, latents.dtype)
-        steps = jnp.arange(t_start, schedule.num_steps)
+        steps = jnp.arange(
+            t_start, schedule.num_steps if t_end is None else t_end
+        )
         (latents, sch_state, _), _ = jax.lax.scan(
             body_cached, (latents, sch_state, feat0), steps
         )
         return latents, sch_state
 
     sch_state = schedule.init_state(latents.shape, latents.dtype)
-    steps = jnp.arange(t_start, schedule.num_steps)
+    steps = jnp.arange(t_start, schedule.num_steps if t_end is None else t_end)
     (latents, sch_state), _ = jax.lax.scan(body, (latents, sch_state), steps)
     return latents, sch_state
 
@@ -271,7 +289,7 @@ def _denoise_scan(
 run_denoise = functools.partial(
     jax.jit,
     static_argnames=("unet", "controlnet", "t_start", "cfg_batched",
-                     "cache_interval"),
+                     "cache_interval", "t_end"),
 )(_denoise_scan)
 
 
@@ -288,7 +306,7 @@ def _decode_uint8(vae: AutoencoderKL, vae_params, latents: jnp.ndarray):
 @functools.partial(
     jax.jit,
     static_argnames=("unet", "vae", "controlnet", "t_start", "cfg_batched",
-                     "cache_interval"),
+                     "cache_interval", "t_end"),
 )
 def run_denoise_decode(
     unet,
@@ -311,6 +329,8 @@ def run_denoise_decode(
     cache_interval: int = 1,
     added_cond=None,
     ip=None,
+    t_end=None,
+    adapter_residuals=None,
 ):
     """Denoise scan + VAE decode + uint8 conversion as ONE compiled program —
     a single device dispatch per image (the separate-stage path pays one
@@ -320,7 +340,7 @@ def run_denoise_decode(
         unet, unet_params, latents, text_states, pww, schedule,
         guidance_scale, extra_channels, controlnet, controlnet_params,
         control_hint, controlnet_scale, step_rng, t_start, cfg_batched,
-        cache_interval, added_cond, ip,
+        cache_interval, added_cond, ip, t_end, adapter_residuals,
     )
     return _decode_uint8(vae, vae_params, latents)
 
@@ -349,6 +369,7 @@ def run_denoise_segment(
     cfg_batched: bool = True,
     added_cond=None,
     ip=None,
+    adapter_residuals=None,
 ):
     """A ``seg_len``-step slice of the denoise loop with explicit scheduler
     state — lets the host observe latents between segments (per-step
@@ -360,6 +381,7 @@ def run_denoise_segment(
     unet_eps_batched, unet_eps_split = _cfg_eps_fns(
         unet, unet_params, text_states, n, controlnet, controlnet_params,
         control_hint, controlnet_scale, extra_channels, added_cond, ip,
+        adapter_residuals,
     )
     prediction_type = unet.config.prediction_type
 
@@ -389,6 +411,13 @@ run_decode = functools.partial(jax.jit, static_argnames=("vae",))(_decode_uint8)
 def run_encode_image(vae: AutoencoderKL, vae_params, image: jnp.ndarray) -> jnp.ndarray:
     """[-1,1] image → posterior moments (mean used via sample elsewhere)."""
     return vae.apply(vae_params, image, method=AutoencoderKL.encode_moments)
+
+
+@functools.partial(jax.jit, static_argnames=("adapter",))
+def run_t2i_adapter(adapter, adapter_params, hint: jnp.ndarray):
+    """Hint image → per-down-block conditioning features (runs once per
+    generation; the features are timestep-independent)."""
+    return adapter.apply(adapter_params, hint)
 
 
 @functools.partial(jax.jit, static_argnames=("clip", "skip_layers"))
@@ -621,6 +650,62 @@ class PwwPipeline:
                            self.config.unet.cross_attention_dim)),
                 jnp.zeros((1, h * sf, w * sf, 3)),
                 added_cond=added,
+            )
+        return self
+
+    # -- t2i-adapter -----------------------------------------------------------
+    def load_t2i_adapter(
+        self, source=None, params=None, in_channels: int = 3,
+        channels=None, num_res_blocks: int = 2, seed: int = 0,
+    ):
+        """Attach a T2I-Adapter (Mou et al. 2023; diffusers ``T2IAdapter``
+        full variant). Lighter than ControlNet: the adapter sees only the
+        hint image, so its features are computed ONCE per generation outside
+        the denoise scan and added after each down block's last layer.
+
+        ``source``: a diffusers adapter checkpoint (``.safetensors``/``.bin``
+        path or raw state dict); None random-inits (tests/bench).
+        """
+        from ..models.t2i_adapter import T2IAdapter, t2i_adapter_key
+
+        channels = tuple(channels or self.config.unet.block_out_channels)
+        self.t2i_adapter = T2IAdapter(
+            channels=channels, num_res_blocks=num_res_blocks,
+            downscale_factor=self.config.vae.scale_factor,
+            in_channels=in_channels, dtype=self.compute_dtype,
+        )
+        sf = self.config.vae.scale_factor
+        side = sf * 8
+        if params is not None:
+            self.t2i_adapter_params = params
+        elif source is not None:
+            from ..weights.loader import fill_params, t_conv, t_id
+
+            if isinstance(source, dict):
+                state = {k: np.asarray(v) for k, v in source.items()}
+            else:
+                from ..weights.loader import read_state_dict
+
+                state = read_state_dict(source)
+            # tolerate both bare and "adapter."-prefixed key layouts
+            if not any(k.startswith("adapter.") for k in state):
+                state = {f"adapter.{k}": v for k, v in state.items()}
+
+            def key_fn(path, rank):
+                k, tf = t2i_adapter_key(path)
+                return k, (t_conv if tf == "conv" else t_id)
+
+            shapes = jax.eval_shape(
+                self.t2i_adapter.init, jax.random.PRNGKey(0),
+                jnp.zeros((1, side, side, in_channels)),
+            )
+            self.t2i_adapter_params = fill_params(
+                shapes, state, key_fn, name="t2i_adapter"
+            )
+        else:
+            self.t2i_adapter_params = self.t2i_adapter.init(
+                jax.random.PRNGKey(seed),
+                jnp.zeros((1, side, side, in_channels)),
             )
         return self
 
@@ -1007,10 +1092,15 @@ class PwwPipeline:
         weight_function: Optional[AnyWeightFunction] = None,
         negative_prompt: str = "",
         init_image=None,  # img2img when set
+        init_latents=None,  # img2img from scaled latents (skips VAE encode)
+        denoising_end=None,  # run only the first fraction of the trajectory
+        denoising_start=None,  # resume a trajectory at this fraction
         strength: float = 0.5,
         mask_image=None,  # inpaint when set (with init_image)
         control_image=None,  # ControlNet hint (requires load_controlnet first)
         controlnet_conditioning_scale: float = 1.0,
+        adapter_image=None,  # T2I-Adapter hint (requires load_t2i_adapter)
+        adapter_conditioning_scale: float = 1.0,
         callback=None,  # callback(step_index, timestep, latents) every callback_steps
         callback_steps: int = 1,
         num_samples: int = 1,
@@ -1057,11 +1147,13 @@ class PwwPipeline:
                 prompt_weighting=prompt_weighting,
                 clip_skip=clip_skip,
             )
-        height, width = (
-            (enc.height, enc.width)
-            if color_map is not None
-            else _image_hw(init_image, default=(512, 512))
-        )
+        if color_map is not None:
+            height, width = enc.height, enc.width
+        elif init_latents is not None:
+            height = init_latents.shape[1] * cfg.vae.scale_factor
+            width = init_latents.shape[2] * cfg.vae.scale_factor
+        else:
+            height, width = _image_hw(init_image, default=(512, 512))
         sf = cfg.vae.scale_factor
         h_lat, w_lat = height // sf, width // sf
 
@@ -1072,10 +1164,66 @@ class PwwPipeline:
         inpaint = mask_image is not None
         if inpaint and init_image is None:
             raise ValueError("inpainting requires init_image alongside mask_image")
+        if init_latents is not None and (init_image is not None or inpaint):
+            raise ValueError(
+                "init_latents is exclusive with init_image/mask_image"
+            )
+        if denoising_start is not None and init_latents is None:
+            raise ValueError("denoising_start requires init_latents (the "
+                             "partially denoised trajectory to resume)")
+        for frac, nm in ((denoising_end, "denoising_end"),
+                         (denoising_start, "denoising_start")):
+            if frac is not None and not 0.0 < frac < 1.0:
+                raise ValueError(f"{nm} must be in (0, 1), got {frac}")
+        if callback is not None and (
+            denoising_end is not None or denoising_start is not None
+        ):
+            raise ValueError(
+                "denoising_end/denoising_start are not supported with "
+                "per-step callbacks"
+            )
         extra = None
         t_start = 0
 
-        if init_image is None:
+        def _steps_at_or_above(frac):
+            # diffusers ensemble-of-expert-denoisers cutoff (SDXL
+            # base+refiner): train-timestep cutoff round(T - frac*T); steps
+            # with t >= cutoff belong to the FIRST expert.
+            T = cfg.scheduler.num_train_timesteps
+            cutoff = int(round(T - frac * T))
+            return int((np.asarray(schedule.timesteps) >= cutoff).sum())
+
+        if init_latents is not None:
+            # latent-space img2img (hires-fix second pass): the caller already
+            # has SCALED latents (what return_latents yields) — skip the VAE
+            # encode, truncate by strength and re-noise like the image path.
+            init_lat = jnp.asarray(init_latents, jnp.float32)
+            if init_lat.shape != latent_shape:
+                raise ValueError(
+                    f"init_latents shape {init_lat.shape} != {latent_shape}"
+                )
+            if denoising_start is not None:
+                t_start = _steps_at_or_above(denoising_start)
+            else:
+                t_start = _t_start_from_strength(
+                    num_inference_steps, strength, cfg.scheduler.steps_offset
+                )
+            if t_start > 0 and schedule.kind in ("pndm", "heun", "unipc",
+                                                 "dpmpp_2m", "dpmpp_2m_sde"):
+                raise ValueError(
+                    f"img2img strength truncation is not supported with the "
+                    f"{schedule.kind} scheduler; use lms/euler/ddim"
+                )
+            if denoising_start is not None:
+                # resume the SAME trajectory: the latents already sit at
+                # t_start's noise level — no re-noising.
+                latents = init_lat
+            else:
+                noise = make_noise(seed, init_lat.shape, noise_mode)
+                latents = schedule.add_noise(
+                    init_lat, noise, jnp.int32(t_start)
+                )
+        elif init_image is None:
             if latents is not None:  # caller-supplied noise (reference
                 # pipeline-class `latents:` kwarg, paint_with_words.py:647)
                 latents = jnp.asarray(latents)
@@ -1179,6 +1327,31 @@ class PwwPipeline:
                 hint = _prep_hint(control_image)
                 cn_scale = jnp.float32(controlnet_conditioning_scale)
 
+        adapter_res = None
+        if adapter_image is not None:
+            if getattr(self, "t2i_adapter", None) is None:
+                raise ValueError(
+                    "adapter_image given but no T2I-Adapter loaded; call "
+                    "pipeline.load_t2i_adapter(...) first"
+                )
+            arr = _to_numpy_image(adapter_image).astype(np.float32) / 255.0
+            if arr.ndim == 2:
+                arr = arr[..., None]
+            cin = self.t2i_adapter.in_channels
+            if cin == 1 and arr.shape[-1] == 3:
+                arr = arr.mean(-1, keepdims=True)  # mono hint (sketch/depth)
+            if arr.shape[:2] != (height, width):
+                raise ValueError(
+                    f"adapter_image size {arr.shape[:2]} != render size "
+                    f"({height}, {width})"
+                )
+            a_hint = jnp.repeat(jnp.asarray(arr)[None], n, axis=0)
+            feats = run_t2i_adapter(
+                self.t2i_adapter, self.t2i_adapter_params, a_hint
+            )
+            s = jnp.float32(adapter_conditioning_scale)
+            adapter_res = tuple(f.astype(jnp.float32) * s for f in feats)
+
         text_states, pww, pooled = self._tile_cfg(enc, n)
         added_cond = None
         if cfg.needs_pooled:
@@ -1265,11 +1438,14 @@ class PwwPipeline:
             controlnet_params=controlnet_params,
             control_hint=hint,
             controlnet_scale=cn_scale,
+            adapter_residuals=adapter_res,
             step_rng=(
                 jax.random.PRNGKey(seed ^ 0x5EED)
                 if schedule.needs_rng else None
             ),
         )
+        if denoising_end is not None:
+            denoise_kwargs["t_end"] = _steps_at_or_above(denoising_end)
         # Custom weight functions get the reference's exact two-forward CFG
         # (uncond bias-free); the structured family is mathematically
         # identical batched, so it takes the fast single-call path.
@@ -1336,6 +1512,85 @@ class PwwPipeline:
         return to_output(images)
 
     __call__ = generate
+
+    def generate_hires(
+        self,
+        prompt: str = "",
+        color_map_image=None,
+        color_context: Optional[Dict] = None,
+        hires_scale: float = 2.0,
+        hires_strength: float = 0.7,
+        hires_steps: Optional[int] = None,
+        upscale_mode: str = "latent",  # "latent" (bilinear) | "image" (lanczos)
+        output_type: str = "pil",
+        **kwargs,
+    ):
+        """Two-pass hires fix (A1111 semantics): generate at the native
+        resolution, upscale by ``hires_scale``, then img2img-refine at
+        ``hires_strength``. ``upscale_mode="latent"`` upscales the SCALED
+        latents bilinearly and skips the VAE round-trip (A1111's "Latent"
+        upscaler); ``"image"`` decodes, Lanczos-upscales the pixels, and
+        re-encodes. The color map is NEAREST-resized so PwW regions keep
+        applying at the higher resolution. Target dims snap to the UNet's
+        lattice (scale_factor · 2^(n_blocks−1)).
+        """
+        cfg = self.config
+        cm = _to_numpy_image(color_map_image)
+        if cm is None:
+            raise ValueError("generate_hires requires color_map_image")
+        if upscale_mode not in ("latent", "image"):
+            raise ValueError('upscale_mode must be "latent" or "image"')
+        h0, w0 = cm.shape[:2]
+        mult = cfg.vae.scale_factor * 2 ** (
+            len(cfg.unet.block_out_channels) - 1
+        )
+        h2 = max(mult, int(round(h0 * hires_scale / mult)) * mult)
+        w2 = max(mult, int(round(w0 * hires_scale / mult)) * mult)
+        from PIL import Image as PILImage
+
+        cm2 = np.asarray(
+            PILImage.fromarray(cm).resize((w2, h2), PILImage.NEAREST)
+        )
+        steps2 = hires_steps or kwargs.get("num_inference_steps", 30)
+        common = dict(kwargs)
+        common.pop("num_inference_steps", None)
+
+        if upscale_mode == "latent":
+            base_lat = self.generate(
+                prompt=prompt, color_map_image=cm,
+                color_context=color_context, return_latents=True, **common,
+                num_inference_steps=kwargs.get("num_inference_steps", 30),
+            )
+            sf = cfg.vae.scale_factor
+            up = jax.image.resize(
+                jnp.asarray(base_lat, jnp.float32),
+                (base_lat.shape[0], h2 // sf, w2 // sf, base_lat.shape[-1]),
+                method="bilinear",
+            )
+            return self.generate(
+                prompt=prompt, color_map_image=cm2,
+                color_context=color_context, init_latents=up,
+                strength=hires_strength, num_inference_steps=steps2,
+                output_type=output_type, **common,
+            )
+
+        if kwargs.get("num_samples", 1) != 1:
+            raise ValueError(
+                'upscale_mode="image" supports num_samples=1; use "latent"'
+            )
+        base = self.generate(
+            prompt=prompt, color_map_image=cm, color_context=color_context,
+            output_type="np", **common,
+            num_inference_steps=kwargs.get("num_inference_steps", 30),
+        )
+        up_img = PILImage.fromarray(np.asarray(base)[0]).resize(
+            (w2, h2), PILImage.LANCZOS
+        )
+        return self.generate(
+            prompt=prompt, color_map_image=cm2, color_context=color_context,
+            init_image=up_img, strength=hires_strength,
+            num_inference_steps=steps2, output_type=output_type, **common,
+        )
 
     def generate_batch(
         self,
