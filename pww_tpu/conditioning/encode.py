@@ -62,6 +62,24 @@ def _apply_prompt_weights(text_states, tok_w, dual_split_dim):
     return jnp.stack(rows)
 
 
+def _window_ids(tokenizer, text: str, max_len: int):
+    """A1111-style long-prompt windows: the untruncated token stream is
+    split into ``max_len - 2``-token chunks, each wrapped in BOS/EOS and
+    padded — every window is a valid CLIP input; hidden states are
+    concatenated along the sequence axis afterwards."""
+    raw = tokenizer(text, truncation=False)["input_ids"]
+    bos, eos = raw[0], raw[-1]
+    inner = raw[1:-1]
+    cap = max_len - 2
+    n_win = max(1, -(-len(inner) // cap))
+    pad = getattr(tokenizer, "pad_token_id", eos)
+    wins = []
+    for w in range(n_win):
+        ids = [bos] + inner[w * cap : (w + 1) * cap] + [eos]
+        wins.append(ids + [pad] * (max_len - len(ids)))
+    return wins
+
+
 def encode_text_color_inputs(
     encode_text: Callable[[jnp.ndarray], jnp.ndarray],
     tokenizer,
@@ -75,6 +93,7 @@ def encode_text_color_inputs(
     zero_empty_negative: bool = False,  # SDXL force_zeros_for_empty_prompt
     prompt_weighting: bool = False,  # A1111 (word:1.2) emphasis syntax
     clip_skip: int = 0,  # take hidden states k layers early (A1111 n-1)
+    long_prompts: bool = False,  # >77-token windowed encoding (A1111 style)
     dual_split_dim: Optional[int] = None,  # tower-1 width of concat XL states
 ) -> EncodedInputs:
     """Host prologue: parse, tokenize, rasterize, CLIP-encode.
@@ -90,13 +109,29 @@ def encode_text_color_inputs(
     """
     max_len = tokenizer.model_max_length
     tok_w = {}  # per-(tokenizer, row) weight vectors, keyed "1"/"2" + "u"/"c"
-    if prompt_weighting:
+    cond_wins = uncond_wins = None
+    if long_prompts:
+        if prompt_weighting:
+            raise ValueError(
+                "long_prompts and prompt_weighting cannot be combined"
+            )
+        cond_wins = _window_ids(tokenizer, prompt, max_len)
+        uncond_wins = _window_ids(tokenizer, negative_prompt, max_len)
+        n_win = max(len(cond_wins), len(uncond_wins))
+        empty = _window_ids(tokenizer, "", max_len)[0]
+        cond_wins += [empty] * (n_win - len(cond_wins))
+        uncond_wins += [empty] * (n_win - len(uncond_wins))
+        prompt_ids = [t for w in cond_wins for t in w]
+        uncond_ids = [t for w in uncond_wins for t in w]
+        n_text = n_win * max_len
+    elif prompt_weighting:
         from .prompt_weighting import weighted_prompt_ids
 
         prompt_ids, tok_w["1c"] = weighted_prompt_ids(tokenizer, prompt)
         uncond_ids, tok_w["1u"] = weighted_prompt_ids(
             tokenizer, negative_prompt
         )
+        n_text = max_len
     else:
         prompt_ids = tokenizer(
             prompt, max_length=max_len, truncation=True, padding=True
@@ -104,11 +139,12 @@ def encode_text_color_inputs(
         uncond_ids = tokenizer(
             negative_prompt, max_length=max_len, truncation=True, padding=True
         )["input_ids"]
+        n_text = max_len
 
     regions, width, height = separate_image_context(
         color_map, dict(color_context), tokenizer
     )
-    match = token_match_matrix(regions, prompt_ids, max_len)
+    match = token_match_matrix(regions, prompt_ids, n_text)
 
     masks = np.stack([r.mask for r in regions])  # (R, H, W)
     blur = np.array(
@@ -131,10 +167,50 @@ def encode_text_color_inputs(
     weights = {k: cfg_pair(v) for k, v in pyramid.items()}
     weight_orig = cfg_pair(orig)
 
-    cache_key = (prompt, negative_prompt, prompt_weighting, clip_skip)
+    cache_key = (
+        prompt, negative_prompt, prompt_weighting, clip_skip, long_prompts
+    )
     pooled = None
     if text_cache is not None and cache_key in text_cache:
         text_states, pooled = text_cache[cache_key]
+    elif long_prompts:
+        # encode every window in one CLIP batch, rows
+        # [u_0..u_{n-1}, c_0..c_{n-1}], then concatenate the hidden states
+        # along the sequence axis. Pooled (XL) comes from the FIRST window.
+        n_win = len(cond_wins)
+        ids = jnp.asarray(uncond_wins + cond_wins, jnp.int32)
+        if tokenizer_2 is not None:
+            ml2 = tokenizer_2.model_max_length
+            u2 = _window_ids(tokenizer_2, negative_prompt, ml2)
+            c2 = _window_ids(tokenizer_2, prompt, ml2)
+            e2 = _window_ids(tokenizer_2, "", ml2)[0]
+            u2 += [e2] * (n_win - len(u2))
+            c2 += [e2] * (n_win - len(c2))
+            if len(u2) != n_win or len(c2) != n_win:
+                raise ValueError(
+                    "tokenizer_2 produced more windows than tokenizer; "
+                    "prompt too long for matched dual-tower windowing"
+                )
+            ids2 = jnp.asarray(u2 + c2, jnp.int32)
+            out = encode_text(ids, ids2, **(
+                {"clip_skip": clip_skip} if clip_skip else {}
+            ))
+        else:
+            out = encode_text(ids, **(
+                {"clip_skip": clip_skip} if clip_skip else {}
+            ))
+        text_states, pooled = out if isinstance(out, tuple) else (out, None)
+        d = text_states.shape[-1]
+        text_states = text_states.reshape(2, n_win * text_states.shape[1], d)
+        if pooled is not None:
+            pooled = jnp.stack([pooled[0], pooled[n_win]])
+        if zero_empty_negative and negative_prompt == "" and pooled is not None:
+            text_states = text_states.at[0].set(0.0)
+            pooled = pooled.at[0].set(0.0)
+        if text_cache is not None:
+            if len(text_cache) > 256:
+                text_cache.pop(next(iter(text_cache)))
+            text_cache[cache_key] = (text_states, pooled)
     else:
         ids = jnp.asarray([uncond_ids, prompt_ids], jnp.int32)
         if tokenizer_2 is not None:

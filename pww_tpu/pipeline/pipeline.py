@@ -1039,6 +1039,7 @@ class PwwPipeline:
         weight_function: Optional[AnyWeightFunction] = None,
         prompt_weighting: bool = False,
         clip_skip: int = 0,
+        long_prompts: bool = False,
     ) -> EncodedInputs:
         return encode_text_color_inputs(
             self.encode_text,
@@ -1056,6 +1057,7 @@ class PwwPipeline:
             ),
             prompt_weighting=prompt_weighting,
             clip_skip=clip_skip,
+            long_prompts=long_prompts,
             dual_split_dim=(
                 self.config.clip.hidden_size if self.config.is_xl else None
             ),
@@ -1120,6 +1122,7 @@ class PwwPipeline:
         negative_aesthetic_score: float = 2.5,
         prompt_weighting: bool = False,  # A1111 (word:1.2) emphasis syntax
         clip_skip: int = 0,  # text states k layers early (A1111 skip = k+1)
+        long_prompts: bool = False,  # >77-token windowed prompts (A1111)
         ip_adapter_image=None,  # reference image (needs load_ip_adapter)
         ip_adapter_scale: Optional[float] = None,
     ):
@@ -1146,6 +1149,7 @@ class PwwPipeline:
                 weight_function,
                 prompt_weighting=prompt_weighting,
                 clip_skip=clip_skip,
+                long_prompts=long_prompts,
             )
         if color_map is not None:
             height, width = enc.height, enc.width
@@ -1625,12 +1629,19 @@ class PwwPipeline:
                     r.get("negative_prompt", ""), wf,
                     prompt_weighting=bool(r.get("prompt_weighting", False)),
                     clip_skip=int(r.get("clip_skip", 0)),
+                    long_prompts=bool(r.get("long_prompts", False)),
                 )
             )
         h0, w0 = encs[0].height, encs[0].width
+        t0 = encs[0].text_states.shape[1]
         for e in encs[1:]:
             if (e.height, e.width) != (h0, w0):
                 raise ValueError("all requests in a batch must share resolution")
+            if e.text_states.shape[1] != t0:
+                raise ValueError(
+                    "all requests in a batch must share the text length "
+                    "(long_prompts window counts differ)"
+                )
 
         n = len(requests)
         # rows: [uncond_0..uncond_{n-1}, cond_0..cond_{n-1}]

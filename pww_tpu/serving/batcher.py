@@ -35,6 +35,7 @@ def compat_key(req: Dict) -> Tuple:
         int(req.get("cache_interval", 1)),
         float(req.get("tome_ratio", 0.0)),
         repr(req.get("freeu")),
+        bool(req.get("long_prompts", False)),
     )
 
 

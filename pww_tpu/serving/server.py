@@ -111,6 +111,7 @@ def make_handler(batcher: Batcher):
                             req.get("prompt_weighting", False)
                         ),
                         "clip_skip": int(req.get("clip_skip", 0)),
+                        "long_prompts": bool(req.get("long_prompts", False)),
                         "freeu": (
                             True if req.get("freeu") is True
                             else tuple(req["freeu"]) if req.get("freeu")

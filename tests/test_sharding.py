@@ -13,6 +13,16 @@ from pww_tpu.parallel.mesh import make_mesh, param_pspec, replicate, shard_batch
 from pww_tpu.types import PwwState
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _fresh_compile_caches():
+    """Drop the executables accumulated by ~240 earlier tests before the
+    8-virtual-device programs compile — full-suite runs have segfaulted
+    inside XLA:CPU's compiler at exactly this point (long-process state;
+    every module passes in isolation)."""
+    jax.clear_caches()
+    yield
+
+
 def test_eight_virtual_devices_present():
     assert len(jax.devices()) >= 8
 
