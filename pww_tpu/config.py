@@ -146,6 +146,10 @@ class UNetConfig:
     # scales for their skip connections. None = off (exact). A free-lunch
     # quality knob; does not change parameters.
     freeu: Optional[Tuple[float, float, float, float]] = None
+    # Self-Attention Guidance (Hong et al. 2023): sow the mid-block's first
+    # self-attention probabilities so the SAG denoise loop can build its
+    # blur mask. Enabled per-call by generate(sag_scale=...); no params.
+    sow_mid_attn: bool = False
 
     @property
     def up_block_has_attn(self) -> Tuple[bool, ...]:

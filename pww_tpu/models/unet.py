@@ -115,6 +115,7 @@ class CrossAttention(nn.Module):
     use_flash: bool = False
     use_fused_cross: bool = True
     ip_adapter: bool = False  # decoupled image-prompt K/V (IP-Adapter)
+    sow_probs: bool = False  # SAG: sow softmax probs (self-attn sites only)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -141,7 +142,21 @@ class CrossAttention(nn.Module):
             weight_fn = pww.weight_fn
             sigma = pww.sigma
 
-        if is_self and self.use_flash and q.shape[2] >= 1024:
+        if is_self and self.sow_probs:
+            # SAG (Hong et al. 2023): expose the attention distribution so
+            # the denoise loop can mask-and-blur the salient regions. Dense
+            # formulation — the sown site is the mid block (tiny L).
+            scale = 1.0 / math.sqrt(self.head_dim)
+            s = jnp.einsum(
+                "bhqd,bhkd->bhqk", q.astype(jnp.float32),
+                k.astype(jnp.float32),
+            ) * scale
+            probs = jax.nn.softmax(s, axis=-1)
+            self.sow("intermediates", "attn_probs", probs)
+            out = jnp.einsum(
+                "bhqk,bhkd->bhqd", probs, v.astype(jnp.float32)
+            ).astype(self.dtype)
+        elif is_self and self.use_flash and q.shape[2] >= 1024:
             from ..ops.flash_attention import flash_self_attention
 
             out = flash_self_attention(q, k, v)
@@ -195,6 +210,7 @@ class TransformerBlock(nn.Module):
     use_fused_cross: bool = True
     tome_ratio: float = 0.0  # >0: ToMe merge around attn1 (approximation)
     ip_adapter: bool = False
+    sow_probs: bool = False  # SAG: expose attn1 probabilities
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -203,7 +219,7 @@ class TransformerBlock(nn.Module):
         h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(x)
         attn1 = CrossAttention(
             self.num_heads, self.head_dim, self.use_flash,
-            dtype=self.dtype, name="attn1",
+            sow_probs=self.sow_probs, dtype=self.dtype, name="attn1",
         )
         if self.tome_ratio > 0.0 and grid is not None:
             # ToMe (tomesd default policy): merge the most-similar tokens
@@ -239,6 +255,7 @@ class Transformer2D(nn.Module):
     tome_ratio: float = 0.0
     tome_min_tokens: int = 4096
     ip_adapter: bool = False
+    sow_probs: bool = False  # SAG: expose block 0's attn1 probabilities
     groups: int = 32
     dtype: Any = jnp.float32
 
@@ -254,7 +271,8 @@ class Transformer2D(nn.Module):
         for i in range(self.depth):
             z = TransformerBlock(
                 self.num_heads, self.head_dim, self.use_flash,
-                self.use_fused_cross, tome, self.ip_adapter, self.dtype,
+                self.use_fused_cross, tome, self.ip_adapter,
+                self.sow_probs and i == 0, self.dtype,
                 name=f"blocks_{i}",
             )(z, context, pww, grid=(h, w), ip=ip)
         z = z.reshape(b, h, w, c)
@@ -506,6 +524,7 @@ class UNet2DCondition(nn.Module):
             tome_ratio=cfg.tome_ratio,
             tome_min_tokens=cfg.tome_min_tokens,
             ip_adapter=cfg.ip_adapter_tokens is not None,
+            sow_probs=cfg.sow_mid_attn,
             groups=cfg.norm_num_groups, dtype=self.dtype, name="mid_attn",
         )(x, ctx, pww, ip=ip)
         x = ResnetBlock(ch, cfg.norm_num_groups, self.dtype, name="mid_resnet_1")(x, temb)

@@ -174,6 +174,7 @@ def _denoise_scan(
     ip=None,  # Optional[IpState] (2N-batched image-prompt tokens)
     t_end: Optional[int] = None,  # exclusive stop step (ensemble-of-denoisers)
     adapter_residuals=None,  # T2I-Adapter features (N-batched tuple)
+    sag_scale=None,  # Self-Attention Guidance strength (None = off)
 ) -> jnp.ndarray:
     """Full denoise loop as one scan. Returns final latents (N, h, w, C).
 
@@ -210,6 +211,91 @@ def _denoise_scan(
         k = None if step_rng is None else jax.random.fold_in(step_rng, i)
         lat, sch_state = schedule.step(eps, i, lat, sch_state, rng=k)
         return (lat, sch_state), None
+
+    def body_sag(carry, i):
+        # Self-Attention Guidance (Hong et al. 2023; diffusers
+        # StableDiffusionSAGPipeline semantics): mask the salient keys of
+        # the UNCOND mid-block self-attention, blur the implied x0 there,
+        # re-noise, run one extra uncond forward on the degraded latents,
+        # and push the prediction AWAY from it.
+        lat, sch_state = carry
+        sigma = schedule.sigma(i)
+        t = schedule.timesteps[i]
+        lat_in = schedule.scale_model_input(lat, i).astype(compute_dtype)
+        pww_t = pww.with_sigma(sigma)
+        lat2 = jnp.concatenate([lat_in, lat_in], axis=0)
+        eps2, interm = unet.apply(
+            unet_params, lat2, t, text_states, pww=pww_t,
+            added_cond=added_cond, ip=ip, mutable=["intermediates"],
+        )
+        probs = jax.tree_util.tree_leaves(interm)[0]  # (2n, heads, L, L) f32
+        out_uncond = eps2[:n].astype(jnp.float32)
+        out_text = eps2[n:].astype(jnp.float32)
+        eps_uncond = schedule.to_epsilon(out_uncond, lat, i, prediction_type)
+        eps_text = schedule.to_epsilon(out_text, lat, i, prediction_type)
+        eps = eps_uncond + guidance_scale * (eps_text - eps_uncond)
+
+        # -- mask from the uncond attention: mean over heads, total
+        #    attention RECEIVED per key > 1 (diffusers sag_masking)
+        mask = probs[:n].mean(axis=1).sum(axis=1) > 1.0  # (n, L)
+        h_lat, w_lat = lat.shape[1], lat.shape[2]
+        down = 2 ** (len(unet.config.block_out_channels) - 1)
+        mh, mw = h_lat // down, w_lat // down
+        mask2d = mask.reshape(n, mh, mw).astype(jnp.float32)[..., None]
+        mask_up = jax.image.resize(
+            mask2d, (n, h_lat, w_lat, 1), method="nearest"
+        )
+        x0_u = schedule.pred_x0(eps_uncond, lat, i)
+        from ..ops.blur import gaussian_blur
+
+        blurred = jnp.moveaxis(
+            gaussian_blur(jnp.moveaxis(x0_u, -1, 1), 9, 1.0), 1, -1
+        )
+        degraded = blurred * mask_up + x0_u * (1.0 - mask_up)
+        deg_lat = schedule.add_noise(degraded, eps_uncond, i)
+        deg_in = schedule.scale_model_input(deg_lat, i).astype(compute_dtype)
+        pww_u = pww_t.replace(
+            weights={k2: v[:n] for k2, v in pww_t.weights.items()},
+            weight_orig=None if pww_t.weight_orig is None
+            else pww_t.weight_orig[:n],
+        )
+        eps_deg = unet.apply(
+            unet_params, deg_in, t, text_states[:n], pww=pww_u,
+            added_cond=None if added_cond is None
+            else {k2: v[:n] for k2, v in added_cond.items()},
+            ip=None if ip is None else ip.replace(tokens=ip.tokens[:n]),
+            mutable=["intermediates"],
+        )[0].astype(jnp.float32)
+        eps_deg = schedule.to_epsilon(eps_deg, deg_lat, i, prediction_type)
+        eps = eps + sag_scale * (eps_uncond - eps_deg)
+        k = None if step_rng is None else jax.random.fold_in(step_rng, i)
+        lat, sch_state = schedule.step(eps, i, lat, sch_state, rng=k)
+        return (lat, sch_state), None
+
+    if sag_scale is not None:
+        if not cfg_batched:
+            raise ValueError(
+                "sag_scale requires the batched CFG path (no custom weight "
+                "functions)"
+            )
+        if controlnet is not None or adapter_residuals is not None:
+            raise ValueError(
+                "sag_scale is not supported with ControlNet or T2I-Adapter"
+            )
+        if extra_channels is not None:
+            raise ValueError(
+                "sag_scale is not supported with inpainting (9-channel UNets)"
+            )
+        if cache_interval > 1:
+            raise ValueError("sag_scale is not supported with DeepCache")
+        sch_state = schedule.init_state(latents.shape, latents.dtype)
+        steps = jnp.arange(
+            t_start, schedule.num_steps if t_end is None else t_end
+        )
+        (latents, sch_state), _ = jax.lax.scan(
+            body_sag, (latents, sch_state), steps
+        )
+        return latents, sch_state
 
     if cache_interval > 1:
         if controlnet is not None:
@@ -331,6 +417,7 @@ def run_denoise_decode(
     ip=None,
     t_end=None,
     adapter_residuals=None,
+    sag_scale=None,
 ):
     """Denoise scan + VAE decode + uint8 conversion as ONE compiled program —
     a single device dispatch per image (the separate-stage path pays one
@@ -340,7 +427,7 @@ def run_denoise_decode(
         unet, unet_params, latents, text_states, pww, schedule,
         guidance_scale, extra_channels, controlnet, controlnet_params,
         control_hint, controlnet_scale, step_rng, t_start, cfg_batched,
-        cache_interval, added_cond, ip, t_end, adapter_residuals,
+        cache_interval, added_cond, ip, t_end, adapter_residuals, sag_scale,
     )
     return _decode_uint8(vae, vae_params, latents)
 
@@ -981,7 +1068,9 @@ class PwwPipeline:
         self._lora_saved = {}
         self._text_cache.clear()
 
-    def _unet_for(self, tome_ratio: float, freeu=None) -> UNet2DCondition:
+    def _unet_for(
+        self, tome_ratio: float, freeu=None, sow_mid_attn: bool = False
+    ) -> UNet2DCondition:
         """The UNet module for per-call ToMe ratio / FreeU params (defaults =
         ``self.unet``).
 
@@ -999,12 +1088,13 @@ class PwwPipeline:
             freeu = tuple(float(v) for v in freeu)
             if len(freeu) != 4:
                 raise ValueError("freeu must be (b1, b2, s1, s2) or True")
-        if not tome_ratio and freeu is None:
+        if not tome_ratio and freeu is None and not sow_mid_attn:
             return self.unet
         import dataclasses
 
         cfg = dataclasses.replace(
-            self.config.unet, tome_ratio=float(tome_ratio), freeu=freeu
+            self.config.unet, tome_ratio=float(tome_ratio), freeu=freeu,
+            sow_mid_attn=sow_mid_attn,
         )
         return UNet2DCondition(cfg, dtype=self.compute_dtype)
 
@@ -1115,6 +1205,7 @@ class PwwPipeline:
         cache_interval: int = 1,  # DeepCache: >1 = opt-in approximation
         tome_ratio: float = 0.0,  # ToMe token merging: >0 = opt-in approx
         freeu=None,  # FreeU: True (family defaults) or (b1, b2, s1, s2)
+        sag_scale: float = 0.0,  # Self-Attention Guidance strength (0 = off)
         original_size: Optional[Tuple[int, int]] = None,  # SDXL micro-cond
         crops_coords_top_left: Tuple[int, int] = (0, 0),
         target_size: Optional[Tuple[int, int]] = None,
@@ -1133,7 +1224,7 @@ class PwwPipeline:
         exact reference signatures on top of this.
         """
         cfg = self.config
-        unet = self._unet_for(tome_ratio, freeu)
+        unet = self._unet_for(tome_ratio, freeu, sow_mid_attn=sag_scale > 0)
         color_map = _to_numpy_image(color_map_image)
         import contextlib
 
@@ -1443,6 +1534,7 @@ class PwwPipeline:
             control_hint=hint,
             controlnet_scale=cn_scale,
             adapter_residuals=adapter_res,
+            sag_scale=jnp.float32(sag_scale) if sag_scale > 0 else None,
             step_rng=(
                 jax.random.PRNGKey(seed ^ 0x5EED)
                 if schedule.needs_rng else None
@@ -1495,6 +1587,10 @@ class PwwPipeline:
                     jax.block_until_ready(latents)
         else:
             # segmented scan: host observes latents every callback_steps
+            if denoise_kwargs.pop("sag_scale", None) is not None:
+                raise ValueError(
+                    "sag_scale is not supported with per-step callbacks"
+                )
             sch_state = schedule.init_state(latents.shape, jnp.float32)
             latents = latents.astype(jnp.float32)
             i = t_start
@@ -1607,6 +1703,7 @@ class PwwPipeline:
         cache_interval: int = 1,
         tome_ratio: float = 0.0,
         freeu=None,  # FreeU: True (family defaults) or (b1, b2, s1, s2)
+        sag_scale: float = 0.0,  # Self-Attention Guidance (0 = off)
         ip_adapter_image=None,  # one reference image shared by the batch
     ):
         """Heterogeneous-prompt batch: N independent PwW requests, ONE compiled
@@ -1714,12 +1811,14 @@ class PwwPipeline:
         if self.config.unet.ip_adapter_tokens is not None:
             ip = self._ip_state(ip_adapter_image, n)
         images = np.asarray(run_denoise_decode(
-            self._unet_for(tome_ratio, freeu), self.params["unet"], self.vae,
+            self._unet_for(tome_ratio, freeu, sow_mid_attn=sag_scale > 0),
+            self.params["unet"], self.vae,
             self.params["vae"],
             latents, text_states, pww,
             schedule, jnp.float32(guidance_scale), ip=ip,
             cfg_batched=not isinstance(wf, CustomWeightFunction),
             cache_interval=cache_interval,
+            sag_scale=jnp.float32(sag_scale) if sag_scale > 0 else None,
             added_cond=added_cond,
             step_rng=(
                 jax.random.PRNGKey(0x5EED)

@@ -362,6 +362,19 @@ class Schedule(flax.struct.PyTreeNode):
 
         raise ValueError(f"unknown scheduler kind {self.kind!r}")
 
+    def pred_x0(
+        self, eps: jnp.ndarray, sample: jnp.ndarray, i: jnp.ndarray
+    ) -> jnp.ndarray:
+        """The denoised estimate implied by an epsilon prediction at step i
+        (inverse of :meth:`add_noise` — sigma-space x = x0 + σ·ε, alpha-space
+        x = √ᾱ·x0 + √(1−ᾱ)·ε)."""
+        x = sample.astype(jnp.float32)
+        e = eps.astype(jnp.float32)
+        if self.kind in ("lms", "euler", "euler_ancestral", "heun"):
+            return x - self.sigmas[i] * e
+        a_t = self.alphas_cumprod_t[i]
+        return (x - jnp.sqrt(1.0 - a_t) * e) / jnp.sqrt(a_t)
+
     def add_noise(
         self, original: jnp.ndarray, noise: jnp.ndarray, i: jnp.ndarray
     ) -> jnp.ndarray:

@@ -36,6 +36,7 @@ def compat_key(req: Dict) -> Tuple:
         float(req.get("tome_ratio", 0.0)),
         repr(req.get("freeu")),
         bool(req.get("long_prompts", False)),
+        float(req.get("sag_scale", 0.0)),
     )
 
 
@@ -112,6 +113,7 @@ class Batcher:
                     cache_interval=group[0].request.get("cache_interval", 1),
                     tome_ratio=group[0].request.get("tome_ratio", 0.0),
                     freeu=group[0].request.get("freeu"),
+                    sag_scale=group[0].request.get("sag_scale", 0.0),
                 )
                 for p, img in zip(group, images):
                     p.future.set_result(img)
