@@ -203,6 +203,12 @@ def main():
 
     import jax
 
+    if args.tiny:
+        # --tiny is the CPU smoke path: without this the environment's
+        # sitecustomize routes even the tiny config to the tunneled TPU,
+        # where each fresh program costs minutes of remote compile.
+        jax.config.update("jax_platforms", "cpu")
+
     # Persistent compilation cache: remote-compile backends (tunneled TPU)
     # pay tens of seconds per program; cache across runs.
     jax.config.update(
