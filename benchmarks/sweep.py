@@ -25,6 +25,11 @@ def main():
 
     import jax
 
+    if args.tiny:
+        # CPU smoke: keep the tiny config off the tunneled TPU (the
+        # environment's sitecustomize force-selects it; see bench.py)
+        jax.config.update("jax_platforms", "cpu")
+
     jax.config.update(
         "jax_compilation_cache_dir",
         os.path.join(os.path.dirname(__file__), "..", ".jax_cache"),

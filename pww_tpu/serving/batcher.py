@@ -56,7 +56,14 @@ class Batcher:
         self.max_wait = max_wait_ms / 1000.0
         self._q: "queue.Queue[_Pending]" = queue.Queue()
         self._stop = threading.Event()
-        self._worker = threading.Thread(target=self._run, daemon=True)
+        # XLA compiles run ON this thread (first request of each program
+        # shape); LLVM's recursive passes can overflow the default 8 MB
+        # thread stack on deep UNet programs — give the worker real headroom.
+        prev = threading.stack_size(64 * 1024 * 1024)
+        try:
+            self._worker = threading.Thread(target=self._run, daemon=True)
+        finally:
+            threading.stack_size(prev)
         self._worker.start()
         self.stats = {"requests": 0, "batches": 0, "batched_requests": 0}
 

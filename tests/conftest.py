@@ -29,3 +29,14 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bounded_compiler_state():
+    """Full-suite runs (~300 tests, hundreds of XLA:CPU compiles in one
+    process) have intermittently segfaulted inside LLVM late in the run;
+    every module passes in isolation. Dropping the accumulated executables
+    between modules bounds the compiler-state growth. Costs some shared
+    tiny-program recompiles per module — correctness over wall time."""
+    yield
+    jax.clear_caches()

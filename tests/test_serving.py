@@ -118,3 +118,24 @@ def test_batcher_honors_tome_ratio(pipe):
         assert img.size == (64, 64)
     finally:
         b.close()
+
+
+def test_batcher_honors_round2_knobs(pipe):
+    """freeu / sag_scale / long_prompts key the batch group; clip_skip /
+    prompt_weighting are per-request encode options that flow through the
+    request dict into generate_batch."""
+    base = _req("a cat", 0)
+    assert compat_key(dict(base, freeu=True)) != compat_key(base)
+    assert compat_key(dict(base, sag_scale=0.5)) != compat_key(base)
+    assert compat_key(dict(base, long_prompts=True)) != compat_key(base)
+
+    b = Batcher(pipe, max_batch=4, max_wait_ms=50)
+    try:
+        r = dict(base, freeu=(1.2, 1.3, 0.9, 0.3), sag_scale=0.4,
+                 clip_skip=1, long_prompts=True)
+        img = b.submit(r).result(timeout=600)
+        assert img.size == (64, 64)
+        plain = b.submit(dict(base)).result(timeout=600)
+        assert not np.array_equal(np.asarray(img), np.asarray(plain))
+    finally:
+        b.close()
