@@ -12,6 +12,7 @@ from __future__ import annotations
 import queue
 import threading
 import time
+from collections import deque
 from concurrent.futures import Future
 from dataclasses import dataclass, field
 from typing import Dict, List, Tuple
@@ -66,6 +67,27 @@ class Batcher:
             threading.stack_size(prev)
         self._worker.start()
         self.stats = {"requests": 0, "batches": 0, "batched_requests": 0}
+        self._latencies = deque(maxlen=1024)  # seconds, per finished request
+
+    def observe_latency(self, seconds: float) -> None:
+        """Record one finished request's wall latency (handler-side)."""
+        self._latencies.append(float(seconds))
+
+    def metrics(self) -> Dict:
+        """Counters + latency percentiles over the last 1024 requests."""
+        lat = sorted(self._latencies)
+        out = dict(self.stats)
+        out["batch_efficiency"] = (
+            self.stats["batched_requests"] / self.stats["batches"]
+            if self.stats["batches"] else None
+        )
+        for name, q in (("latency_p50_s", 0.50), ("latency_p95_s", 0.95)):
+            out[name] = (
+                round(lat[min(len(lat) - 1, int(q * len(lat)))], 4)
+                if lat else None
+            )
+        out["latency_samples"] = len(lat)
+        return out
 
     def submit(self, request: Dict) -> Future:
         """Enqueue a request dict (generate_batch schema); returns a Future

@@ -9,6 +9,7 @@ POST /generate  {"prompt": ..., "color_context": {"#ff0000": "cat,1.0"},
                  "tome_ratio": 0.0}     # >0 = ToMe approximation
   → {"image_png_b64": ..., "latency_s": ...}
 GET  /healthz   → {"ok": true, "stats": {...}}
+GET  /metrics   → counters + p50/p95 request latency + batch efficiency
 
 Run: ``python -m pww_tpu.serving.server --model /path/to/sd15 --port 8000``.
 Compiled programs are shared across requests (the reference's Gradio path
@@ -64,6 +65,8 @@ def make_handler(batcher: Batcher):
         def do_GET(self):
             if self.path == "/healthz":
                 self._send(200, {"ok": True, "stats": batcher.stats})
+            elif self.path == "/metrics":
+                self._send(200, batcher.metrics())
             else:
                 self._send(404, {"error": "unknown path"})
 
@@ -121,11 +124,13 @@ def make_handler(batcher: Batcher):
                     }
                 )
                 img = fut.result(timeout=600)
+                latency = time.time() - t0
+                batcher.observe_latency(latency)
                 self._send(
                     200,
                     {
                         "image_png_b64": _encode_image(img),
-                        "latency_s": round(time.time() - t0, 3),
+                        "latency_s": round(latency, 3),
                     },
                 )
             except Exception as e:  # noqa: BLE001 - surface to client

@@ -139,3 +139,24 @@ def test_batcher_honors_round2_knobs(pipe):
         assert not np.array_equal(np.asarray(img), np.asarray(plain))
     finally:
         b.close()
+
+
+def test_batcher_metrics(pipe):
+    """/metrics surface: latency percentiles + batch efficiency counters."""
+    b = Batcher(pipe, max_batch=4, max_wait_ms=50)
+    try:
+        m0 = b.metrics()
+        assert m0["latency_p50_s"] is None and m0["latency_samples"] == 0
+        img = b.submit(dict(_req("a cat", 0))).result(timeout=600)
+        assert img.size == (64, 64)
+        b.observe_latency(1.5)
+        b.observe_latency(0.5)
+        b.observe_latency(0.7)
+        m = b.metrics()
+        assert m["latency_samples"] == 3
+        assert m["latency_p50_s"] == 0.7
+        assert m["latency_p95_s"] == 1.5
+        assert m["batch_efficiency"] == 1.0
+        assert m["requests"] == 1
+    finally:
+        b.close()
