@@ -192,6 +192,14 @@ def main():
                     help="tiny-config mode: downscale assets to this size")
     args = ap.parse_args()
 
+    if not args.model:
+        # tiny-config smoke: keep it off the tunneled TPU (the environment's
+        # sitecustomize force-selects it; fresh programs cost minutes there —
+        # see bench.py). Real-model runs keep the default backend.
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
     from pww_tpu import PwwPipeline
     from pww_tpu.config import SDModelConfig
 
