@@ -61,16 +61,16 @@ def parse_prompt_attention(text: str) -> List[List]:
             round_stack.append(len(res))
         elif tok == "[":
             square_stack.append(len(res))
-        elif weight is not None:
-            if round_stack:
-                multiply_range(round_stack.pop(), float(weight))
-        elif tok == ")":
-            if round_stack:
-                multiply_range(round_stack.pop(), _ROUND_MULT)
-        elif tok == "]":
-            if square_stack:
-                multiply_range(square_stack.pop(), _SQUARE_MULT)
+        elif weight is not None and round_stack:
+            multiply_range(round_stack.pop(), float(weight))
+        elif tok == ")" and round_stack:
+            multiply_range(round_stack.pop(), _ROUND_MULT)
+        elif tok == "]" and square_stack:
+            multiply_range(square_stack.pop(), _SQUARE_MULT)
         else:
+            # A1111's re_attention: unmatched ')' / ']' / ':1.5)' sequences
+            # fall through as literal text, so malformed prompts tokenize
+            # exactly like the webui.
             res.append([tok, 1.0])
     for pos in round_stack:
         multiply_range(pos, _ROUND_MULT)

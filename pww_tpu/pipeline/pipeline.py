@@ -1015,9 +1015,21 @@ class PwwPipeline:
                 return feats
             return enc.apply(enc_params, px)
 
-        precomputed = hasattr(image, "ndim") and getattr(image, "ndim", 0) in (
-            (3,) if plus else (2,)
-        )
+        # Precomputed embeddings are (1, D) (standard) / (1, L, D) (plus)
+        # float arrays whose last dim is the image-encoder embed width. An
+        # (H, W, 3) raw image also has ndim 3, so ndim alone cannot
+        # distinguish it from plus-variant patch features — require the
+        # leading batch dim, the embed width, and a float dtype before
+        # bypassing the CLIP encoder.
+        def _is_precomputed(x):
+            nd = getattr(x, "ndim", None)
+            if nd != (3 if plus else 2):
+                return False
+            if x.shape[0] != 1 or x.shape[-1] != d["embed_dim"]:
+                return False
+            return np.issubdtype(np.asarray(x).dtype, np.floating)
+
+        precomputed = hasattr(image, "ndim") and _is_precomputed(image)
         if precomputed:
             emb = jnp.asarray(image)
             emb_uncond = jnp.zeros_like(emb) if not plus else None
@@ -1652,6 +1664,20 @@ class PwwPipeline:
             PILImage.fromarray(cm).resize((w2, h2), PILImage.NEAREST)
         )
         steps2 = hires_steps or kwargs.get("num_inference_steps", 30)
+        managed = {
+            "strength": "hires_strength",
+            "init_image": None,
+            "init_latents": None,
+            "return_latents": None,
+            "output_type": "output_type (a named generate_hires parameter)",
+        }
+        for key, alt in managed.items():
+            if key in kwargs:
+                hint = f" — use {alt} instead" if alt else ""
+                raise ValueError(
+                    f"generate_hires manages {key!r} itself (the second pass "
+                    f"is an img2img refinement){hint}"
+                )
         common = dict(kwargs)
         common.pop("num_inference_steps", None)
 

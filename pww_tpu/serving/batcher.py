@@ -25,9 +25,24 @@ class _Pending:
     future: Future = field(default_factory=Future)
 
 
-def compat_key(req: Dict) -> Tuple:
+def compat_key(req: Dict, tokenizer=None) -> Tuple:
     cm = req.get("color_map_image")
     shape = tuple(cm.shape[:2]) if cm is not None else (512, 512)
+    long_p = bool(req.get("long_prompts", False))
+    # Windowed long-prompt encoding makes the text length a function of each
+    # prompt's token count (encode.py:_window_ids); two long-prompt requests
+    # with different window counts cannot share a generate_batch call
+    # (pipeline enforces equal text length), so the window count is part of
+    # the key whenever a tokenizer is available to compute it.
+    n_win = 0
+    if long_p and tokenizer is not None:
+        from ..conditioning.encode import _window_ids
+
+        max_len = tokenizer.model_max_length
+        n_win = max(
+            len(_window_ids(tokenizer, req.get("prompt", ""), max_len)),
+            len(_window_ids(tokenizer, req.get("negative_prompt", ""), max_len)),
+        )
     return (
         shape,
         int(req.get("num_inference_steps", 30)),
@@ -36,7 +51,7 @@ def compat_key(req: Dict) -> Tuple:
         int(req.get("cache_interval", 1)),
         float(req.get("tome_ratio", 0.0)),
         repr(req.get("freeu")),
-        bool(req.get("long_prompts", False)),
+        (long_p, n_win),
         float(req.get("sag_scale", 0.0)),
     )
 
@@ -92,7 +107,10 @@ class Batcher:
     def submit(self, request: Dict) -> Future:
         """Enqueue a request dict (generate_batch schema); returns a Future
         resolving to a PIL image."""
-        p = _Pending(request=request, key=compat_key(request))
+        p = _Pending(
+            request=request,
+            key=compat_key(request, getattr(self.pipeline, "tokenizer", None)),
+        )
         self.stats["requests"] += 1
         self._q.put(p)
         return p.future

@@ -87,3 +87,18 @@ def test_hires_fix_snaps_to_lattice(pipe):
 def test_hires_fix_requires_color_map(pipe):
     with pytest.raises(ValueError, match="color_map_image"):
         pipe.generate_hires(prompt="a cat", color_context={})
+
+
+def test_generate_hires_rejects_managed_kwargs(pipe):
+    """Keys generate_hires manages itself (strength, init_*, return_latents,
+    output_type-in-kwargs) raise a clear error instead of a TypeError from
+    double keyword passing."""
+    for bad, val in [
+        ("strength", 0.4),
+        ("init_latents", jnp.zeros((1, 8, 8, 4))),
+        ("return_latents", True),
+    ]:
+        with pytest.raises(ValueError, match="generate_hires manages"):
+            pipe.generate_hires(
+                color_map_image=_cm(), hires_scale=1.0, **{**_KW, bad: val}
+            )

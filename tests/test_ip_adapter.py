@@ -323,3 +323,40 @@ def test_ip_adapter_on_sdxl_family():
     emb = np.random.default_rng(4).standard_normal((1, 12)).astype(np.float32)
     out = pipe.generate(ip_adapter_image=emb, **_kwargs())
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_ip_adapter_plus_raw_image_array_not_misclassified():
+    """A raw (H, W, 3) numpy image has ndim 3 like precomputed plus patch
+    features — it must route through preprocess+encode, not be treated as
+    embeddings (which crashed in the resampler with a shape mismatch)."""
+    pipe = PwwPipeline(config=SDModelConfig.tiny(), weights_dtype=None)
+    vcfg = CLIPVisionConfig.tiny()
+    enc = CLIPVisionEncoder(vcfg)
+    enc_params = enc.init(
+        jax.random.PRNGKey(5),
+        jnp.zeros((1, vcfg.image_size, vcfg.image_size, 3)),
+    )
+    proj = _synthetic_plus_proj(
+        embed_dim=vcfg.hidden_size,
+        out_dim=pipe.config.unet.cross_attention_dim,
+    )
+    state = {f"image_proj.{k}": v for k, v in proj.items()}
+    for k, v in _synthetic_ip_state(pipe.config, embed_dim=8).items():
+        if k.startswith("ip_adapter."):
+            state[k] = v
+    pipe.load_ip_adapter(state, image_encoder=(enc, enc_params, vcfg))
+
+    raw_float = np.random.default_rng(0).random((40, 40, 3)).astype(np.float32)
+    raw_uint8 = (raw_float * 255).astype(np.uint8)
+    for raw in (raw_float, raw_uint8):
+        out = np.asarray(pipe.generate(ip_adapter_image=raw, **_kwargs()))
+        assert np.isfinite(out).all()
+
+    # genuinely precomputed (1, L, D) float features still bypass the encoder
+    feats, _ = enc.apply(
+        enc_params,
+        jnp.zeros((1, vcfg.image_size, vcfg.image_size, 3)),
+        output="hidden_and_pooled",
+    )
+    out = np.asarray(pipe.generate(ip_adapter_image=np.asarray(feats), **_kwargs()))
+    assert np.isfinite(out).all()

@@ -102,3 +102,19 @@ def test_generate_weighting_xl_dual_tower():
     pipe = PwwPipeline(config=SDModelConfig.tiny_xl())
     out = pipe.generate(prompt_weighting=True, **_kwargs("a (cat:1.6)"))
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+@pytest.mark.parametrize(
+    "text,want",
+    [
+        # A1111's re_attention appends unmatched ')' / ']' / ':w)' as literal
+        # text (its final else-branch); merged with neighbors at weight 1.0.
+        ("a ) cat", [["a ) cat", 1.0]]),
+        ("a ] cat", [["a ] cat", 1.0]]),
+        ("cat:1.5) dog", [["cat:1.5) dog", 1.0]]),
+        ("a (big) ) cat", [["a ", 1.0], ["big", 1.1], [" ) cat", 1.0]]),
+    ],
+)
+def test_unmatched_brackets_stay_literal(text, want):
+    got = parse_prompt_attention(text)
+    assert got == want

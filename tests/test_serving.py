@@ -160,3 +160,35 @@ def test_batcher_metrics(pipe):
         assert m["requests"] == 1
     finally:
         b.close()
+
+
+def test_compat_key_long_prompt_window_count(pipe):
+    """Windowed long-prompt encoding makes the text length per-prompt:
+    requests with different window counts must not share a batch key
+    (generate_batch requires equal text length)."""
+    tok = pipe.tokenizer
+    short = dict(_req("a cat", 0), long_prompts=True)
+    longr = dict(_req("word " * 120 + "cat", 1), long_prompts=True)
+    assert compat_key(short, tok) != compat_key(longr, tok)
+    # equal window counts still fuse
+    other = dict(_req("a dog", 2), long_prompts=True)
+    assert compat_key(short, tok) == compat_key(other, tok)
+    # no tokenizer -> degrades gracefully (long flag still keyed)
+    assert compat_key(short) == compat_key(longr)
+
+
+def test_batcher_mixed_window_counts_both_succeed(pipe):
+    """Regression: a 1-window and a 2-window long-prompt request submitted
+    concurrently used to be fused into one group and fail as a pair with
+    'must share the text length'. Both must now resolve."""
+    b = Batcher(pipe, max_batch=4, max_wait_ms=300.0)
+    try:
+        futs = [
+            b.submit(dict(_req("a cat", 0), long_prompts=True)),
+            b.submit(dict(_req("word " * 120 + "dog", 1), long_prompts=True)),
+        ]
+        imgs = [f.result(timeout=600) for f in futs]
+        assert all(im.size == (64, 64) for im in imgs)
+        assert b.stats["batches"] >= 2  # split into separate device calls
+    finally:
+        b.close()
