@@ -6,7 +6,9 @@ shaped moves to the jit'd rasterization stage (:mod:`.rasterize`).
 Parity with the reference:
   * context format ``"label,strength[,seed[,sigma]]"`` — seed/sigma are split
     first (reference `paint_with_words/paint_with_words.py:279-297`), strength
-    last (reference ``:218-221``).
+    last (reference ``:218-221``). The A1111 ControlNet+PwW extension's
+    ``"label@strength@seed"`` form (reference `README.md:403-405`) is also
+    accepted (:func:`parse_context_entry`).
   * color keys: ``(r, g, b)`` tuples or ``"#RRGGBB"`` hex
     (reference ``:228-230``).
   * exact color match ``(img == color).all(-1)`` scaled by strength
@@ -82,6 +84,36 @@ def extract_seed_and_sigma(
     return ",".join(parts), seed, sigma
 
 
+def parse_context_entry(
+    ctx: str, ignore_seed: int = -1
+) -> Tuple[str, float, Optional[int], Optional[float]]:
+    """Parse one context string → (label, strength, seed, sigma).
+
+    Two separator conventions:
+      * comma (reference core): ``"label,strength[,seed[,sigma]]"``
+      * ``@`` (A1111 ControlNet+PwW extension, reference
+        `README.md:403-405` — e.g. ``"aurora@0.5@-1"``):
+        ``"label@strength[@seed[@sigma]]"``; labels may contain commas.
+    """
+    if "@" in ctx:
+        parts = [p.strip() for p in ctx.split("@")]
+        label = parts[0]
+        strength = float(parts[1])
+        seed: Optional[int] = None
+        sigma: Optional[float] = None
+        if len(parts) > 2 and parts[2]:
+            seed = int(parts[2])
+            if seed == ignore_seed:
+                seed = None
+        if len(parts) > 3 and parts[3]:
+            sigma = float(parts[3])
+        return label, strength, seed, sigma
+    body, seed, sigma = extract_seed_and_sigma(ctx, ignore_seed)
+    label = ",".join(body.split(",")[:-1])
+    strength = float(body.split(",")[-1])
+    return label, strength, seed, sigma
+
+
 def separate_image_context(
     img: Optional[np.ndarray],
     color_context: Dict[ColorKey, str],
@@ -97,9 +129,9 @@ def separate_image_context(
         h, w = img.shape[:2]
         parsed = []
         for color_key, ctx in color_context.items():
-            body, seed, blur_sigma = extract_seed_and_sigma(ctx, ignore_seed)
-            label = ",".join(body.split(",")[:-1])
-            strength = float(body.split(",")[-1])
+            label, strength, seed, blur_sigma = parse_context_entry(
+                ctx, ignore_seed
+            )
             token_ids = tokenizer(
                 label, max_length=tokenizer.model_max_length, truncation=True
             )["input_ids"][1:-1]

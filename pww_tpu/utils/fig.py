@@ -9,7 +9,7 @@ C13: keep as-is).
 from __future__ import annotations
 
 import textwrap
-from typing import Dict, List, Sequence, Union
+from typing import Dict, List, Optional, Sequence, Union
 
 import numpy as np
 from PIL import Image, ImageDraw, ImageFont
@@ -36,7 +36,12 @@ def annotate_color_map(
     font = _load_font()
     for color_key, ctx in color_context.items():
         color = parse_color(color_key)
-        label = ctx.split(",")[0]
+        try:
+            from ..conditioning.color_context import parse_context_entry
+
+            label = parse_context_entry(ctx)[0]
+        except (ValueError, IndexError):
+            label = ctx.split(",")[0]
         mask = (arr == np.array(color, np.uint8)).all(axis=-1)
         ys, xs = np.nonzero(mask)
         if len(ys) == 0:
@@ -52,12 +57,15 @@ def fig_from_settings(
     settings: Dict,
     images: Union[Image.Image, Sequence[Image.Image]],
     caption_height: int = 48,
+    optional_captions: Optional[Sequence[str]] = None,
 ) -> Image.Image:
     """Montage: annotated color map + generated image(s) + wrapped prompt.
 
     ``settings`` follows the reference runner convention
     (reference `runner.py:9-72`): keys ``color_context``,
     ``color_map_img_path`` or ``color_map_image``, ``input_prompt``.
+    ``optional_captions`` writes one caption above each generated image
+    (reference `paint_with_words/utils.py:13-14, 66-73`).
     """
     if isinstance(images, Image.Image):
         images = [images]
@@ -76,10 +84,20 @@ def fig_from_settings(
     panels.extend(im if im.height == h else im.resize((im.width, h)) for im in images)
 
     total_w = sum(p.width for p in panels)
-    fig = Image.new("RGB", (total_w, h + caption_height), (255, 255, 255))
+    band = 20 if optional_captions else 0  # caption strip above the images
+    fig = Image.new("RGB", (total_w, band + h + caption_height), (255, 255, 255))
     x = 0
-    for p in panels:
-        fig.paste(p, (x, 0))
+    n_map_panels = len(panels) - len(images)
+    cap_font = _load_font(12)
+    for i, p in enumerate(panels):
+        fig.paste(p, (x, band))
+        if optional_captions and i >= n_map_panels:
+            cap_i = i - n_map_panels
+            if cap_i < len(optional_captions):
+                ImageDraw.Draw(fig).text(
+                    (x + 2, 2), optional_captions[cap_i], fill=(0, 0, 0),
+                    font=cap_font,
+                )
         x += p.width
 
     prompt = settings.get("input_prompt", "")
@@ -87,5 +105,5 @@ def fig_from_settings(
         draw = ImageDraw.Draw(fig)
         font = _load_font()
         wrapped = textwrap.fill(prompt, width=max(20, total_w // 8))
-        draw.text((4, h + 4), wrapped, fill=(0, 0, 0), font=font)
+        draw.text((4, band + h + 4), wrapped, fill=(0, 0, 0), font=font)
     return fig

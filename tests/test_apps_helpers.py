@@ -189,3 +189,19 @@ def test_build_color_panels_wiring_with_stub_gradio():
     assert ctx[(255, 0, 0)] == "obj,0.5,-1" and ctx[(0, 0, 255)] == "obj,0.5,-1"
     # None sketch leaves the panels untouched
     assert all(u == ("update", {}) for u in extract_fn(None))
+
+
+def test_fig_optional_captions():
+    """Per-image captions (reference utils.py:13-14, 66-73) add a strip
+    above the image panels; @-form contexts annotate with the bare label."""
+    cm = Image.fromarray(_sketch())
+    ctx = {(255, 0, 0): "cat@1.0@-1", (0, 0, 255): "dog,0.5"}
+    out = Image.fromarray(np.zeros((100, 100, 3), np.uint8))
+    settings = {"color_map_image": cm, "color_context": ctx,
+                "input_prompt": "a cat"}
+    plain = fig_from_settings(settings, [out, out])
+    capped = fig_from_settings(
+        settings, [out, out], optional_captions=["seed 0", "seed 1"]
+    )
+    assert capped.height == plain.height + 20
+    assert capped.width == plain.width

@@ -158,3 +158,37 @@ def test_pwwstate_orig_fallback_resize(rng):
     t3 = F.interpolate(t2.reshape(1, nc, -1), size=(q_len,), mode="nearest")
     want = t3[0].permute(1, 0).numpy()
     np.testing.assert_allclose(got[0], want, atol=1e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize(
+    "ctx,want",
+    [
+        # A1111 ControlNet+PwW extension form (reference README.md:403-405)
+        ("aurora@0.5@-1", ("aurora", 0.5, None, None)),
+        ("full moon@1.5@-1", ("full moon", 1.5, None, None)),
+        ("boat@2.0@7", ("boat", 2.0, 7, None)),
+        ("boat@2.0@7@4.5", ("boat", 2.0, 7, 4.5)),
+        ("a, b and c@0.3", ("a, b and c", 0.3, None, None)),  # commas in label
+        # comma form still routes through the reference-parity splitter
+        ("cat,0.5,42,8.0", ("cat", 0.5, 42, 8.0)),
+        ("a cat, very fluffy,0.7", ("a cat, very fluffy", 0.7, None, None)),
+    ],
+)
+def test_parse_context_entry_both_separators(ctx, want):
+    from pww_tpu.conditioning.color_context import parse_context_entry
+
+    assert parse_context_entry(ctx) == want
+
+
+def test_separate_image_context_at_separator(rng):
+    """The @ form flows through mask extraction like the comma form."""
+    tok = toy_tokenizer()
+    img = np.zeros((32, 48, 3), np.uint8)
+    img[:16] = (7, 9, 182)
+    img[16:] = (136, 178, 92)
+    ctx = {(7, 9, 182): "aurora@0.5@-1", (136, 178, 92): "full moon@1.5@9"}
+    regions, w, h = separate_image_context(img, ctx, tok)
+    assert regions[0].label == "aurora" and regions[0].seed is None
+    assert regions[0].mask.max() == 0.5
+    assert regions[1].label == "full moon" and regions[1].seed == 9
+    assert regions[1].mask.max() == 1.5
