@@ -134,8 +134,15 @@ class UNetConfig:
     #   XLA-dense everything 54 ms · +fused cross-attn 32 ms · +flash 26 ms.
     # Isolated op micro-benchmarks invert this ordering (dispatch overhead +
     # no HBM pressure) — trust the in-context numbers (docs/ARCHITECTURE.md).
-    flash_attention: bool = True  # Pallas flash self-attention (L >= 1024)
+    flash_attention: bool = True  # Pallas flash self-attention (L >= flash_min_seq)
     fused_cross_attention: bool = True  # Pallas PwW bias+softmax+V epilogue
+    # Kernel tuning (config-level so every perf knob lives here, not in env
+    # vars). xattn_block_q: q-block of the fused cross-attn + reduce kernels
+    # (1024 measured 22.3 vs 22.9 ms/step at 512² over 512). flash_min_seq:
+    # self-attn sequence length at which the flash kernel beats XLA-dense
+    # (below it the dense softmax fits VMEM anyway and dispatch wins).
+    xattn_block_q: int = 1024
+    flash_min_seq: int = 1024
     # ToMe token merging around self-attention (Bolya & Hoffman 2023) —
     # opt-in APPROXIMATION like DeepCache. 0.0 = exact/off; tomesd's default
     # is 0.5 at the full-resolution sites only (tome_min_tokens).

@@ -116,6 +116,8 @@ class CrossAttention(nn.Module):
     use_fused_cross: bool = True
     ip_adapter: bool = False  # decoupled image-prompt K/V (IP-Adapter)
     sow_probs: bool = False  # SAG: sow softmax probs (self-attn sites only)
+    xattn_block_q: int = 1024  # UNetConfig.xattn_block_q
+    flash_min_seq: int = 1024  # UNetConfig.flash_min_seq
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -156,7 +158,7 @@ class CrossAttention(nn.Module):
             out = jnp.einsum(
                 "bhqk,bhkd->bhqd", probs, v.astype(jnp.float32)
             ).astype(self.dtype)
-        elif is_self and self.use_flash and q.shape[2] >= 1024:
+        elif is_self and self.use_flash and q.shape[2] >= self.flash_min_seq:
             from ..ops.flash_attention import flash_self_attention
 
             out = flash_self_attention(q, k, v)
@@ -166,15 +168,19 @@ class CrossAttention(nn.Module):
             and q.shape[2] >= 256
             and not isinstance(weight_fn, CustomWeightFunction)
         ):
-            # two-pass fused kernel: jnp reduce, Pallas bias+softmax+V epilogue
+            # single-HBM-pass fused kernels: blocked Pallas reduce (per-block
+            # QKᵀ partials, scores stay in VMEM) + Pallas bias+softmax+V
+            # epilogue
             from ..ops.cross_attention_kernel import (
                 fused_pww_cross_attention,
-                pww_cross_attention_reduce,
+                fused_pww_reduce,
             )
 
-            r = pww_cross_attention_reduce(q, k, weight_fn)
+            r = fused_pww_reduce(q, k, weight_fn, block_q=self.xattn_block_q)
             coef = weight_fn.sigma_coef(sigma) * r
-            out = fused_pww_cross_attention(q, k, v, bias_w, coef)
+            out = fused_pww_cross_attention(
+                q, k, v, bias_w, coef, block_q=self.xattn_block_q
+            )
         else:
             out = pww_attention(
                 q, k, v, bias_w=bias_w, weight_fn=weight_fn, sigma=sigma
@@ -211,6 +217,8 @@ class TransformerBlock(nn.Module):
     tome_ratio: float = 0.0  # >0: ToMe merge around attn1 (approximation)
     ip_adapter: bool = False
     sow_probs: bool = False  # SAG: expose attn1 probabilities
+    xattn_block_q: int = 1024
+    flash_min_seq: int = 1024
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -219,7 +227,8 @@ class TransformerBlock(nn.Module):
         h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(x)
         attn1 = CrossAttention(
             self.num_heads, self.head_dim, self.use_flash,
-            sow_probs=self.sow_probs, dtype=self.dtype, name="attn1",
+            sow_probs=self.sow_probs, flash_min_seq=self.flash_min_seq,
+            dtype=self.dtype, name="attn1",
         )
         if self.tome_ratio > 0.0 and grid is not None:
             # ToMe (tomesd default policy): merge the most-similar tokens
@@ -237,6 +246,8 @@ class TransformerBlock(nn.Module):
         x = x + CrossAttention(
             self.num_heads, self.head_dim, self.use_flash,
             use_fused_cross=self.use_fused_cross, ip_adapter=self.ip_adapter,
+            xattn_block_q=self.xattn_block_q,
+            flash_min_seq=self.flash_min_seq,
             dtype=self.dtype, name="attn2",
         )(h.astype(self.dtype), context=context, pww=pww, ip=ip)
         h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm3")(x)
@@ -256,6 +267,8 @@ class Transformer2D(nn.Module):
     tome_min_tokens: int = 4096
     ip_adapter: bool = False
     sow_probs: bool = False  # SAG: expose block 0's attn1 probabilities
+    xattn_block_q: int = 1024
+    flash_min_seq: int = 1024
     groups: int = 32
     dtype: Any = jnp.float32
 
@@ -272,7 +285,8 @@ class Transformer2D(nn.Module):
             z = TransformerBlock(
                 self.num_heads, self.head_dim, self.use_flash,
                 self.use_fused_cross, tome, self.ip_adapter,
-                self.sow_probs and i == 0, self.dtype,
+                self.sow_probs and i == 0,
+                self.xattn_block_q, self.flash_min_seq, self.dtype,
                 name=f"blocks_{i}",
             )(z, context, pww, grid=(h, w), ip=ip)
         z = z.reshape(b, h, w, c)
@@ -349,6 +363,8 @@ class UNet2DCondition(nn.Module):
                     tome_ratio=cfg.tome_ratio,
                     tome_min_tokens=cfg.tome_min_tokens,
                     ip_adapter=cfg.ip_adapter_tokens is not None,
+                    xattn_block_q=cfg.xattn_block_q,
+                    flash_min_seq=cfg.flash_min_seq,
                     groups=cfg.norm_num_groups, dtype=self.dtype,
                     name=f"down_{bi}_attn_{li}",
                 )(x, ctx, pww, ip=ip)
@@ -388,6 +404,8 @@ class UNet2DCondition(nn.Module):
                     tome_ratio=cfg.tome_ratio,
                     tome_min_tokens=cfg.tome_min_tokens,
                     ip_adapter=cfg.ip_adapter_tokens is not None,
+                    xattn_block_q=cfg.xattn_block_q,
+                    flash_min_seq=cfg.flash_min_seq,
                     groups=cfg.norm_num_groups, dtype=self.dtype,
                     name=f"up_{bi}_attn_{li}",
                 )(x, ctx, pww, ip=ip)
@@ -525,6 +543,8 @@ class UNet2DCondition(nn.Module):
             tome_min_tokens=cfg.tome_min_tokens,
             ip_adapter=cfg.ip_adapter_tokens is not None,
             sow_probs=cfg.sow_mid_attn,
+            xattn_block_q=cfg.xattn_block_q,
+            flash_min_seq=cfg.flash_min_seq,
             groups=cfg.norm_num_groups, dtype=self.dtype, name="mid_attn",
         )(x, ctx, pww, ip=ip)
         x = ResnetBlock(ch, cfg.norm_num_groups, self.dtype, name="mid_resnet_1")(x, temb)

@@ -1,21 +1,31 @@
-"""Pallas fused PwW cross-attention epilogue kernel.
+"""Pallas fused PwW cross-attention: blockwise reduce + fused epilogue.
 
 The cross-attention sites (image queries × 77 text keys) are small in FLOPs
 but in the reference they materialize three full score-sized tensors per call
 (scores, bias, probs — reference `paint_with_words/paint_with_words.py:87-116`).
-This kernel fuses ``bias = coef·r·w``, the reference's pre-scale add
-``(QKᵀ + bias)·scale``, the softmax, and the V-matmul into one VMEM-resident
-pass over query blocks, so only Q/K/V/W and the output touch HBM.
+Here the full score tensor NEVER touches HBM:
 
-The weight function's global reduction over QKᵀ (``max``/``std`` per sample,
-reference ``:106``) is inherently two-pass in a blocked kernel (SURVEY.md §7
-hard part #1): pass 1 is a cheap jnp reduction (XLA fuses it into a couple of
-fused loops over the 4096×77 scores); its per-sample scalar feeds this kernel
-as the ``coef`` operand. Custom (non-family) weight functions fall back to the
-dense jnp path.
+  * :func:`fused_pww_reduce` — the weight function's global reduction over
+    QKᵀ (``max``/``std`` per sample, reference ``:106``; SURVEY.md §7 hard
+    part #1) runs as a blocked Pallas kernel: each (head, q-block) grid step
+    computes its QKᵀ tile in VMEM and emits one tiny partial (block max, or
+    block sum + sum-of-squares for ``std``/``mean``); the partials (a few
+    hundred floats) are combined into the per-sample scalar ``r`` with exact
+    algebra (unbiased variance via ``(Σx² − (Σx)²/n)/(n−1)``, matching
+    ``torch.Tensor.std()``).
+  * :func:`fused_pww_cross_attention` — fuses ``bias = coef·w``, the
+    reference's pre-scale add ``(QKᵀ + bias)·scale``, the softmax, and the
+    V-matmul into one VMEM-resident pass over query blocks.
+
+QKᵀ is computed twice in FLOPs (the standard flash-attention recompute
+trade: ~2·Lq·77·dh extra MACs, trivial next to the UNet's convs) but the
+(B, H, Lq, 77) f32 score tensor — ~40 MB of HBM write+read per 512² site in
+the two-pass design this replaces — is never materialized. Custom
+(non-family) weight functions fall back to the dense jnp path.
 
 Key padding: L_k=77 pads to the 128 lane width; padded columns are masked to
--inf *after* the bias add so softmax semantics are exact.
+-inf (softmax) / excluded from the reduction *after* the bias add so the
+semantics are exact.
 """
 from __future__ import annotations
 
@@ -31,6 +41,29 @@ NEG_INF = -1e30
 
 def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
+
+
+def _pick_block_q(lq: int, pref: int):
+    """Largest of (pref, 512, 256) that tiles lq; None -> dense fallback."""
+    return next((b for b in (pref, 512, 256) if lq % b == 0 and lq >= b), None)
+
+
+def _pad_qkv(q, k, v, dh, lk):
+    b, h, lq = q.shape[0], q.shape[1], q.shape[2]
+    d_pad = max(128, ((dh + 127) // 128) * 128)
+    lk_pad = max(128, ((lk + 127) // 128) * 128)
+    bh = b * h
+    qp = jnp.pad(q.reshape(bh, lq, dh), ((0, 0), (0, 0), (0, d_pad - dh)))
+    kp = vp = None
+    if k is not None:
+        kp = jnp.pad(
+            k.reshape(bh, lk, dh), ((0, 0), (0, lk_pad - lk), (0, d_pad - dh))
+        )
+    if v is not None:
+        vp = jnp.pad(
+            v.reshape(bh, lk, dh), ((0, 0), (0, lk_pad - lk), (0, d_pad - dh))
+        )
+    return qp, kp, vp, d_pad, lk_pad, bh
 
 
 def _kernel(q_ref, k_ref, v_ref, w_ref, coef_ref, o_ref, *, scale, lk_real, heads):
@@ -56,23 +89,107 @@ def _kernel(q_ref, k_ref, v_ref, w_ref, coef_ref, o_ref, *, scale, lk_real, head
     ).astype(o_ref.dtype)
 
 
+def _reduce_kernel(q_ref, k_ref, part_ref, *, lk_real, mode):
+    """One (head, q-block) partial of the per-sample score reduction.
+
+    Emits an (8, 128) f32 tile per grid step — rows 0-3 broadcast partial
+    ``a`` (block max, or block Σx), rows 4-7 partial ``b`` (block Σx²) —
+    so the output stays VMEM-tile-aligned on Mosaic while costing only
+    4 KB/block in HBM (vs the ~2 MB score block it summarizes).
+    """
+    q = q_ref[0]  # (Bq, d_pad)
+    k = k_ref[0]  # (Lk_pad, d_pad)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=1)
+    valid = col < lk_real
+    if mode == "max":
+        a = jnp.max(jnp.where(valid, s, NEG_INF))
+        b = a
+    else:  # "mean" / "std" want Σx (and Σx² for std)
+        a = jnp.sum(jnp.where(valid, s, 0.0))
+        b = jnp.sum(jnp.where(valid, s * s, 0.0))
+    part_ref[0, 0] = jnp.concatenate(
+        [jnp.full((4, 128), a, jnp.float32), jnp.full((4, 128), b, jnp.float32)],
+        axis=0,
+    )
+
+
+def fused_pww_reduce(
+    q: jnp.ndarray,  # (B, H, Lq, dh)
+    k: jnp.ndarray,  # (B, H, Lk, dh)
+    weight_fn,
+    block_q: int = 1024,
+) -> jnp.ndarray:
+    """Per-sample ``reduce(QKᵀ)`` over (H, Lq, Lk) without materializing
+    the scores: blocked Pallas partials + exact host-side combine.
+
+    Semantics match :meth:`WeightFunction.reduce_qk` (the reference's
+    per-sample ``qk.max()`` / ``qk.std()``, `paint_with_words.py:106`):
+    ``std`` is the unbiased estimator over the sample's full score tensor.
+    Returns (B,) f32.
+    """
+    b, h, lq, dh = q.shape
+    lk = k.shape[2]
+    mode = weight_fn.reduce_mode
+    if mode == "one":
+        return jnp.ones((b,), jnp.float32)
+    bq = _pick_block_q(lq, block_q)
+    if bq is None:
+        return pww_cross_attention_reduce(q, k, weight_fn)
+
+    qp, kp, _, d_pad, lk_pad, bh = _pad_qkv(q, k, None, dh, lk)
+    nq = lq // bq
+    parts = pl.pallas_call(
+        functools.partial(_reduce_kernel, lk_real=lk, mode=mode),
+        grid=(bh, nq),
+        in_specs=[
+            pl.BlockSpec((1, bq, d_pad), lambda bhi, qi: (bhi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lk_pad, d_pad), lambda bhi, qi: (bhi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, 8, 128), lambda bhi, qi: (bhi, qi, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((bh, nq, 8, 128), jnp.float32),
+        interpret=_use_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bh * lq * lk_pad * d_pad,
+            bytes_accessed=(qp.size + kp.size) * q.dtype.itemsize
+            + bh * nq * 8 * 128 * 4,
+            transcendentals=0,
+        ),
+    )(qp, kp)
+    a = parts[:, :, 0, 0].reshape(b, h * nq)
+    if mode == "max":
+        return jnp.max(a, axis=-1)
+    n = h * lq * lk
+    s1 = jnp.sum(a, axis=-1)
+    if mode == "mean":
+        return s1 / n
+    s2 = jnp.sum(parts[:, :, 4, 0].reshape(b, h * nq), axis=-1)
+    var = (s2 - s1 * s1 / n) / max(n - 1, 1)
+    return jnp.sqrt(jnp.maximum(var, 0.0))
+
+
 def fused_pww_cross_attention(
     q: jnp.ndarray,  # (B, H, Lq, dh)
     k: jnp.ndarray,  # (B, H, Lk, dh)
     v: jnp.ndarray,  # (B, H, Lk, dh)
     w: jnp.ndarray,  # (B, Lq, Lk) token-region weights (zero rows = no bias)
     coef: jnp.ndarray,  # (B,) f32: sigma_coef * reduce(QK^T) per sample
+    block_q: int = 1024,  # UNetConfig.xattn_block_q
 ) -> jnp.ndarray:
     """Fused ``softmax((QKᵀ + coef·w)·scale)·V``. Returns (B, H, Lq, dh)."""
     b, h, lq, dh = q.shape
     lk = k.shape[2]
     scale = 1.0 / (dh ** 0.5)
 
-    import os
-
-    pref = int(os.environ.get("PWW_XATTN_BLOCK", "1024"))  # 22.3 vs 22.9 ms/step at 512
-    block_q = next((b for b in (pref, 512, 256) if lq % b == 0), None)
-    if block_q is None or lq < 256:
+    bq = _pick_block_q(lq, block_q)
+    if bq is None or lq < 256:
         # shapes too odd to tile: dense fallback, bias = coef·w inlined
         # (coef already includes the per-sample reduce)
         s = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
@@ -80,37 +197,27 @@ def fused_pww_cross_attention(
         p = jax.nn.softmax(s, axis=-1)
         return jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v)
 
-    d_pad = max(128, ((dh + 127) // 128) * 128)
-    lk_pad = max(128, ((lk + 127) // 128) * 128)
-    bh = b * h
-
-    def prep_qv(x):
-        x = x.reshape(bh, x.shape[2], dh)
-        return jnp.pad(x, ((0, 0), (0, 0), (0, d_pad - dh)))
-
-    qp = prep_qv(q)
-    kp = jnp.pad(k.reshape(bh, lk, dh), ((0, 0), (0, lk_pad - lk), (0, d_pad - dh)))
-    vp = jnp.pad(v.reshape(bh, lk, dh), ((0, 0), (0, lk_pad - lk), (0, d_pad - dh)))
+    qp, kp, vp, d_pad, lk_pad, bh = _pad_qkv(q, k, v, dh, lk)
     wp = jnp.pad(w.astype(jnp.float32), ((0, 0), (0, 0), (0, lk_pad - lk)))
     coef_arr = coef.astype(jnp.float32).reshape(b)
 
-    grid = (bh, lq // block_q)
+    grid = (bh, lq // bq)
     out = pl.pallas_call(
         functools.partial(_kernel, scale=scale, lk_real=lk, heads=h),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_q, d_pad), lambda bhi, qi: (bhi, qi, 0),
+            pl.BlockSpec((1, bq, d_pad), lambda bhi, qi: (bhi, qi, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, lk_pad, d_pad), lambda bhi, qi: (bhi, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, lk_pad, d_pad), lambda bhi, qi: (bhi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q, lk_pad), lambda bhi, qi, _h=h: (bhi // _h, qi, 0),
+            pl.BlockSpec((1, bq, lk_pad), lambda bhi, qi, _h=h: (bhi // _h, qi, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),  # full (B,) coef vector
         ],
         out_specs=pl.BlockSpec(
-            (1, block_q, d_pad), lambda bhi, qi: (bhi, qi, 0),
+            (1, bq, d_pad), lambda bhi, qi: (bhi, qi, 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((bh, lq, d_pad), v.dtype),
@@ -128,9 +235,7 @@ def fused_pww_cross_attention(
 def pww_cross_attention_reduce(
     q: jnp.ndarray, k: jnp.ndarray, weight_fn
 ) -> jnp.ndarray:
-    """Pass 1: per-sample ``sigma_coef``-less reduction r(QKᵀ) over (H, Lq, Lk).
-
-    Cheap relative to self-attention (Lk = 77); XLA fuses the matmul+reduce.
-    """
+    """jnp fallback for :func:`fused_pww_reduce` (odd shapes): per-sample
+    reduction r(QKᵀ) over (H, Lq, Lk) via a materialized score tensor."""
     s = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
     return weight_fn.reduce_qk(s, batch_axes=1).reshape(q.shape[0])

@@ -62,3 +62,59 @@ def test_dense_fallback_for_odd_lq(rng):
     got = np.asarray(fused_pww_cross_attention(q, k, v, w, coef))
     want = np.asarray(pww_attention(q, k, v, bias_w=w, weight_fn=wf, sigma=sigma))
     np.testing.assert_allclose(got, want, atol=3e-5, rtol=1e-3)
+
+
+def test_pallas_reduce_matches_dense_max_and_std(rng):
+    """fused_pww_reduce (blocked partials, scores never materialized) ==
+    the dense per-sample reduce, for max AND std (unbiased, torch.std
+    semantics) — VERDICT r2 item 2's equality criterion."""
+    from pww_tpu.ops.cross_attention_kernel import fused_pww_reduce
+
+    q, k, _, _ = _data(rng, b=3, h=4, lq=1024, lk=77, dh=40)
+    for mode, rtol in (("max", 1e-6), ("std", 1e-4), ("mean", 1e-5)):
+        wf = WeightFunction(0.1, "log1p_sigma", mode)
+        want = np.asarray(pww_cross_attention_reduce(q, k, wf))
+        got = np.asarray(fused_pww_reduce(q, k, wf, block_q=256))
+        np.testing.assert_allclose(got, want, rtol=rtol, atol=1e-5)
+
+
+def test_pallas_reduce_fallback_odd_lq(rng):
+    from pww_tpu.ops.cross_attention_kernel import fused_pww_reduce
+
+    q, k, _, _ = _data(rng, lq=100)
+    wf = WeightFunction(0.1, "log1p_sigma", "std")
+    want = np.asarray(pww_cross_attention_reduce(q, k, wf))
+    got = np.asarray(fused_pww_reduce(q, k, wf))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_pallas_reduce_one_mode(rng):
+    from pww_tpu.ops.cross_attention_kernel import fused_pww_reduce
+    from pww_tpu.ops.weight_functions import ZERO
+
+    q, k, _, _ = _data(rng)
+    np.testing.assert_array_equal(
+        np.asarray(fused_pww_reduce(q, k, ZERO)), np.ones((2,), np.float32)
+    )
+
+
+def test_fused_end_to_end_single_hbm_pass_matches_dense(rng):
+    """Full new path (Pallas reduce -> Pallas epilogue) == dense attention
+    for both reference weight-function families."""
+    from pww_tpu.ops.cross_attention_kernel import fused_pww_reduce
+
+    q, k, v, w = _data(rng, lq=512)
+    sigma = jnp.float32(4.0)
+    for wf in (
+        WeightFunction(0.1, "log1p_sigma", "max"),
+        WeightFunction(0.3, "log1p_sigma2", "std"),
+    ):
+        want = np.asarray(
+            pww_attention(q, k, v, bias_w=w, weight_fn=wf, sigma=sigma)
+        )
+        r = fused_pww_reduce(q, k, wf, block_q=256)
+        coef = wf.sigma_coef(sigma) * r
+        got = np.asarray(
+            fused_pww_cross_attention(q, k, v, w, coef, block_q=256)
+        )
+        np.testing.assert_allclose(got, want, atol=3e-5, rtol=1e-3)
