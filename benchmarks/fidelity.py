@@ -91,17 +91,30 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
 
 
 def ssim(a: np.ndarray, b: np.ndarray) -> float:
-    """Global (single-window) SSIM over grayscale — a coarse but
-    dependency-free structural score."""
+    """Windowed SSIM (Wang et al. 2004, the standard form): 11×11 Gaussian
+    σ=1.5 windows, C1=(0.01·255)², C2=(0.03·255)², mean of the local SSIM
+    map over valid positions; grayscale."""
+    from scipy.signal import convolve2d
+
     a = a.astype(np.float64).mean(-1)
     b = b.astype(np.float64).mean(-1)
-    mu_a, mu_b = a.mean(), b.mean()
-    va, vb = a.var(), b.var()
-    cov = ((a - mu_a) * (b - mu_b)).mean()
+    r = np.arange(11) - 5
+    g1 = np.exp(-(r**2) / (2 * 1.5**2))
+    k = np.outer(g1, g1)
+    k /= k.sum()
+
+    def win(x):
+        return convolve2d(x, k, mode="valid")
+
+    mu_a, mu_b = win(a), win(b)
+    va = win(a * a) - mu_a**2
+    vb = win(b * b) - mu_b**2
+    cov = win(a * b) - mu_a * mu_b
     c1, c2 = (0.01 * 255) ** 2, (0.03 * 255) ** 2
-    return ((2 * mu_a * mu_b + c1) * (2 * cov + c2)) / (
+    smap = ((2 * mu_a * mu_b + c1) * (2 * cov + c2)) / (
         (mu_a**2 + mu_b**2 + c1) * (va + vb + c2)
     )
+    return float(smap.mean())
 
 
 def try_lpips(a: np.ndarray, b: np.ndarray):
@@ -190,6 +203,13 @@ def main():
     ap.add_argument("--inpaint-steps", type=int, default=150)
     ap.add_argument("--smoke-size", type=int, default=128,
                     help="tiny-config mode: downscale assets to this size")
+    ap.add_argument("--lpips-ceiling", type=float, default=0.05,
+                    help="north-star gate (BASELINE.json): fail a case whose "
+                    "LPIPS vs the committed reference output exceeds this")
+    ap.add_argument("--psnr-floor", type=float, default=12.0)
+    ap.add_argument("--ssim-floor", type=float, default=0.35)
+    ap.add_argument("--no-gate", action="store_true",
+                    help="report metrics only; never exit nonzero")
     args = ap.parse_args()
 
     if not args.model:
@@ -243,6 +263,7 @@ def main():
     )
     results = run_cases(pipe, pipe_inpaint, ref_dir,
                         steps=args.steps, inpaint_steps=args.inpaint_steps)
+    failures = []
     for name, out, ref in results:
         if ref is None:
             print(f"{name}: generated (no committed reference output found)")
@@ -253,9 +274,25 @@ def main():
             ref = np.asarray(
                 Image.fromarray(ref).resize((out.shape[1], out.shape[0]))
             )
+        p, s = psnr(out, ref), ssim(out, ref)
         l = try_lpips(out, ref)
-        print(f"{name}: PSNR {psnr(out, ref):.2f}  SSIM {ssim(out, ref):.4f}"
-              + (f"  LPIPS {l:.4f}" if l is not None else "  LPIPS n/a"))
+        bad = []
+        if p < args.psnr_floor:
+            bad.append(f"PSNR {p:.2f} < floor {args.psnr_floor}")
+        if s < args.ssim_floor:
+            bad.append(f"SSIM {s:.4f} < floor {args.ssim_floor}")
+        if l is not None and l > args.lpips_ceiling:
+            bad.append(f"LPIPS {l:.4f} > ceiling {args.lpips_ceiling}")
+        verdict = "FAIL: " + "; ".join(bad) if bad else "ok"
+        print(f"{name}: PSNR {p:.2f}  SSIM {s:.4f}"
+              + (f"  LPIPS {l:.4f}" if l is not None else "  LPIPS n/a")
+              + f"  [{verdict}]")
+        if bad:
+            failures.append(name)
+    if failures and not args.no_gate:
+        print(f"fidelity gate FAILED for {len(failures)} case(s): "
+              + ", ".join(failures))
+        sys.exit(1)
 
 
 if __name__ == "__main__":

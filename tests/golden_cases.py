@@ -1,0 +1,94 @@
+"""Shared registry of golden-latent regression cases.
+
+Each case pins the end-to-end numerics (rasterization, attention bias,
+scheduler, noise, VAE-encode, mode-specific plumbing) of one pipeline mode
+on the tiny config with ``noise_mode="torch"`` (bit-stable initial noise).
+``tests/golden/make_goldens.py`` regenerates the ``.npy`` files;
+``test_fidelity_harness.py`` asserts current latents match the committed
+goldens to <1e-3 relative error, so numerics drift fails CI.
+
+Covers (VERDICT r2 item 4a): txt2img (v1, committed in round 2), img2img,
+inpaint (9-channel), regional seeding + sigma blur, and SDXL.
+"""
+import numpy as np
+
+from pww_tpu.config import SDModelConfig
+
+
+def _cm():
+    cm = np.zeros((64, 64, 3), np.uint8)
+    cm[:, :32] = (255, 0, 0)
+    cm[:16, 32:] = (0, 0, 255)
+    return cm
+
+
+def _init_img():
+    """Deterministic 64×64 gradient image."""
+    g = np.linspace(0, 255, 64, dtype=np.float32)
+    img = np.stack(
+        [np.tile(g, (64, 1)), np.tile(g[:, None], (1, 64)),
+         np.full((64, 64), 128.0)],
+        axis=-1,
+    )
+    return img.astype(np.uint8)
+
+
+def _mask():
+    from PIL import Image
+
+    m = np.zeros((64, 64), np.uint8)
+    m[16:48, 16:48] = 255
+    return Image.fromarray(m, "L")
+
+
+CASES = {
+    "tiny_img2img_v1": dict(
+        config=lambda: SDModelConfig.tiny(),
+        kwargs=lambda: dict(
+            prompt="a cat and a dog", color_map_image=_cm(),
+            color_context={(255, 0, 0): "cat,1.5", (0, 0, 255): "dog,0.5"},
+            init_image=_init_img(), strength=0.6,
+            num_inference_steps=3, seed=0, noise_mode="torch",
+            return_latents=True,
+        ),
+    ),
+    "tiny_inpaint_v1": dict(
+        config=lambda: SDModelConfig.tiny(in_channels=9),
+        kwargs=lambda: dict(
+            prompt="a cat and a dog", color_map_image=_cm(),
+            color_context={(255, 0, 0): "cat,1.5", (0, 0, 255): "dog,0.5"},
+            init_image=_init_img(), mask_image=_mask(), strength=1.0,
+            num_inference_steps=3, seed=0, noise_mode="torch",
+            return_latents=True,
+        ),
+    ),
+    "tiny_regional_blur_v1": dict(
+        config=lambda: SDModelConfig.tiny(),
+        kwargs=lambda: dict(
+            prompt="a cat and a dog", color_map_image=_cm(),
+            # per-region seeds + a sigma-blur region: pins regional noise
+            # compositing AND the 39×39 Gaussian blur numerics
+            color_context={(255, 0, 0): "cat,1.5,7",
+                           (0, 0, 255): "dog,0.5,11,4.0"},
+            num_inference_steps=3, seed=0, noise_mode="torch",
+            return_latents=True,
+        ),
+    ),
+    "tiny_xl_v1": dict(
+        config=lambda: SDModelConfig.tiny_xl(),
+        kwargs=lambda: dict(
+            prompt="a cat and a dog", color_map_image=_cm(),
+            color_context={(255, 0, 0): "cat,1.5", (0, 0, 255): "dog,0.5"},
+            num_inference_steps=2, seed=0, noise_mode="torch",
+            return_latents=True,
+        ),
+    ),
+}
+
+
+def generate(name):
+    from pww_tpu.pipeline.pipeline import PwwPipeline
+
+    case = CASES[name]
+    pipe = PwwPipeline(config=case["config"]())
+    return np.asarray(pipe.generate(**case["kwargs"]()))
