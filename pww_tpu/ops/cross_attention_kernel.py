@@ -73,7 +73,7 @@ def _kernel(q_ref, k_ref, v_ref, w_ref, coef_ref, o_ref, *, scale, lk_real, head
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # (Bq, Lk_pad)
 
-    b_idx = pl.program_id(0) // heads
+    b_idx = pl.program_id(1) // heads
     coef = coef_ref[b_idx]  # f32 = sigma_coef * reduce(QK^T) for this sample
     bias = coef * w_ref[0]  # (Bq, Lk_pad); padded cols are zero in w
     s = (s + bias) * scale
@@ -201,23 +201,28 @@ def fused_pww_cross_attention(
     wp = jnp.pad(w.astype(jnp.float32), ((0, 0), (0, 0), (0, lk_pad - lk)))
     coef_arr = coef.astype(jnp.float32).reshape(b)
 
-    grid = (bh, lq // bq)
+    # Grid order (q-block, head-batch): for a fixed q-block the (B, Lq, 77)
+    # weight map's block index repeats across the H heads of each sample, so
+    # Pallas skips its refetch H−1 times — the f32 w operand is the largest
+    # per-step fetch (bq·128·4 = 512 KB vs 32 KB k/v tiles), so head-major
+    # order would multiply its HBM traffic by H.
+    grid = (lq // bq, bh)
     out = pl.pallas_call(
         functools.partial(_kernel, scale=scale, lk_real=lk, heads=h),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, bq, d_pad), lambda bhi, qi: (bhi, qi, 0),
+            pl.BlockSpec((1, bq, d_pad), lambda qi, bhi: (bhi, qi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lk_pad, d_pad), lambda bhi, qi: (bhi, 0, 0),
+            pl.BlockSpec((1, lk_pad, d_pad), lambda qi, bhi: (bhi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lk_pad, d_pad), lambda bhi, qi: (bhi, 0, 0),
+            pl.BlockSpec((1, lk_pad, d_pad), lambda qi, bhi: (bhi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bq, lk_pad), lambda bhi, qi, _h=h: (bhi // _h, qi, 0),
+            pl.BlockSpec((1, bq, lk_pad), lambda qi, bhi, _h=h: (bhi // _h, qi, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),  # full (B,) coef vector
         ],
         out_specs=pl.BlockSpec(
-            (1, bq, d_pad), lambda bhi, qi: (bhi, qi, 0),
+            (1, bq, d_pad), lambda qi, bhi: (bhi, qi, 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((bh, lq, d_pad), v.dtype),
