@@ -278,6 +278,43 @@ class CLIPTokenizer:
         return raw.decode("utf-8", errors="replace").replace("</w>", " ")
 
 
+def synthetic_tokenizer(vocab_size: int = 49408) -> CLIPTokenizer:
+    """Full-size tokenizer running the REAL byte-level BPE machinery over a
+    synthetic vocabulary (for benchmarks/tests where no checkpoint assets
+    exist): 256 byte tokens, their ``</w>`` forms, a deterministic ladder of
+    ASCII-pair merges, filler ids, and the CLIP specials at the canonical
+    positions (49406/49407). Ids do NOT match the real CLIP vocabulary —
+    never use with a real checkpoint; it exists so the measured serving/bench
+    path exercises ``CLIPTokenizer.bpe`` + the encode cache rather than the
+    hash-based toy shortcut."""
+    import itertools
+
+    chars = list(bytes_to_unicode().values())
+    vocab: Dict[str, int] = {}
+    for c in chars:
+        vocab[c] = len(vocab)
+    for c in chars:
+        vocab[c + "</w>"] = len(vocab)
+    merges = []
+    letters = "abcdefghijklmnopqrstuvwxyz"
+    for a, b in itertools.product(letters, repeat=2):
+        if len(vocab) >= vocab_size - 2:
+            break
+        merges.append((a, b + "</w>"))
+        vocab[a + b + "</w>"] = len(vocab)
+        if len(vocab) >= vocab_size - 2:
+            break
+        merges.append((a, b))
+        vocab[a + b] = len(vocab)
+    i = 0
+    while len(vocab) < vocab_size - 2:
+        vocab[f"<fill{i}>"] = len(vocab)
+        i += 1
+    vocab["<|startoftext|>"] = len(vocab)
+    vocab["<|endoftext|>"] = len(vocab)
+    return CLIPTokenizer(vocab, merges)
+
+
 def toy_tokenizer(vocab_size: int = 1000) -> CLIPTokenizer:
     """Deterministic synthetic tokenizer for tests (no vocab files needed).
 

@@ -136,3 +136,21 @@ def test_tokenizer_assets_roundtrip_pad_token(tmp_path):
     assert ids[-1] == 0 and ids[2] == tok2.eos_token_id
     # toy tokenizers have no serializable vocab
     assert not save_tokenizer_assets(toy_tokenizer(), str(tmp_path / "toy"))
+
+
+def test_synthetic_tokenizer_real_bpe_path():
+    """synthetic_tokenizer: full 49408 vocab, canonical special ids, real
+    BPE merges (multi-token words), deterministic, decode round-trips."""
+    from pww_tpu.tokenizer.clip_bpe import synthetic_tokenizer
+
+    tok = synthetic_tokenizer()
+    assert len(tok.encoder) == 49408
+    assert tok.bos_token_id == 49406 and tok.eos_token_id == 49407
+    out = tok("a cat sitting next to a dog")["input_ids"]
+    assert out[0] == tok.bos_token_id and tok.eos_token_id in out
+    assert out == tok("a cat sitting next to a dog")["input_ids"]
+    body = [i for i in out if i not in (tok.bos_token_id, tok.eos_token_id)]
+    assert tok.decode(body).strip().startswith("a cat")
+    # the merge ladder actually fires: 'cat' encodes in < 3 byte tokens + 1
+    cat = tok("cat", max_length=77, truncation=True)["input_ids"]
+    assert len(cat) < 5  # bos + merged token(s) + eos
