@@ -143,6 +143,12 @@ class UNetConfig:
     # (below it the dense softmax fits VMEM anyway and dispatch wins).
     xattn_block_q: int = 1024
     flash_min_seq: int = 1024
+    # PwW cross-attention implementation variant (for A/B measurement on a
+    # shared chip and as a fallback):
+    #   "fused"            Pallas blockwise reduce + q-block-major epilogue
+    #   "fused_head_major" Pallas blockwise reduce + head-major epilogue
+    #   "two_pass"         jnp reduce (materializes scores) + epilogue
+    xattn_variant: str = "fused"
     # ToMe token merging around self-attention (Bolya & Hoffman 2023) —
     # opt-in APPROXIMATION like DeepCache. 0.0 = exact/off; tomesd's default
     # is 0.5 at the full-resolution sites only (tome_min_tokens).

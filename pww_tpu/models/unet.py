@@ -118,6 +118,7 @@ class CrossAttention(nn.Module):
     sow_probs: bool = False  # SAG: sow softmax probs (self-attn sites only)
     xattn_block_q: int = 1024  # UNetConfig.xattn_block_q
     flash_min_seq: int = 1024  # UNetConfig.flash_min_seq
+    xattn_variant: str = "fused"  # UNetConfig.xattn_variant
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -174,12 +175,19 @@ class CrossAttention(nn.Module):
             from ..ops.cross_attention_kernel import (
                 fused_pww_cross_attention,
                 fused_pww_reduce,
+                pww_cross_attention_reduce,
             )
 
-            r = fused_pww_reduce(q, k, weight_fn, block_q=self.xattn_block_q)
+            if self.xattn_variant == "two_pass":
+                r = pww_cross_attention_reduce(q, k, weight_fn)
+            else:
+                r = fused_pww_reduce(
+                    q, k, weight_fn, block_q=self.xattn_block_q
+                )
             coef = weight_fn.sigma_coef(sigma) * r
             out = fused_pww_cross_attention(
-                q, k, v, bias_w, coef, block_q=self.xattn_block_q
+                q, k, v, bias_w, coef, block_q=self.xattn_block_q,
+                grid_order="q" if self.xattn_variant == "fused" else "bh",
             )
         else:
             out = pww_attention(
@@ -219,6 +227,7 @@ class TransformerBlock(nn.Module):
     sow_probs: bool = False  # SAG: expose attn1 probabilities
     xattn_block_q: int = 1024
     flash_min_seq: int = 1024
+    xattn_variant: str = "fused"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -248,6 +257,7 @@ class TransformerBlock(nn.Module):
             use_fused_cross=self.use_fused_cross, ip_adapter=self.ip_adapter,
             xattn_block_q=self.xattn_block_q,
             flash_min_seq=self.flash_min_seq,
+            xattn_variant=self.xattn_variant,
             dtype=self.dtype, name="attn2",
         )(h.astype(self.dtype), context=context, pww=pww, ip=ip)
         h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm3")(x)
@@ -269,6 +279,7 @@ class Transformer2D(nn.Module):
     sow_probs: bool = False  # SAG: expose block 0's attn1 probabilities
     xattn_block_q: int = 1024
     flash_min_seq: int = 1024
+    xattn_variant: str = "fused"
     groups: int = 32
     dtype: Any = jnp.float32
 
@@ -286,7 +297,8 @@ class Transformer2D(nn.Module):
                 self.num_heads, self.head_dim, self.use_flash,
                 self.use_fused_cross, tome, self.ip_adapter,
                 self.sow_probs and i == 0,
-                self.xattn_block_q, self.flash_min_seq, self.dtype,
+                self.xattn_block_q, self.flash_min_seq,
+                self.xattn_variant, self.dtype,
                 name=f"blocks_{i}",
             )(z, context, pww, grid=(h, w), ip=ip)
         z = z.reshape(b, h, w, c)
@@ -365,6 +377,7 @@ class UNet2DCondition(nn.Module):
                     ip_adapter=cfg.ip_adapter_tokens is not None,
                     xattn_block_q=cfg.xattn_block_q,
                     flash_min_seq=cfg.flash_min_seq,
+                    xattn_variant=cfg.xattn_variant,
                     groups=cfg.norm_num_groups, dtype=self.dtype,
                     name=f"down_{bi}_attn_{li}",
                 )(x, ctx, pww, ip=ip)
@@ -406,6 +419,7 @@ class UNet2DCondition(nn.Module):
                     ip_adapter=cfg.ip_adapter_tokens is not None,
                     xattn_block_q=cfg.xattn_block_q,
                     flash_min_seq=cfg.flash_min_seq,
+                    xattn_variant=cfg.xattn_variant,
                     groups=cfg.norm_num_groups, dtype=self.dtype,
                     name=f"up_{bi}_attn_{li}",
                 )(x, ctx, pww, ip=ip)
@@ -545,6 +559,7 @@ class UNet2DCondition(nn.Module):
             sow_probs=cfg.sow_mid_attn,
             xattn_block_q=cfg.xattn_block_q,
             flash_min_seq=cfg.flash_min_seq,
+            xattn_variant=cfg.xattn_variant,
             groups=cfg.norm_num_groups, dtype=self.dtype, name="mid_attn",
         )(x, ctx, pww, ip=ip)
         x = ResnetBlock(ch, cfg.norm_num_groups, self.dtype, name="mid_resnet_1")(x, temb)

@@ -89,6 +89,27 @@ def _kernel(q_ref, k_ref, v_ref, w_ref, coef_ref, o_ref, *, scale, lk_real, head
     ).astype(o_ref.dtype)
 
 
+def _kernel_head_major(q_ref, k_ref, v_ref, w_ref, coef_ref, o_ref, *,
+                       scale, lk_real, heads):
+    """Same epilogue with the head-batch grid dimension outermost (the
+    sample index comes from grid dim 0)."""
+    q = q_ref[0]
+    k = k_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    coef = coef_ref[pl.program_id(0) // heads]
+    s = (s + coef * w_ref[0]) * scale
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=1)
+    s = jnp.where(col < lk_real, s, NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    o_ref[0] = jnp.dot(
+        p.astype(v_ref.dtype), v_ref[0], preferred_element_type=jnp.float32
+    ).astype(o_ref.dtype)
+
+
 def _reduce_kernel(q_ref, k_ref, part_ref, *, lk_real, mode):
     """One (head, q-block) partial of the per-sample score reduction.
 
@@ -182,6 +203,7 @@ def fused_pww_cross_attention(
     w: jnp.ndarray,  # (B, Lq, Lk) token-region weights (zero rows = no bias)
     coef: jnp.ndarray,  # (B,) f32: sigma_coef * reduce(QK^T) per sample
     block_q: int = 1024,  # UNetConfig.xattn_block_q
+    grid_order: str = "q",  # "q" (q-block-major, w reused across heads) | "bh"
 ) -> jnp.ndarray:
     """Fused ``softmax((QKᵀ + coef·w)·scale)·V``. Returns (B, H, Lq, dh)."""
     b, h, lq, dh = q.shape
@@ -201,28 +223,39 @@ def fused_pww_cross_attention(
     wp = jnp.pad(w.astype(jnp.float32), ((0, 0), (0, 0), (0, lk_pad - lk)))
     coef_arr = coef.astype(jnp.float32).reshape(b)
 
-    # Grid order (q-block, head-batch): for a fixed q-block the (B, Lq, 77)
-    # weight map's block index repeats across the H heads of each sample, so
-    # Pallas skips its refetch H−1 times — the f32 w operand is the largest
-    # per-step fetch (bq·128·4 = 512 KB vs 32 KB k/v tiles), so head-major
-    # order would multiply its HBM traffic by H.
-    grid = (lq // bq, bh)
+    # Grid order "q" (q-block, head-batch): for a fixed q-block the
+    # (B, Lq, 77) weight map's block index repeats across the H heads of a
+    # sample, so Pallas skips its refetch H−1 times — the f32 w operand is
+    # the largest per-step fetch (bq·128·4 = 512 KB vs 32 KB k/v tiles).
+    # "bh" keeps k/v resident across a head's whole q sweep instead.
+    # Both are config-selectable (UNetConfig.xattn_variant) for in-session
+    # A/B measurement on the shared tunneled chip.
+    if grid_order == "q":
+        grid = (lq // bq, bh)
+        bq_ix = lambda qi, bhi: (bhi, qi, 0)  # noqa: E731
+        kv_ix = lambda qi, bhi: (bhi, 0, 0)  # noqa: E731
+        w_ix = lambda qi, bhi, _h=h: (bhi // _h, qi, 0)  # noqa: E731
+        kern = functools.partial(_kernel, scale=scale, lk_real=lk, heads=h)
+    else:
+        grid = (bh, lq // bq)
+        bq_ix = lambda bhi, qi: (bhi, qi, 0)  # noqa: E731
+        kv_ix = lambda bhi, qi: (bhi, 0, 0)  # noqa: E731
+        w_ix = lambda bhi, qi, _h=h: (bhi // _h, qi, 0)  # noqa: E731
+        kern = functools.partial(
+            _kernel_head_major, scale=scale, lk_real=lk, heads=h
+        )
     out = pl.pallas_call(
-        functools.partial(_kernel, scale=scale, lk_real=lk, heads=h),
+        kern,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, bq, d_pad), lambda qi, bhi: (bhi, qi, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lk_pad, d_pad), lambda qi, bhi: (bhi, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lk_pad, d_pad), lambda qi, bhi: (bhi, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bq, lk_pad), lambda qi, bhi, _h=h: (bhi // _h, qi, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, d_pad), bq_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lk_pad, d_pad), kv_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lk_pad, d_pad), kv_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, lk_pad), w_ix, memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),  # full (B,) coef vector
         ],
         out_specs=pl.BlockSpec(
-            (1, bq, d_pad), lambda qi, bhi: (bhi, qi, 0),
+            (1, bq, d_pad), bq_ix,
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((bh, lq, d_pad), v.dtype),

@@ -118,3 +118,46 @@ def test_fused_end_to_end_single_hbm_pass_matches_dense(rng):
             fused_pww_cross_attention(q, k, v, w, coef, block_q=256)
         )
         np.testing.assert_allclose(got, want, atol=3e-5, rtol=1e-3)
+
+
+def test_xattn_variants_agree_through_unet(rng):
+    """All three UNetConfig.xattn_variant implementations produce the same
+    UNet output (they are perf variants, not numerics variants)."""
+    import dataclasses
+
+    import jax
+    from pww_tpu.config import UNetConfig
+    from pww_tpu.models.unet import UNet2DCondition
+    from pww_tpu.types import PwwState
+
+    base = UNetConfig(
+        block_out_channels=(32, 64), layers_per_block=1,
+        num_attention_heads=4, cross_attention_dim=40, norm_num_groups=8,
+        down_block_has_attn=(True, False), sample_size=32,
+        xattn_block_q=256,
+    )
+    h = w = 32  # top attention site: 1024 tokens -> fused path engages
+    sample = jnp.asarray(rng.standard_normal((2, h, w, 4)), jnp.float32)
+    ctx = jnp.asarray(rng.standard_normal((2, 7, 40)), jnp.float32)
+    wmap = np.zeros((2, h * w, 7), np.float32)
+    wmap[1] = rng.random((h * w, 7))
+    pww = PwwState(
+        weights={h * w: jnp.asarray(wmap)}, weight_orig=None,
+        sigma=jnp.float32(3.0), weight_fn=WeightFunction(0.1, "log1p_sigma", "max"),
+    )
+    outs = {}
+    for variant in ("fused", "fused_head_major", "two_pass"):
+        cfg = dataclasses.replace(base, xattn_variant=variant)
+        unet = UNet2DCondition(cfg)
+        params = unet.init(
+            jax.random.PRNGKey(0), sample, jnp.zeros((2,)), ctx
+        )
+        outs[variant] = np.asarray(
+            unet.apply(params, sample, jnp.float32(500.0), ctx, pww=pww)
+        )
+    np.testing.assert_allclose(
+        outs["fused"], outs["fused_head_major"], atol=1e-5, rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        outs["fused"], outs["two_pass"], atol=1e-4, rtol=1e-3
+    )
