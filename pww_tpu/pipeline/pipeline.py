@@ -1836,7 +1836,7 @@ class PwwPipeline:
         ip = None
         if self.config.unet.ip_adapter_tokens is not None:
             ip = self._ip_state(ip_adapter_image, n)
-        images = np.asarray(run_denoise_decode(
+        images_dev = run_denoise_decode(
             self._unet_for(tome_ratio, freeu, sow_mid_attn=sag_scale > 0),
             self.params["unet"], self.vae,
             self.params["vae"],
@@ -1850,7 +1850,14 @@ class PwwPipeline:
                 jax.random.PRNGKey(0x5EED)
                 if schedule.needs_rng else None
             ),
-        ))
+        )
+        if output_type == "device":
+            # un-fetched uint8 device array: JAX dispatch is async, so the
+            # caller can enqueue the NEXT batch's compute before paying this
+            # one's D2H transfer (the serving Batcher's overlap path —
+            # the transfer is ~250 ms/batch on the tunneled chip).
+            return images_dev
+        images = np.asarray(images_dev)
         if output_type == "np":
             return images
         from PIL import Image

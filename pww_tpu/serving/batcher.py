@@ -13,9 +13,11 @@ import queue
 import threading
 import time
 from collections import deque
-from concurrent.futures import Future
+from concurrent.futures import Future, ThreadPoolExecutor
 from dataclasses import dataclass, field
 from typing import Dict, List, Tuple
+
+import numpy as np
 
 
 @dataclass
@@ -81,6 +83,11 @@ class Batcher:
         finally:
             threading.stack_size(prev)
         self._worker.start()
+        # single fetch thread: converts launched device batches to PIL and
+        # resolves futures in batch order, off the launch thread
+        self._fetcher = ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="pww-fetch"
+        )
         self.stats = {"requests": 0, "batches": 0, "batched_requests": 0}
         self._latencies = deque(maxlen=1024)  # seconds, per finished request
 
@@ -118,6 +125,7 @@ class Batcher:
     def close(self):
         self._stop.set()
         self._worker.join(timeout=5)
+        self._fetcher.shutdown(wait=True)
 
     # -- worker --------------------------------------------------------------
     def _drain_group(self, first: _Pending) -> List[_Pending]:
@@ -150,7 +158,11 @@ class Batcher:
             self.stats["batches"] += 1
             self.stats["batched_requests"] += len(group)
             try:
-                images = self.pipeline.generate_batch(
+                # output_type="device": the un-fetched uint8 array lets this
+                # thread enqueue the NEXT group's compute while the fetcher
+                # thread pays this group's D2H transfer (JAX dispatch is
+                # async; the device executes in submission order).
+                images_dev = self.pipeline.generate_batch(
                     [p.request for p in group],
                     num_inference_steps=group[0].request.get(
                         "num_inference_steps", 30
@@ -161,10 +173,24 @@ class Batcher:
                     tome_ratio=group[0].request.get("tome_ratio", 0.0),
                     freeu=group[0].request.get("freeu"),
                     sag_scale=group[0].request.get("sag_scale", 0.0),
+                    output_type="device",
                 )
-                for p, img in zip(group, images):
-                    p.future.set_result(img)
+                self._fetcher.submit(self._resolve, group, images_dev)
             except Exception as e:  # propagate to every waiter
                 for p in group:
                     if not p.future.done():
                         p.future.set_exception(e)
+
+    def _resolve(self, group: List[_Pending], images_dev) -> None:
+        """Fetch one launched batch and resolve its futures (runs on the
+        single fetcher thread, preserving batch order)."""
+        try:
+            from PIL import Image
+
+            arr = np.asarray(images_dev)
+            for p, im in zip(group, arr):
+                p.future.set_result(Image.fromarray(im))
+        except Exception as e:
+            for p in group:
+                if not p.future.done():
+                    p.future.set_exception(e)

@@ -192,3 +192,34 @@ def test_batcher_mixed_window_counts_both_succeed(pipe):
         assert b.stats["batches"] >= 2  # split into separate device calls
     finally:
         b.close()
+
+
+def test_batcher_overlapped_fetch_two_groups(pipe):
+    """The worker launches group i+1 before group i's images are fetched
+    (device-array handoff to the fetcher thread); results still arrive
+    correct and per-request."""
+    b = Batcher(pipe, max_batch=2, max_wait_ms=50.0)
+    try:
+        futs = [b.submit(_req(p, i)) for i, p in
+                enumerate(["a cat", "a dog", "a fox", "a owl"])]
+        imgs = [f.result(timeout=600) for f in futs]
+        assert all(im.size == (64, 64) for im in imgs)
+        assert b.stats["batches"] >= 2
+        # different prompts/seeds -> different images resolved to the right
+        # futures (a cross-wired zip would make some identical)
+        arrs = [np.asarray(im) for im in imgs]
+        assert not np.array_equal(arrs[0], arrs[1])
+    finally:
+        b.close()
+
+
+def test_generate_batch_output_type_device(pipe):
+    """output_type='device' returns an un-fetched uint8 array equal to the
+    fetched 'np' output."""
+    reqs = [_req("a cat", 0), _req("a dog", 1)]
+    dev = pipe.generate_batch(reqs, num_inference_steps=2,
+                              output_type="device")
+    arr = np.asarray(dev)
+    ref = pipe.generate_batch(reqs, num_inference_steps=2, output_type="np")
+    assert arr.dtype == np.uint8
+    np.testing.assert_array_equal(arr, np.asarray(ref))
