@@ -26,6 +26,10 @@ def main():
 
     import jax
 
+    if args.tiny:
+        # CPU smoke must stay off the tunneled TPU (fresh programs cost
+        # minutes there; the sitecustomize force-selects it otherwise)
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update(
         "jax_compilation_cache_dir",
         os.path.join(os.path.dirname(__file__), "..", ".jax_cache"),
@@ -39,7 +43,14 @@ def main():
         pipe = PwwPipeline(config=SDModelConfig.tiny())
         size, steps = 64, 2
     else:
-        pipe = PwwPipeline()
+        # reuse bench's cached random-init params + synthetic BPE tokenizer
+        import bench as B
+
+        class _Args:
+            tiny = False
+            scheduler = "lms"
+
+        pipe = B._make_pipeline(SDModelConfig.sd15(), _Args)
         size, steps = 512, args.steps
 
     def req(i):
@@ -75,6 +86,45 @@ def main():
     print(f"requests: {args.n}  serial: {serial:.2f}s  "
           f"batched: {batched:.2f}s  speedup: {serial / batched:.2f}x  "
           f"(batches formed: {batcher.stats['batches']})")
+
+    # sustained phase: 3 waves of n requests in one burst — exercises group
+    # formation AND the overlapped device-fetch path; per-request latencies
+    # give the p50/p95 a serving SLO cares about.
+    waves = 3
+    batcher = Batcher(pipe, max_batch=args.n, max_wait_ms=200.0)
+    lat = []
+    try:
+        t0 = time.time()
+        submitted = []
+        for i in range(waves * args.n):
+            submitted.append((time.time(), batcher.submit(req(i))))
+        for ts, f in submitted:
+            f.result(timeout=1200)
+            lat.append(time.time() - ts)
+        sustained = time.time() - t0
+    finally:
+        batcher.close()
+    lat.sort()
+    record = {
+        "n_concurrent": args.n,
+        "steps": steps,
+        "serial_s": round(serial, 3),
+        "batched_s": round(batched, 3),
+        "batched_speedup": round(serial / batched, 3),
+        "sustained_requests": waves * args.n,
+        "sustained_req_per_s": round(waves * args.n / sustained, 4),
+        "latency_p50_s": round(lat[len(lat) // 2], 3),
+        "latency_p95_s": round(lat[min(len(lat) - 1, int(0.95 * len(lat)))], 3),
+        "tiny": bool(args.tiny),
+    }
+    import json
+
+    print(json.dumps(record))
+    if not args.tiny:
+        out = os.path.join(os.path.dirname(__file__), "SERVE_LOAD.json")
+        with open(out, "w") as f:
+            json.dump(record, f, indent=1)
+        print(f"wrote {out}")
 
 
 if __name__ == "__main__":

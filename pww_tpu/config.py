@@ -143,6 +143,7 @@ class UNetConfig:
     # (below it the dense softmax fits VMEM anyway and dispatch wins).
     xattn_block_q: int = 1024
     flash_min_seq: int = 1024
+    flash_block: int = 1024  # flash self-attention q/k block
     # PwW cross-attention implementation variant (for A/B measurement on a
     # shared chip and as a fallback):
     #   "fused"            Pallas blockwise reduce + q-block-major epilogue

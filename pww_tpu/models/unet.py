@@ -118,6 +118,7 @@ class CrossAttention(nn.Module):
     sow_probs: bool = False  # SAG: sow softmax probs (self-attn sites only)
     xattn_block_q: int = 1024  # UNetConfig.xattn_block_q
     flash_min_seq: int = 1024  # UNetConfig.flash_min_seq
+    flash_block: int = 1024  # UNetConfig.flash_block
     xattn_variant: str = "fused"  # UNetConfig.xattn_variant
     dtype: Any = jnp.float32
 
@@ -162,7 +163,7 @@ class CrossAttention(nn.Module):
         elif is_self and self.use_flash and q.shape[2] >= self.flash_min_seq:
             from ..ops.flash_attention import flash_self_attention
 
-            out = flash_self_attention(q, k, v)
+            out = flash_self_attention(q, k, v, block=self.flash_block)
         elif (
             bias_w is not None
             and self.use_fused_cross
@@ -227,6 +228,7 @@ class TransformerBlock(nn.Module):
     sow_probs: bool = False  # SAG: expose attn1 probabilities
     xattn_block_q: int = 1024
     flash_min_seq: int = 1024
+    flash_block: int = 1024
     xattn_variant: str = "fused"
     dtype: Any = jnp.float32
 
@@ -237,6 +239,7 @@ class TransformerBlock(nn.Module):
         attn1 = CrossAttention(
             self.num_heads, self.head_dim, self.use_flash,
             sow_probs=self.sow_probs, flash_min_seq=self.flash_min_seq,
+            flash_block=self.flash_block,
             dtype=self.dtype, name="attn1",
         )
         if self.tome_ratio > 0.0 and grid is not None:
@@ -257,6 +260,7 @@ class TransformerBlock(nn.Module):
             use_fused_cross=self.use_fused_cross, ip_adapter=self.ip_adapter,
             xattn_block_q=self.xattn_block_q,
             flash_min_seq=self.flash_min_seq,
+            flash_block=self.flash_block,
             xattn_variant=self.xattn_variant,
             dtype=self.dtype, name="attn2",
         )(h.astype(self.dtype), context=context, pww=pww, ip=ip)
@@ -279,6 +283,7 @@ class Transformer2D(nn.Module):
     sow_probs: bool = False  # SAG: expose block 0's attn1 probabilities
     xattn_block_q: int = 1024
     flash_min_seq: int = 1024
+    flash_block: int = 1024
     xattn_variant: str = "fused"
     groups: int = 32
     dtype: Any = jnp.float32
@@ -298,7 +303,7 @@ class Transformer2D(nn.Module):
                 self.use_fused_cross, tome, self.ip_adapter,
                 self.sow_probs and i == 0,
                 self.xattn_block_q, self.flash_min_seq,
-                self.xattn_variant, self.dtype,
+                self.flash_block, self.xattn_variant, self.dtype,
                 name=f"blocks_{i}",
             )(z, context, pww, grid=(h, w), ip=ip)
         z = z.reshape(b, h, w, c)
@@ -377,6 +382,7 @@ class UNet2DCondition(nn.Module):
                     ip_adapter=cfg.ip_adapter_tokens is not None,
                     xattn_block_q=cfg.xattn_block_q,
                     flash_min_seq=cfg.flash_min_seq,
+                    flash_block=cfg.flash_block,
                     xattn_variant=cfg.xattn_variant,
                     groups=cfg.norm_num_groups, dtype=self.dtype,
                     name=f"down_{bi}_attn_{li}",
@@ -419,6 +425,7 @@ class UNet2DCondition(nn.Module):
                     ip_adapter=cfg.ip_adapter_tokens is not None,
                     xattn_block_q=cfg.xattn_block_q,
                     flash_min_seq=cfg.flash_min_seq,
+                    flash_block=cfg.flash_block,
                     xattn_variant=cfg.xattn_variant,
                     groups=cfg.norm_num_groups, dtype=self.dtype,
                     name=f"up_{bi}_attn_{li}",
@@ -559,6 +566,7 @@ class UNet2DCondition(nn.Module):
             sow_probs=cfg.sow_mid_attn,
             xattn_block_q=cfg.xattn_block_q,
             flash_min_seq=cfg.flash_min_seq,
+            flash_block=cfg.flash_block,
             xattn_variant=cfg.xattn_variant,
             groups=cfg.norm_num_groups, dtype=self.dtype, name="mid_attn",
         )(x, ctx, pww, ip=ip)

@@ -62,22 +62,20 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *, scale, n
 
 
 def flash_self_attention(
-    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, block: int = 1024
 ) -> jnp.ndarray:
     """Self-attention, (B, H, L, dh) → (B, H, L, dh). No bias, no mask.
 
+    ``block``: q/k block size (``UNetConfig.flash_block``) — 1024 measured
+    fastest on v5e for SD shapes (22.9 vs 26.4 ms/step full UNet at 512²);
+    2048 exceeds the 16 MB scoped-VMEM limit.
     Falls back to the jnp path when shapes don't tile cleanly.
     """
     b, h, l, dh = q.shape
     scale = 1.0 / (dh ** 0.5)
 
-    import os
-
-    # 1024 measured fastest on v5e for SD shapes (22.9 vs 26.4 ms/step full
-    # UNet at 512²); 2048 exceeds the 16 MB scoped-VMEM limit.
-    pref = int(os.environ.get("PWW_FLASH_BLOCK", "1024"))
     block_q = next(
-        (b for b in (pref, 512, 256) if l % b == 0), None
+        (b for b in (block, 512, 256) if l % b == 0), None
     )
     block_k = block_q
     if block_q is None:
