@@ -409,3 +409,20 @@ def test_deepcache_rejects_unsupported_combos(pipe):
             cache_interval=2,
             weight_function=lambda w, s, qk: 0.1 * w * jnp.max(qk), **kw,
         )
+
+
+def test_negative_region_strength(pipe):
+    """Negative region strength = the reference README's open 'negative
+    region' TODO (reference README.md:465): a region whose tokens are
+    actively suppressed. Flows through parsing (mask scaled negative),
+    bias (negative logit add), and produces a distinct, finite image."""
+    cm = np.zeros((64, 64, 3), np.uint8)
+    cm[:, :32] = (255, 0, 0)
+    kw = dict(prompt="a cat", color_map_image=cm, num_inference_steps=2,
+              seed=0, output_type="np")
+    pos = np.asarray(pipe.generate(color_context={(255, 0, 0): "cat,2.0"}, **kw))
+    neg = np.asarray(pipe.generate(color_context={(255, 0, 0): "cat,-2.0"}, **kw))
+    zero = np.asarray(pipe.generate(color_context={(255, 0, 0): "cat,0.0"}, **kw))
+    assert np.isfinite(neg.astype(np.float64)).all()
+    assert not np.array_equal(pos, neg)
+    assert not np.array_equal(neg, zero)
