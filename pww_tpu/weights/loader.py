@@ -473,6 +473,10 @@ def _load_native_checkpoint(model_path: str):
     u["down_block_has_attn"] = tuple(u["down_block_has_attn"])
     if u.get("transformer_depth") is not None:
         u["transformer_depth"] = tuple(u["transformer_depth"])
+    if u.get("freeu") is not None:
+        # json round-trips tuples as lists; UNetConfig must stay hashable
+        # (it is a static jit argument)
+        u["freeu"] = tuple(u["freeu"])
     config = SDModelConfig(
         clip=CLIPTextConfig(**m["clip"]),
         unet=UNetConfig(**u),

@@ -80,3 +80,23 @@ def test_pipeline_freeu_bad_tuple_raises():
     pipe = PwwPipeline(config=SDModelConfig.tiny(), weights_dtype=None)
     with pytest.raises(ValueError, match="freeu"):
         _gen(pipe, freeu=(1.0, 1.0))
+
+
+def test_freeu_config_save_load_roundtrip(tmp_path):
+    """json round-trips tuples as lists: a saved config with freeu set must
+    reload as a hashable tuple (UNetConfig is a static jit argument)."""
+    import dataclasses
+
+    from pww_tpu.pipeline.pipeline import PwwPipeline
+
+    cfg = SDModelConfig.tiny()
+    cfg = dataclasses.replace(
+        cfg, unet=dataclasses.replace(cfg.unet, freeu=(1.1, 1.2, 0.9, 0.2))
+    )
+    pipe = PwwPipeline(config=cfg)
+    d = str(tmp_path / "saved")
+    pipe.save_pretrained(d)
+    pipe2 = PwwPipeline.from_pretrained(d)
+    assert pipe2.config.unet.freeu == (1.1, 1.2, 0.9, 0.2)
+    assert isinstance(pipe2.config.unet.freeu, tuple)
+    hash(pipe2.config.unet)
