@@ -100,4 +100,6 @@ def apply_textual_inversion(pipeline, path: str, token: Optional[str] = None) ->
     pipeline.params = {**pipeline.params, "clip": new_clip}
     if hasattr(pipeline, "_text_cache"):
         pipeline._text_cache.clear()  # embeddings changed
+    if hasattr(pipeline, "_encode_cache"):
+        pipeline._encode_cache.clear()
     return placeholder

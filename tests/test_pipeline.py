@@ -426,3 +426,32 @@ def test_negative_region_strength(pipe):
     assert np.isfinite(neg.astype(np.float64)).all()
     assert not np.array_equal(pos, neg)
     assert not np.array_equal(neg, zero)
+
+
+def test_encode_cache_hit_identical_and_warns(pipe):
+    """Seed sweeps reuse the cached encode prologue (identical outputs for
+    different seeds' shared conditioning), warnings still fire on every
+    call (reference warns per call), and TI/LoRA invalidation hooks exist."""
+    import warnings
+
+    cm = _cm()
+    kw = dict(prompt="a cat", color_map_image=cm,
+              color_context={(255, 0, 0): "unicorn,1.0"},
+              num_inference_steps=2, output_type="np")
+    pipe._encode_cache.clear()
+    with warnings.catch_warnings(record=True) as r1:
+        warnings.simplefilter("always")
+        a = np.asarray(pipe.generate(seed=0, **kw))
+    n_cached = len(pipe._encode_cache)
+    assert n_cached >= 1
+    with warnings.catch_warnings(record=True) as r2:
+        warnings.simplefilter("always")
+        b = np.asarray(pipe.generate(seed=1, **kw))
+    assert len(pipe._encode_cache) == n_cached  # second call hit the cache
+    has_warn = lambda rec: any(  # noqa: E731
+        "not found in prompt" in str(w.message) for w in rec)
+    assert has_warn(r1) and has_warn(r2)
+    assert not np.array_equal(a, b)  # seeds still differ
+    # same seed + cached encode -> bit-identical
+    a2 = np.asarray(pipe.generate(seed=0, **kw))
+    np.testing.assert_array_equal(a, a2)
