@@ -428,3 +428,106 @@ def test_vae_matches_torch_replica(rng):
             cfg.block_out_channels, cfg.layers_per_block, cfg.norm_num_groups,
         ).permute(0, 2, 3, 1).numpy()
     np.testing.assert_allclose(dec, want_d, atol=1e-4, rtol=1e-4)
+
+
+def torch_controlnet_forward(
+    sd, x, t, ctx, hint, *, channels, layers, groups, has_attn, heads_of,
+    depth_of=lambda bi: 1, scale=1.0,
+):
+    """diffusers ControlNetModel.forward, functional, NCHW: UNet-encoder
+    copy + hint embedder + per-skip zero convs, residuals scaled."""
+    c0 = channels[0]
+    temb = _t_embed(t, c0)
+    temb = _lin(sd, "time_embedding.linear_1", temb)
+    temb = _lin(sd, "time_embedding.linear_2", F.silu(temb))
+
+    x = _conv(sd, "conv_in", x)
+    # conditioning embedder: conv_in -> silu -> 6 blocks (silu each,
+    # strides 1,2,1,2,1,2) -> zero conv_out
+    h = F.silu(_conv(sd, "controlnet_cond_embedding.conv_in", hint))
+    for i in range(6):
+        h = F.silu(_conv(sd, f"controlnet_cond_embedding.blocks.{i}", h,
+                         stride=2 if i % 2 else 1))
+    x = x + _conv(sd, "controlnet_cond_embedding.conv_out", h, pad=0)
+
+    res = [x]
+    n = len(channels)
+    for bi, ch in enumerate(channels):
+        for li in range(layers):
+            x = _resnet(sd, f"down_blocks.{bi}.resnets.{li}", x, temb, groups)
+            if has_attn[bi]:
+                x = _t2d(sd, f"down_blocks.{bi}.attentions.{li}", x, ctx,
+                         heads_of(ch), depth_of(bi), groups)
+            res.append(x)
+        if bi < n - 1:
+            x = _conv(sd, f"down_blocks.{bi}.downsamplers.0.conv", x, stride=2)
+            res.append(x)
+
+    x = _resnet(sd, "mid_block.resnets.0", x, temb, groups)
+    x = _t2d(sd, "mid_block.attentions.0", x, ctx, heads_of(channels[-1]),
+             depth_of(n - 1), groups)
+    x = _resnet(sd, "mid_block.resnets.1", x, temb, groups)
+
+    outs = tuple(
+        _conv(sd, f"controlnet_down_blocks.{i}", r, pad=0) * scale
+        for i, r in enumerate(res)
+    )
+    mid = _conv(sd, "controlnet_mid_block", x, pad=0) * scale
+    return outs, mid
+
+
+def test_controlnet_matches_torch_replica(rng):
+    """First-class Flax ControlNet == the diffusers ControlNetModel
+    equations through the checkpoint key mapping (random — not zero — zero-
+    conv weights, so the projection mapping is actually exercised)."""
+    from pww_tpu.models.controlnet import ControlNet
+    from pww_tpu.weights.loader import controlnet_key
+
+    cfg = UNetConfig(
+        block_out_channels=(32, 48), layers_per_block=2,
+        num_attention_heads=4, cross_attention_dim=40, norm_num_groups=8,
+        down_block_has_attn=(True, False), sample_size=16,
+    )
+    model = ControlNet(cfg)
+    b = 2
+    sample = rng.standard_normal((b, 16, 16, 4)).astype(np.float32)
+    t = np.array([3.0, 11.0], np.float32)
+    ctx = rng.standard_normal((b, 7, 40)).astype(np.float32) * 0.3
+    hint = rng.random((b, 128, 128, 3)).astype(np.float32)
+
+    shapes = jax.eval_shape(
+        model.init, jax.random.PRNGKey(0), jnp.asarray(sample),
+        jnp.asarray(t), jnp.asarray(ctx), jnp.asarray(hint),
+    )
+    from pww_tpu.weights.loader import fill_params
+
+    state = _synth_state(shapes, controlnet_key, rng)
+    params = fill_params(shapes, state, controlnet_key, name="controlnet")
+
+    got_down, got_mid = model.apply(
+        params, jnp.asarray(sample), jnp.asarray(t), jnp.asarray(ctx),
+        jnp.asarray(hint), conditioning_scale=0.73,
+    )
+    with torch.no_grad():
+        want_down, want_mid = torch_controlnet_forward(
+            state,
+            torch.from_numpy(sample).permute(0, 3, 1, 2),
+            torch.from_numpy(t),
+            torch.from_numpy(ctx),
+            torch.from_numpy(hint).permute(0, 3, 1, 2),
+            channels=cfg.block_out_channels,
+            layers=cfg.layers_per_block,
+            groups=cfg.norm_num_groups,
+            has_attn=cfg.down_block_has_attn,
+            heads_of=lambda ch: cfg.num_attention_heads,
+            scale=0.73,
+        )
+    assert len(got_down) == len(want_down)
+    for g, w in zip(got_down, want_down):
+        np.testing.assert_allclose(
+            np.asarray(g), w.permute(0, 2, 3, 1).numpy(), atol=2e-4, rtol=2e-4
+        )
+    np.testing.assert_allclose(
+        np.asarray(got_mid), want_mid.permute(0, 2, 3, 1).numpy(),
+        atol=2e-4, rtol=2e-4,
+    )
