@@ -96,18 +96,25 @@ def parse_context_entry(
         ``"label@strength[@seed[@sigma]]"``; labels may contain commas.
     """
     if "@" in ctx:
-        parts = [p.strip() for p in ctx.split("@")]
-        label = parts[0]
-        strength = float(parts[1])
-        seed: Optional[int] = None
-        sigma: Optional[float] = None
-        if len(parts) > 2 and parts[2]:
-            seed = int(parts[2])
-            if seed == ignore_seed:
-                seed = None
-        if len(parts) > 3 and parts[3]:
-            sigma = float(parts[3])
-        return label, strength, seed, sigma
+        # Try the @-form first, but fall back to the comma form when the
+        # fields don't parse — a comma-form label may legitimately contain
+        # '@' (e.g. "portrait by @greg,0.7"), and only the @-form has a
+        # float in field 1.
+        try:
+            parts = [p.strip() for p in ctx.split("@")]
+            label = parts[0]
+            strength = float(parts[1])
+            seed: Optional[int] = None
+            sigma: Optional[float] = None
+            if len(parts) > 2 and parts[2]:
+                seed = int(parts[2])
+                if seed == ignore_seed:
+                    seed = None
+            if len(parts) > 3 and parts[3]:
+                sigma = float(parts[3])
+            return label, strength, seed, sigma
+        except (ValueError, IndexError):
+            pass
     body, seed, sigma = extract_seed_and_sigma(ctx, ignore_seed)
     label = ",".join(body.split(",")[:-1])
     strength = float(body.split(",")[-1])

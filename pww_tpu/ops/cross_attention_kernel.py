@@ -66,14 +66,18 @@ def _pad_qkv(q, k, v, dh, lk):
     return qp, kp, vp, d_pad, lk_pad, bh
 
 
-def _kernel(q_ref, k_ref, v_ref, w_ref, coef_ref, o_ref, *, scale, lk_real, heads):
+def _kernel(q_ref, k_ref, v_ref, w_ref, coef_ref, o_ref, *, scale, lk_real,
+            heads, bh_axis=1):
+    """Fused epilogue; ``bh_axis`` names the grid axis carrying the
+    head-batch index (1 for the default q-block-major order, 0 for the
+    head-major variant — the math is identical)."""
     q = q_ref[0]  # (Bq, d_pad)
     k = k_ref[0]  # (Lk_pad, d_pad)
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # (Bq, Lk_pad)
 
-    b_idx = pl.program_id(1) // heads
+    b_idx = pl.program_id(bh_axis) // heads
     coef = coef_ref[b_idx]  # f32 = sigma_coef * reduce(QK^T) for this sample
     bias = coef * w_ref[0]  # (Bq, Lk_pad); padded cols are zero in w
     s = (s + bias) * scale
@@ -89,34 +93,18 @@ def _kernel(q_ref, k_ref, v_ref, w_ref, coef_ref, o_ref, *, scale, lk_real, head
     ).astype(o_ref.dtype)
 
 
-def _kernel_head_major(q_ref, k_ref, v_ref, w_ref, coef_ref, o_ref, *,
-                       scale, lk_real, heads):
-    """Same epilogue with the head-batch grid dimension outermost (the
-    sample index comes from grid dim 0)."""
-    q = q_ref[0]
-    k = k_ref[0]
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    coef = coef_ref[pl.program_id(0) // heads]
-    s = (s + coef * w_ref[0]) * scale
-    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=1)
-    s = jnp.where(col < lk_real, s, NEG_INF)
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
-    p = p / jnp.sum(p, axis=-1, keepdims=True)
-    o_ref[0] = jnp.dot(
-        p.astype(v_ref.dtype), v_ref[0], preferred_element_type=jnp.float32
-    ).astype(o_ref.dtype)
-
-
 def _reduce_kernel(q_ref, k_ref, part_ref, *, lk_real, mode):
     """One (head, q-block) partial of the per-sample score reduction.
 
     Emits an (8, 128) f32 tile per grid step — rows 0-3 broadcast partial
-    ``a`` (block max, or block Σx), rows 4-7 partial ``b`` (block Σx²) —
-    so the output stays VMEM-tile-aligned on Mosaic while costing only
-    4 KB/block in HBM (vs the ~2 MB score block it summarizes).
+    ``a``, rows 4-7 partial ``b`` — so the output stays VMEM-tile-aligned
+    on Mosaic while costing only 4 KB/block in HBM (vs the ~2 MB score
+    block it summarizes). Partials per mode:
+      max  -> (block max, block max)
+      mean -> (block Σx, block Σx)
+      std  -> (block mean, block Σ(x−mean)²) — Chan-combinable moments;
+              the naive (Σx, Σx²) pair cancels catastrophically in f32
+              when |mean| ≫ std.
     """
     q = q_ref[0]  # (Bq, d_pad)
     k = k_ref[0]  # (Lk_pad, d_pad)
@@ -128,9 +116,14 @@ def _reduce_kernel(q_ref, k_ref, part_ref, *, lk_real, mode):
     if mode == "max":
         a = jnp.max(jnp.where(valid, s, NEG_INF))
         b = a
-    else:  # "mean" / "std" want Σx (and Σx² for std)
+    elif mode == "mean":
         a = jnp.sum(jnp.where(valid, s, 0.0))
-        b = jnp.sum(jnp.where(valid, s * s, 0.0))
+        b = a
+    else:  # std
+        n_blk = s.shape[0] * lk_real
+        a = jnp.sum(jnp.where(valid, s, 0.0)) / n_blk
+        d = jnp.where(valid, s - a, 0.0)
+        b = jnp.sum(d * d)
     part_ref[0, 0] = jnp.concatenate(
         [jnp.full((4, 128), a, jnp.float32), jnp.full((4, 128), b, jnp.float32)],
         axis=0,
@@ -188,11 +181,29 @@ def fused_pww_reduce(
     if mode == "max":
         return jnp.max(a, axis=-1)
     n = h * lq * lk
-    s1 = jnp.sum(a, axis=-1)
     if mode == "mean":
-        return s1 / n
-    s2 = jnp.sum(parts[:, :, 4, 0].reshape(b, h * nq), axis=-1)
-    var = (s2 - s1 * s1 / n) / max(n - 1, 1)
+        return jnp.sum(a, axis=-1) / n
+    # std: combine per-block (mean, M2) moments with Chan's parallel update —
+    # exact-to-f32-stable for any score mean (the one-pass Σx²−(Σx)²/n
+    # formula loses ~(mean/std)² digits to cancellation).
+    mu = a  # (b, m) block means
+    m2 = parts[:, :, 4, 0].reshape(b, h * nq)
+    n_blk = jnp.float32(bq * lk)
+
+    def step(carry, x):
+        n_a, mu_a, m2_a = carry
+        mu_b, m2_b = x
+        n_t = n_a + n_blk
+        d = mu_b - mu_a
+        mu_n = mu_a + d * (n_blk / n_t)
+        m2_n = m2_a + m2_b + d * d * (n_a * n_blk / n_t)
+        return (n_t, mu_n, m2_n), None
+
+    init = (n_blk, mu[:, 0], m2[:, 0])
+    (_, _, m2_t), _ = jax.lax.scan(
+        step, init, (mu[:, 1:].T, m2[:, 1:].T)
+    )
+    var = m2_t / max(n - 1, 1)
     return jnp.sqrt(jnp.maximum(var, 0.0))
 
 
@@ -242,7 +253,7 @@ def fused_pww_cross_attention(
         kv_ix = lambda bhi, qi: (bhi, 0, 0)  # noqa: E731
         w_ix = lambda bhi, qi, _h=h: (bhi // _h, qi, 0)  # noqa: E731
         kern = functools.partial(
-            _kernel_head_major, scale=scale, lk_real=lk, heads=h
+            _kernel, scale=scale, lk_real=lk, heads=h, bh_axis=0
         )
     out = pl.pallas_call(
         kern,

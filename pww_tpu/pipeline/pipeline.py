@@ -604,6 +604,9 @@ class PwwPipeline:
         self.controlnet_params = None
         self._text_cache: Dict = {}
         self._encode_cache: Dict = {}
+        import threading
+
+        self._encode_lock = threading.Lock()
         self.profile = profile
         from ..utils.profiling import PhaseTimer
 
@@ -1182,23 +1185,28 @@ class PwwPipeline:
             prompt, color_map, color_context, negative_prompt,
             weight_function, prompt_weighting, clip_skip, long_prompts,
         )
-        if key is not None and key in self._encode_cache:
-            enc, warns = self._encode_cache[key]
-            for msg, cat in warns:  # reference warns on EVERY call
-                _warnings.warn(msg, cat, stacklevel=2)
-            return enc
-        with _warnings.catch_warnings(record=True) as rec:
-            _warnings.simplefilter("always")
-            enc = self._encode_inputs_uncached(
-                prompt, color_map, color_context, negative_prompt,
-                weight_function, prompt_weighting, clip_skip, long_prompts,
-            )
-        warns = [(str(r.message), r.category) for r in rec]
-        if key is not None:
-            if len(self._encode_cache) >= 32:  # small LRU: drop oldest
-                self._encode_cache.pop(next(iter(self._encode_cache)))
-            self._encode_cache[key] = (enc, warns)
-        for msg, cat in warns:
+        # One lock serializes the whole encode: it guards the cache dict
+        # (the Batcher worker and user threads encode concurrently) AND the
+        # catch_warnings block, which swaps process-global warning filters
+        # and is not thread-safe on its own.
+        with self._encode_lock:
+            if key is not None and key in self._encode_cache:
+                enc, warns = self._encode_cache.pop(key)
+                self._encode_cache[key] = (enc, warns)  # LRU: refresh recency
+            else:
+                with _warnings.catch_warnings(record=True) as rec:
+                    _warnings.simplefilter("always")
+                    enc = self._encode_inputs_uncached(
+                        prompt, color_map, color_context, negative_prompt,
+                        weight_function, prompt_weighting, clip_skip,
+                        long_prompts,
+                    )
+                warns = [(str(r.message), r.category) for r in rec]
+                if key is not None:
+                    if len(self._encode_cache) >= 32:  # drop least-recent
+                        self._encode_cache.pop(next(iter(self._encode_cache)))
+                    self._encode_cache[key] = (enc, warns)
+        for msg, cat in warns:  # reference warns on EVERY call
             _warnings.warn(msg, cat, stacklevel=2)
         return enc
 
@@ -1739,7 +1747,6 @@ class PwwPipeline:
             "init_image": None,
             "init_latents": None,
             "return_latents": None,
-            "output_type": "output_type (a named generate_hires parameter)",
         }
         for key, alt in managed.items():
             if key in kwargs:

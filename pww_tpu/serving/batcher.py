@@ -175,7 +175,14 @@ class Batcher:
                     sag_scale=group[0].request.get("sag_scale", 0.0),
                     output_type="device",
                 )
-                self._fetcher.submit(self._resolve, group, images_dev)
+                try:
+                    self._fetcher.submit(self._resolve, group, images_dev)
+                except RuntimeError:
+                    # close() shut the executor down while this batch was
+                    # still on device (joins time out at 5 s; a compile can
+                    # take minutes) — resolve inline so in-flight requests
+                    # complete instead of erroring.
+                    self._resolve(group, images_dev)
             except Exception as e:  # propagate to every waiter
                 for p in group:
                     if not p.future.done():

@@ -192,3 +192,18 @@ def test_separate_image_context_at_separator(rng):
     assert regions[0].mask.max() == 0.5
     assert regions[1].label == "full moon" and regions[1].seed == 9
     assert regions[1].mask.max() == 1.5
+
+
+@pytest.mark.parametrize(
+    "ctx,want",
+    [
+        # comma-form labels containing '@' must keep parsing as comma form
+        ("portrait by @greg,0.7", ("portrait by @greg", 0.7, None, None)),
+        ("cat@home,0.5", ("cat@home", 0.5, None, None)),
+        ("a@0.5,0.7", ("a@0.5", 0.7, None, None)),  # ambiguous -> comma wins
+    ],
+)
+def test_parse_context_entry_at_in_comma_labels(ctx, want):
+    from pww_tpu.conditioning.color_context import parse_context_entry
+
+    assert parse_context_entry(ctx) == want

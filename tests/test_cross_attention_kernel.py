@@ -161,3 +161,30 @@ def test_xattn_variants_agree_through_unet(rng):
     np.testing.assert_allclose(
         outs["fused"], outs["two_pass"], atol=1e-4, rtol=1e-3
     )
+
+
+def test_pallas_reduce_std_large_mean_stability(rng):
+    """std must stay accurate when |mean| >> std (the one-pass sum/sumsq
+    formula cancels catastrophically in f32; the kernel emits Chan-
+    combinable block moments instead)."""
+    from pww_tpu.ops.cross_attention_kernel import fused_pww_reduce
+
+    b, h, lq, lk, dh = 2, 4, 1024, 77, 40
+    # construct q,k whose scores have mean ~120, std ~1: q has a large
+    # shared component along one direction plus small noise
+    base = np.ones((dh,), np.float32)
+    q = (np.sqrt(120.0 / dh) * base[None, None, None, :]
+         + 0.05 * rng.standard_normal((b, h, lq, dh))).astype(np.float32)
+    k = (np.sqrt(120.0 / dh) * base[None, None, None, :]
+         + 0.05 * rng.standard_normal((b, h, lk, dh))).astype(np.float32)
+    q, k = jnp.asarray(q), jnp.asarray(k)
+    wf = WeightFunction(0.3, "log1p_sigma", "std")
+    # reference: float64 two-pass over the exact scores
+    s = np.asarray(
+        jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    ).astype(np.float64)
+    flat = s.reshape(b, -1)
+    want = flat.std(axis=-1, ddof=1)
+    assert np.abs(flat.mean()) > 50 * want.max()  # the adversarial regime
+    got = np.asarray(fused_pww_reduce(q, k, wf, block_q=256))
+    np.testing.assert_allclose(got, want, rtol=2e-3)
