@@ -1304,6 +1304,7 @@ class PwwPipeline:
         prompt_weighting: bool = False,  # A1111 (word:1.2) emphasis syntax
         clip_skip: int = 0,  # text states k layers early (A1111 skip = k+1)
         long_prompts: bool = False,  # >77-token windowed prompts (A1111)
+        prompt_editing: bool = False,  # [from:to:when] / [a|b] schedules
         ip_adapter_image=None,  # reference image (needs load_ip_adapter)
         ip_adapter_scale: Optional[float] = None,
     ):
@@ -1321,6 +1322,19 @@ class PwwPipeline:
         phase = self.timers.phase if self.profile else (
             lambda name, sync=None: contextlib.nullcontext()
         )
+        edit_sched = None
+        if prompt_editing:
+            from ..conditioning.prompt_editing import (
+                combined_schedule, has_editing,
+            )
+
+            if has_editing(prompt) or has_editing(negative_prompt):
+                edit_sched = combined_schedule(
+                    prompt, negative_prompt, num_inference_steps
+                )
+                # segment 1's rendering drives everything prompt-derived
+                # outside the denoise loop (size, PwW regions, seeding)
+                prompt, negative_prompt = edit_sched[0][1], edit_sched[0][2]
         with phase("encode"):
             enc = self.encode_inputs(
                 prompt,
@@ -1642,6 +1656,64 @@ class PwwPipeline:
             raise ValueError(
                 "cache_interval > 1 is not supported with per-step callbacks"
             )
+        if edit_sched is not None and len(edit_sched) == 1:
+            edit_sched = None  # constant schedule: plain path
+        if edit_sched is not None:
+            if cache_interval > 1:
+                raise ValueError(
+                    "prompt_editing is not supported with DeepCache "
+                    "(cache_interval > 1): the cached trunk would go stale "
+                    "at a switch point"
+                )
+            if sag_scale > 0:
+                raise ValueError(
+                    "prompt_editing is not supported with sag_scale"
+                )
+            if denoising_end is not None or denoising_start is not None:
+                raise ValueError(
+                    "prompt_editing is not supported with "
+                    "denoising_end/denoising_start"
+                )
+
+        def _cond_for(pos_v, neg_v):
+            """(text_states, pww, added_cond) for one edit-schedule row —
+            the exact transform the base prompt got (encode → CFG tile →
+            pooled micro-cond → mesh placement). Encodes are LRU-cached,
+            so repeated rows and repeated calls are free."""
+            enc_v = self.encode_inputs(
+                pos_v, color_map, color_context or {}, neg_v,
+                weight_function, prompt_weighting=prompt_weighting,
+                clip_skip=clip_skip, long_prompts=long_prompts,
+            )
+            ts_v, pww_v, pooled_v = self._tile_cfg(enc_v, n)
+            ac_v = added_cond
+            if added_cond is not None and pooled_v is not None:
+                ac_v = dict(added_cond)
+                ac_v["text_embeds"] = pooled_v.astype(jnp.float32)
+            if self.mesh is not None:
+                from ..parallel.mesh import replicate, shard_batch
+
+                if sharding == "spatial":
+                    ts_v = replicate(ts_v, self.mesh)
+                    pww_v = replicate(pww_v, self.mesh)
+                    if ac_v is not None:
+                        ac_v = replicate(ac_v, self.mesh)
+                else:
+                    ts_v = shard_batch(ts_v, self.mesh)
+                    pww_v = pww_v.replace(
+                        weights={
+                            k: shard_batch(v, self.mesh)
+                            for k, v in pww_v.weights.items()
+                        },
+                        weight_orig=None if pww_v.weight_orig is None
+                        else shard_batch(pww_v.weight_orig, self.mesh),
+                    )
+                    if ac_v is not None:
+                        ac_v = {
+                            k: shard_batch(v, self.mesh)
+                            for k, v in ac_v.items()
+                        }
+            return ts_v, pww_v, ac_v
 
         def to_output(images: np.ndarray):
             if output_type == "np":
@@ -1654,7 +1726,10 @@ class PwwPipeline:
         # Fused single-dispatch path: denoise + decode in one program. Off
         # when the caller needs latents (return_latents) or per-phase timings
         # (profile=True keeps denoise/decode separable).
-        fused = callback is None and not return_latents and not self.profile
+        fused = (
+            edit_sched is None and callback is None
+            and not return_latents and not self.profile
+        )
         if fused:
             with phase("denoise+decode"):
                 images = np.asarray(run_denoise_decode(
@@ -1665,7 +1740,45 @@ class PwwPipeline:
                     **denoise_kwargs,
                 ))
             return to_output(images)
-        if callback is None:
+        if edit_sched is not None:
+            # prompt editing: the denoise loop splits at the schedule's
+            # switch points; each slice runs with its own conditioning
+            # while the scheduler state carries through (multistep
+            # histories persist across a switch, matching A1111). Slices
+            # are cut to power-of-two lengths so the number of distinct
+            # compiled programs stays O(log steps).
+            denoise_kwargs.pop("sag_scale", None)
+            sch_state = schedule.init_state(latents.shape, jnp.float32)
+            latents = latents.astype(jnp.float32)
+            bounds, conds = [], []
+            for end, pos_v, neg_v in edit_sched:
+                if end > t_start:  # rows fully before t_start never run
+                    bounds.append(end)
+                    conds.append(_cond_for(pos_v, neg_v))
+            i, seg_ix = t_start, 0
+            with phase("denoise"):
+                while i < schedule.num_steps:
+                    while bounds[seg_ix] <= i:
+                        seg_ix += 1
+                    stop = bounds[seg_ix]
+                    if callback is not None:
+                        nxt = i + callback_steps - (i - t_start) % callback_steps
+                        stop = min(stop, nxt)
+                    j = i + (1 << ((stop - i).bit_length() - 1))
+                    ts_v, pww_v, ac_v = conds[seg_ix]
+                    latents, sch_state = run_denoise_segment(
+                        unet, self.params["unet"], latents, ts_v, pww_v,
+                        schedule, jnp.float32(guidance_scale), sch_state,
+                        jnp.int32(i), seg_len=j - i, cfg_batched=cfg_batched,
+                        **{**denoise_kwargs, "added_cond": ac_v},
+                    )
+                    if callback is not None and (
+                        j == schedule.num_steps
+                        or (j - t_start) % callback_steps == 0
+                    ):
+                        callback(j - 1, float(schedule.timesteps[j - 1]), latents)
+                    i = j
+        elif callback is None:
             with phase("denoise"):
                 latents, _ = run_denoise(
                     unet, self.params["unet"], latents, text_states, pww,

@@ -28,6 +28,11 @@ class _Pending:
 
 
 def compat_key(req: Dict, tokenizer=None) -> Tuple:
+    if req.get("prompt_editing"):
+        # Per-step conditioning switches can't share a batched scan (switch
+        # points differ per request): force a singleton group, served by a
+        # plain `generate` call in the worker.
+        return ("prompt_editing", object())
     cm = req.get("color_map_image")
     shape = tuple(cm.shape[:2]) if cm is not None else (512, 512)
     long_p = bool(req.get("long_prompts", False))
@@ -158,6 +163,17 @@ class Batcher:
             self.stats["batches"] += 1
             self.stats["batched_requests"] += len(group)
             try:
+                if group[0].request.get("prompt_editing"):
+                    # singleton group (see compat_key): the segmented
+                    # editing path runs through plain generate
+                    p = group[0]
+                    img = self.pipeline.generate(
+                        **p.request, output_type="np"
+                    )
+                    from PIL import Image
+
+                    p.future.set_result(Image.fromarray(np.asarray(img)[0]))
+                    continue
                 # output_type="device": the un-fetched uint8 array lets this
                 # thread enqueue the NEXT group's compute while the fetcher
                 # thread pays this group's D2H transfer (JAX dispatch is

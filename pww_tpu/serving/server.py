@@ -115,6 +115,9 @@ def make_handler(batcher: Batcher):
                         ),
                         "clip_skip": int(req.get("clip_skip", 0)),
                         "long_prompts": bool(req.get("long_prompts", False)),
+                        "prompt_editing": bool(
+                            req.get("prompt_editing", False)
+                        ),
                         "sag_scale": float(req.get("sag_scale", 0.0)),
                         "freeu": (
                             True if req.get("freeu") is True

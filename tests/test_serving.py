@@ -223,3 +223,21 @@ def test_generate_batch_output_type_device(pipe):
     ref = pipe.generate_batch(reqs, num_inference_steps=2, output_type="np")
     assert arr.dtype == np.uint8
     np.testing.assert_array_equal(arr, np.asarray(ref))
+
+
+def test_batcher_prompt_editing_singleton(pipe):
+    """Editing requests get singleton groups and the segmented generate
+    path; plain requests still batch around them."""
+    r1 = _req("a [cat:dog:1] photo", 0)
+    r1["prompt_editing"] = True
+    r2 = _req("a cat", 1)
+    assert compat_key(r1) != compat_key(r1)  # never groups, even with itself
+    b = Batcher(pipe, max_batch=4, max_wait_ms=50.0)
+    try:
+        f1 = b.submit(dict(r1))
+        f2 = b.submit(r2)
+        im1 = f1.result(timeout=600)
+        im2 = f2.result(timeout=600)
+        assert im1.size == (64, 64) and im2.size == (64, 64)
+    finally:
+        b.close()
