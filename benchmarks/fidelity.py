@@ -14,7 +14,10 @@ noise to ``torch.manual_seed``):
 Modes:
   * ``--model <dir>`` (+ ``--inpaint-model <dir>`` for the 9-channel cases):
     regenerate at full resolution / 30 (150 inpaint) steps and report
-    PSNR / SSIM / LPIPS (LPIPS only if a lpips package is importable).
+    PSNR / SSIM / LPIPS. LPIPS runs JAX-natively (pww_tpu.metrics.lpips,
+    proven vs a torch replica) once calibrated weight files are dropped at
+    ``$PWW_LPIPS_WEIGHTS/{alexnet.pth,lpips_alex.pth}``; else it falls
+    back to the ``lpips`` pip package, else reports n/a.
   * without ``--model``: structural smoke on the tiny config — the SAME case
     table, real committed color maps (downscaled), end-to-end generate + a
     determinism check, so the harness stays exercised in CI. Real SD weights
@@ -117,7 +120,33 @@ def ssim(a: np.ndarray, b: np.ndarray) -> float:
     return float(smap.mean())
 
 
+_LPIPS_PARAMS = None
+
+
 def try_lpips(a: np.ndarray, b: np.ndarray):
+    """LPIPS(alex) if weights are available; None otherwise.
+
+    Preferred path: the JAX-native metric (`pww_tpu.metrics.lpips`, proven
+    vs a torch replica in tests/test_lpips.py) fed by calibrated weight
+    files from `$PWW_LPIPS_WEIGHTS/{alexnet.pth,lpips_alex.pth}` — the
+    torchvision AlexNet state_dict and the official LPIPS linear weights.
+    No egress exists in this image, so drop the files in to activate the
+    north-star gate. Fallback: the `lpips` pip package if importable.
+    """
+    global _LPIPS_PARAMS
+    wdir = os.environ.get("PWW_LPIPS_WEIGHTS", "")
+    bp = os.path.join(wdir, "alexnet.pth")
+    lp = os.path.join(wdir, "lpips_alex.pth")
+    if wdir and os.path.exists(bp) and os.path.exists(lp):
+        from pww_tpu.metrics.lpips import (
+            load_lpips_from_files, lpips_distance,
+        )
+
+        if _LPIPS_PARAMS is None:
+            _LPIPS_PARAMS = load_lpips_from_files(bp, lp)
+        fa = a.astype(np.float32)[None] / 127.5 - 1
+        fb = b.astype(np.float32)[None] / 127.5 - 1
+        return float(np.asarray(lpips_distance(_LPIPS_PARAMS, fa, fb))[0])
     try:
         import lpips  # noqa: F401  (optional; absent in this image)
         import torch
