@@ -103,8 +103,23 @@ def _parse(text: str) -> List[_Node]:
             continue
         body = text[i + 1 : end]
         node = _parse_bracket(body)
-        if node is None:  # not an editing construct: leave verbatim
+        if node is None:
+            # Not an editing construct itself (likely A1111 de-emphasis) —
+            # but A1111's grammar is recursive, so schedules INSIDE it must
+            # still fire: ``[flowers [day:night:0.5]]`` switches at half the
+            # steps. Re-parse the interior and re-wrap with the literal
+            # brackets; a fully plain group stays verbatim.
+            inner = _parse(body)
+            if all(isinstance(n, str) for n in inner):
+                i = end + 1
+                continue
+            if plain_start < i:
+                nodes.append(text[plain_start:i])
+            nodes.append("[")
+            nodes.extend(inner)
+            nodes.append("]")
             i = end + 1
+            plain_start = i
             continue
         if plain_start < i:
             nodes.append(text[plain_start:i])

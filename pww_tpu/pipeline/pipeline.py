@@ -848,8 +848,7 @@ class PwwPipeline:
             params = shard_params(params, self.mesh)
         self.params = params
         if any(t in touched and touched[t] for t in ("clip", "clip2")):
-            self._text_cache.clear()  # text-encoder weights changed
-            self._encode_cache.clear()
+            self.invalidate_encode_caches()  # text-encoder weights changed
         return n
 
     # -- ip-adapter ------------------------------------------------------------
@@ -1032,7 +1031,11 @@ class PwwPipeline:
                 return False
             if x.shape[0] != 1 or x.shape[-1] != d["embed_dim"]:
                 return False
-            return np.issubdtype(np.asarray(x).dtype, np.floating)
+            # jnp.issubdtype (not np.): bfloat16 embeddings — the default
+            # compute dtype — must classify as floating, and dtype inspection
+            # must not force a device-to-host fetch.
+            dt = getattr(x, "dtype", None)
+            return dt is not None and jnp.issubdtype(dt, jnp.floating)
 
         precomputed = hasattr(image, "ndim") and _is_precomputed(image)
         if precomputed:
@@ -1083,8 +1086,7 @@ class PwwPipeline:
             params = shard_params(params, self.mesh)
         self.params = params
         self._lora_saved = {}
-        self._text_cache.clear()
-        self._encode_cache.clear()
+        self.invalidate_encode_caches()
 
     def _unet_for(
         self, tome_ratio: float, freeu=None, sow_mid_attn: bool = False
@@ -1138,6 +1140,16 @@ class PwwPipeline:
             ids, ids2, skip_layers=clip_skip,
         )
 
+    def invalidate_encode_caches(self) -> None:
+        """Drop cached text states / encode prologues after an encoder
+        weight change (LoRA, TI, ``update_params``). Takes ``_encode_lock``
+        so a concurrently running encode (Batcher worker) finishes — and
+        inserts its now-stale entry — BEFORE the clear, instead of after it
+        (which would serve pre-update conditioning forever)."""
+        with self._encode_lock:
+            self._text_cache.clear()
+            self._encode_cache.clear()
+
     def _encode_cache_key(
         self, prompt, color_map, color_context, negative_prompt,
         weight_function, prompt_weighting, clip_skip, long_prompts,
@@ -1155,9 +1167,17 @@ class PwwPipeline:
                 sorted((repr(k), str(v))
                        for k, v in (color_context or {}).items())
             )
-            return (prompt, negative_prompt, cm_key, ctx_key,
-                    repr(weight_function), bool(prompt_weighting),
-                    int(clip_skip), bool(long_prompts))
+            # The weight function participates by OBJECT, not repr():
+            # structured WeightFunctions are frozen dataclasses (value
+            # hash/eq); raw callables and CustomWeightFunction hash by
+            # identity, and keeping the object alive inside the stored key
+            # prevents CPython id() reuse from ever aliasing a dead lambda's
+            # cache entry to a new, different one.
+            key = (prompt, negative_prompt, cm_key, ctx_key,
+                   weight_function, bool(prompt_weighting),
+                   int(clip_skip), bool(long_prompts))
+            hash(key)  # exotic unhashable callables -> skip the cache
+            return key
         except Exception:  # unhashable exotic inputs -> just skip the cache
             return None
 
@@ -1751,10 +1771,17 @@ class PwwPipeline:
             sch_state = schedule.init_state(latents.shape, jnp.float32)
             latents = latents.astype(jnp.float32)
             bounds, conds = [], []
+            # Alternation yields one schedule row PER STEP for only a few
+            # distinct prompts — memoize the tiled/sharded conditioning by
+            # (prompt, negative) so ``[cat|dog]`` at 150 steps allocates 2
+            # device conditioning sets, not 150.
+            cond_memo: Dict = {}
             for end, pos_v, neg_v in edit_sched:
                 if end > t_start:  # rows fully before t_start never run
                     bounds.append(end)
-                    conds.append(_cond_for(pos_v, neg_v))
+                    if (pos_v, neg_v) not in cond_memo:
+                        cond_memo[pos_v, neg_v] = _cond_for(pos_v, neg_v)
+                    conds.append(cond_memo[pos_v, neg_v])
             i, seg_ix = t_start, 0
             with phase("denoise"):
                 while i < schedule.num_steps:

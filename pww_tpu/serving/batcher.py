@@ -134,6 +134,11 @@ class Batcher:
 
     # -- worker --------------------------------------------------------------
     def _drain_group(self, first: _Pending) -> List[_Pending]:
+        if first.key and first.key[0] == "prompt_editing":
+            # Singleton by construction (compat_key embeds a fresh object()):
+            # waiting out max_wait could never find a batchmate, and pulling
+            # the queue here would only re-order other requests behind it.
+            return [first]
         group = [first]
         deadline = time.monotonic() + self.max_wait
         leftovers: List[_Pending] = []

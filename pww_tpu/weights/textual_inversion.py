@@ -98,8 +98,6 @@ def apply_textual_inversion(pipeline, path: str, token: Optional[str] = None) ->
     pipeline.config = dataclasses.replace(pipeline.config, clip=clip_cfg)
     pipeline.clip = CLIPTextEncoder(clip_cfg, dtype=pipeline.compute_dtype)
     pipeline.params = {**pipeline.params, "clip": new_clip}
-    if hasattr(pipeline, "_text_cache"):
-        pipeline._text_cache.clear()  # embeddings changed
-    if hasattr(pipeline, "_encode_cache"):
-        pipeline._encode_cache.clear()
+    if hasattr(pipeline, "invalidate_encode_caches"):
+        pipeline.invalidate_encode_caches()  # embeddings changed
     return placeholder

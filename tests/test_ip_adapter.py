@@ -360,3 +360,16 @@ def test_ip_adapter_plus_raw_image_array_not_misclassified():
     )
     out = np.asarray(pipe.generate(ip_adapter_image=np.asarray(feats), **_kwargs()))
     assert np.isfinite(out).all()
+
+
+def test_ip_adapter_bf16_precomputed_embeddings_bypass_encoder():
+    """bf16 is the default compute dtype: (1, D) bf16 embeddings must
+    classify as precomputed (np.issubdtype(bfloat16, floating) is False —
+    the check must use jnp dtype lattice), not be routed to the image
+    preprocessor."""
+    pipe = PwwPipeline(config=SDModelConfig.tiny(), weights_dtype=None)
+    state = _synthetic_ip_state(pipe.config, embed_dim=16)
+    pipe.load_ip_adapter(state)  # no image encoder attached
+    emb = jnp.ones((1, 16), jnp.bfloat16) * 0.1
+    out = np.asarray(pipe.generate(ip_adapter_image=emb, **_kwargs()))
+    assert np.isfinite(out).all()

@@ -455,3 +455,61 @@ def test_encode_cache_hit_identical_and_warns(pipe):
     # same seed + cached encode -> bit-identical
     a2 = np.asarray(pipe.generate(seed=0, **kw))
     np.testing.assert_array_equal(a, a2)
+
+
+def test_encode_cache_key_distinguishes_lambdas_and_pins_them(pipe):
+    """Custom callables key by OBJECT identity (not repr, whose embedded
+    id() can be recycled after GC) and the stored key keeps the callable
+    alive so a dead lambda's address can never alias a different one."""
+    import gc
+    import weakref
+
+    import jax.numpy as jnp
+
+    mk = dict(prompt="a cat", color_map=None, color_context={},
+              negative_prompt="", prompt_weighting=False, clip_skip=0,
+              long_prompts=False)
+    f1 = lambda w, s, qk: w * jnp.max(qk)  # noqa: E731
+    f2 = lambda w, s, qk: w * 2.0 * jnp.max(qk)  # noqa: E731
+    k1 = pipe._encode_cache_key(weight_function=f1, **mk)
+    k2 = pipe._encode_cache_key(weight_function=f2, **mk)
+    assert k1 is not None and k2 is not None and k1 != k2
+    # value-equal structured weight functions share a key across instances
+    from pww_tpu.ops.weight_functions import WeightFunction
+
+    s1 = pipe._encode_cache_key(weight_function=WeightFunction(0.3), **mk)
+    s2 = pipe._encode_cache_key(weight_function=WeightFunction(0.3), **mk)
+    assert s1 == s2
+    # caching under the key pins the lambda: id() can't be reused
+    pipe._encode_cache.clear()
+    pipe._encode_cache[k1] = ("sentinel", [])
+    ref = weakref.ref(f1)
+    del f1, k1
+    gc.collect()
+    assert ref() is not None  # alive while its cache entry exists
+    pipe.invalidate_encode_caches()
+    gc.collect()
+    assert ref() is None and len(pipe._encode_cache) == 0
+
+
+def test_prompt_editing_alternation_conds_memoized(pipe, monkeypatch):
+    """[a|b] at N steps must build conditioning for the 2 distinct prompts,
+    not one per schedule row."""
+    calls = {"n": 0}
+    orig = type(pipe)._tile_cfg
+
+    def counting(self, enc, n):
+        calls["n"] += 1
+        return orig(self, enc, n)
+
+    monkeypatch.setattr(type(pipe), "_tile_cfg", counting)
+    cm = _cm()
+    out = pipe.generate(
+        prompt="a [cat|dog]", color_map_image=cm,
+        color_context={(255, 0, 0): "a,1.0"},
+        num_inference_steps=8, seed=0, output_type="np",
+        prompt_editing=True,
+    )
+    assert np.isfinite(np.asarray(out).astype(np.float64)).all()
+    # 1 base encode + 2 distinct edit variants (not 8 rows)
+    assert calls["n"] <= 3, calls["n"]

@@ -86,3 +86,20 @@ def test_combined_schedule_merges_pos_and_neg():
 def test_combined_schedule_constant_negative():
     got = combined_schedule("[a:b:4]", "bad", 8)
     assert got == [(4, "a", "bad"), (8, "b", "bad")]
+
+
+def test_schedule_nested_inside_plain_bracket_fires():
+    """A1111's grammar is recursive: a schedule inside a de-emphasis
+    bracket still switches; the literal brackets survive for downstream
+    attention parsing."""
+    assert g("[flowers [day:night:0.5]]") == [
+        [5, "[flowers day]"],
+        [10, "[flowers night]"],
+    ]
+    assert has_editing("[flowers [day:night:0.5]]")
+    assert has_editing("[a [b|c]]")
+
+
+def test_plain_bracket_without_inner_constructs_stays_verbatim():
+    assert g("a [b (c:1.5)] d") == [[10, "a [b (c:1.5)] d"]]
+    assert not has_editing("a [b (c:1.5)] d")

@@ -241,3 +241,27 @@ def test_batcher_prompt_editing_singleton(pipe):
         assert im1.size == (64, 64) and im2.size == (64, 64)
     finally:
         b.close()
+
+
+def test_drain_group_editing_short_circuits(pipe):
+    """An editing singleton can never find a batchmate: _drain_group must
+    return immediately without consuming max_wait or pulling (and thus
+    re-ordering) other queued requests."""
+    from pww_tpu.serving.batcher import _Pending
+
+    b = Batcher.__new__(Batcher)  # no worker thread: unit-test _drain_group
+    import queue as _queue
+
+    b._q = _queue.Queue()
+    b.max_batch = 4
+    b.max_wait = 5.0
+    r_edit = _req("a [cat:dog:1] x", 0)
+    r_edit["prompt_editing"] = True
+    p_edit = _Pending(request=r_edit, key=compat_key(r_edit))
+    other = _Pending(request=_req("a cat", 1), key=("x",))
+    b._q.put(other)
+    t0 = time.monotonic()
+    group = b._drain_group(p_edit)
+    assert time.monotonic() - t0 < 1.0  # no max_wait sleep
+    assert group == [p_edit]
+    assert b._q.qsize() == 1  # untouched
