@@ -56,6 +56,9 @@ def run_pww_inpaint(
     guidance_scale: float,
     seed: int,
     strength: float,
+    mask_blur: float = 0.0,
+    masked_content: str = "original",
+    inpaint_full_res: bool = False,
     model_path=None,
 ):
     pipe = get_pipeline(model_path)
@@ -87,6 +90,9 @@ def run_pww_inpaint(
                 guidance_scale=guidance_scale,
                 seed=s,
                 strength=strength,
+                mask_blur=mask_blur,
+                masked_content=masked_content,
+                inpaint_full_res=inpaint_full_res,
                 preloaded_utils=pipe,
             )
         )
@@ -121,6 +127,15 @@ def build_ui(model_path=None):
                     scale = gr.Slider(1.0, 20.0, value=7.5, label="guidance")
                     seed = gr.Number(value=0, label="seed", precision=0)
                     strength = gr.Slider(0.0, 1.0, value=1.0, label="strength")
+                with gr.Row():
+                    mask_blur = gr.Slider(0.0, 64.0, value=0.0, step=0.5,
+                                          label="mask blur")
+                    masked_content = gr.Dropdown(
+                        ["original", "fill", "latent_noise", "latent_nothing"],
+                        value="original", label="masked content",
+                    )
+                    full_res = gr.Checkbox(value=False,
+                                           label="inpaint only masked")
                 go = gr.Button("generate", variant="primary")
             with gr.Column():
                 build_color_panels(gr, sketch, content, MAX_NUM_COLORS)
@@ -135,7 +150,8 @@ def build_ui(model_path=None):
         go.click(
             lambda *a: run_pww_inpaint(*a, model_path=model_path),
             inputs=[sketch, content, prompt, negative, init, width, height,
-                    samples, steps, scale, seed, strength],
+                    samples, steps, scale, seed, strength, mask_blur,
+                    masked_content, full_res],
             outputs=[gallery],
         )
     return demo

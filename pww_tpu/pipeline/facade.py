@@ -130,10 +130,16 @@ def paint_with_words_inpaint(
     strength: float = 1.0,
     num_samples: int = 1,
     noise_mode: str = "jax",
+    mask_blur: float = 0.0,  # beyond-reference A1111 mask controls
+    masked_content: str = "original",
+    inpaint_full_res: bool = False,
+    inpaint_full_res_padding: int = 32,
 ):
     """Inpainting with paint-with-words (reference inpaint.py:137-270).
 
-    Requires a 9-channel inpainting UNet checkpoint; the color map and mask
+    A 9-channel inpainting UNet checkpoint takes the reference's conditioned
+    path; standard 4-channel checkpoints fall back to the legacy
+    masked-blend (beyond-reference). The color map and mask
     are resized to the init image's size as in the reference (:171-173).
     Default weight function: ``0.1 · w · log(1+σ) · max(QKᵀ)`` — the reference
     function's own signature default (`paint_with_words_inpaint.py:150`); the
@@ -181,4 +187,8 @@ def paint_with_words_inpaint(
         strength=strength,
         num_samples=num_samples,
         noise_mode=noise_mode,
+        mask_blur=mask_blur,
+        masked_content=masked_content,
+        inpaint_full_res=inpaint_full_res,
+        inpaint_full_res_padding=inpaint_full_res_padding,
     )

@@ -175,8 +175,19 @@ def _denoise_scan(
     t_end: Optional[int] = None,  # exclusive stop step (ensemble-of-denoisers)
     adapter_residuals=None,  # T2I-Adapter features (N-batched tuple)
     sag_scale=None,  # Self-Attention Guidance strength (None = off)
+    blend_mask=None,  # (N, h, w, 1) fractional latent mask; 1 = repaint
+    blend_init=None,  # (N, h, w, C) scaled init latents (legacy inpaint)
+    blend_noise=None,  # (N, h, w, C) the init's noise draw
 ) -> jnp.ndarray:
     """Full denoise loop as one scan. Returns final latents (N, h, w, C).
+
+    ``blend_mask``/``blend_init``/``blend_noise`` enable legacy masked-blend
+    inpainting for standard 4-channel checkpoints (A1111 / diffusers
+    ``StableDiffusionInpaintPipelineLegacy`` semantics): before every UNet
+    call the unmasked region is reset onto the init image's forward-noised
+    trajectory at that step's level, and after the last step it is restored
+    exactly — only ``blend_mask`` ≈ 1 pixels are repainted. Fractional mask
+    values feather the seam (A1111 ``mask_blur``).
 
     Latents and scheduler state are carried in float32 (accumulation
     precision); the UNet runs in its own compute dtype (bf16 on TPU).
@@ -199,6 +210,11 @@ def _denoise_scan(
 
     def body(carry, i):
         lat, sch_state = carry
+        if blend_mask is not None:
+            # legacy masked-blend: pin the unmasked region to the init's
+            # forward-diffused trajectory at this step's noise level
+            init_t = schedule.add_noise(blend_init, blend_noise, i)
+            lat = init_t * (1.0 - blend_mask) + lat * blend_mask
         sigma = schedule.sigma(i)
         t = schedule.timesteps[i]
         lat_in = schedule.scale_model_input(lat, i).astype(compute_dtype)
@@ -272,6 +288,12 @@ def _denoise_scan(
         lat, sch_state = schedule.step(eps, i, lat, sch_state, rng=k)
         return (lat, sch_state), None
 
+    if blend_mask is not None and sag_scale is not None:
+        raise ValueError("sag_scale is not supported with legacy masked-"
+                         "blend inpainting")
+    if blend_mask is not None and cache_interval > 1:
+        raise ValueError("cache_interval > 1 is not supported with legacy "
+                         "masked-blend inpainting")
     if sag_scale is not None:
         if not cfg_batched:
             raise ValueError(
@@ -369,6 +391,9 @@ def _denoise_scan(
     sch_state = schedule.init_state(latents.shape, latents.dtype)
     steps = jnp.arange(t_start, schedule.num_steps if t_end is None else t_end)
     (latents, sch_state), _ = jax.lax.scan(body, (latents, sch_state), steps)
+    if blend_mask is not None:
+        # exact restore: unmasked pixels are the original image's latents
+        latents = blend_init * (1.0 - blend_mask) + latents * blend_mask
     return latents, sch_state
 
 
@@ -418,6 +443,9 @@ def run_denoise_decode(
     t_end=None,
     adapter_residuals=None,
     sag_scale=None,
+    blend_mask=None,
+    blend_init=None,
+    blend_noise=None,
 ):
     """Denoise scan + VAE decode + uint8 conversion as ONE compiled program —
     a single device dispatch per image (the separate-stage path pays one
@@ -428,6 +456,7 @@ def run_denoise_decode(
         guidance_scale, extra_channels, controlnet, controlnet_params,
         control_hint, controlnet_scale, step_rng, t_start, cfg_batched,
         cache_interval, added_cond, ip, t_end, adapter_residuals, sag_scale,
+        blend_mask, blend_init, blend_noise,
     )
     return _decode_uint8(vae, vae_params, latents)
 
@@ -457,11 +486,17 @@ def run_denoise_segment(
     added_cond=None,
     ip=None,
     adapter_residuals=None,
+    blend_mask=None,
+    blend_init=None,
+    blend_noise=None,
 ):
     """A ``seg_len``-step slice of the denoise loop with explicit scheduler
     state — lets the host observe latents between segments (per-step
     ``callback`` support, reference `paint_with_words.py:823-826`). The start
-    index is traced, so all equal-length segments share ONE compilation."""
+    index is traced, so all equal-length segments share ONE compilation.
+    The legacy masked-blend inpaint reset runs per step like the plain
+    scan's; the caller applies the FINAL exact restore after the last
+    segment (the segment can't know it is last)."""
     n = latents.shape[0]
     latents = latents.astype(jnp.float32)
     compute_dtype = unet.dtype
@@ -474,6 +509,9 @@ def run_denoise_segment(
 
     def body(carry, i):
         lat, st = carry
+        if blend_mask is not None:
+            init_t = schedule.add_noise(blend_init, blend_noise, i)
+            lat = init_t * (1.0 - blend_mask) + lat * blend_mask
         lat_in = schedule.scale_model_input(lat, i).astype(compute_dtype)
         fn = unet_eps_batched if cfg_batched else unet_eps_split
         out_uncond, out_text = fn(
@@ -1299,6 +1337,11 @@ class PwwPipeline:
         denoising_start=None,  # resume a trajectory at this fraction
         strength: float = 0.5,
         mask_image=None,  # inpaint when set (with init_image)
+        mask_blur: float = 0.0,  # gaussian sigma (px) feathering the mask
+        masked_content: str = "original",  # A1111: original | fill |
+        #   latent_noise | latent_nothing (latent_* need a 4-ch checkpoint)
+        inpaint_full_res: bool = False,  # A1111 "inpaint area: only masked"
+        inpaint_full_res_padding: int = 32,  # context px around the mask
         control_image=None,  # ControlNet hint (requires load_controlnet first)
         controlnet_conditioning_scale: float = 1.0,
         adapter_image=None,  # T2I-Adapter hint (requires load_t2i_adapter)
@@ -1337,6 +1380,77 @@ class PwwPipeline:
         cfg = self.config
         unet = self._unet_for(tome_ratio, freeu, sow_mid_attn=sag_scale > 0)
         color_map = _to_numpy_image(color_map_image)
+        ifr_state = None
+        if inpaint_full_res:
+            # A1111 "inpaint area: only masked": crop the mask's padded,
+            # aspect-matched bounding box, inpaint the crop AT THE FULL
+            # processing resolution (same shapes → the compiled program is
+            # reused), then downscale and paste back, blended by the
+            # feathered mask. Beyond-reference surface.
+            if mask_image is None or init_image is None:
+                raise ValueError(
+                    "inpaint_full_res requires init_image and mask_image"
+                )
+            if return_latents:
+                raise ValueError(
+                    "inpaint_full_res pastes decoded pixels back into the "
+                    "init image; return_latents is unsupported"
+                )
+            from PIL import Image as _PILImage
+
+            from .inpaint import blur_mask, expand_crop_region
+
+            init_np = _to_numpy_image(init_image)  # (H, W, 3) uint8
+            fh, fw = init_np.shape[:2]
+            mask_np = self._prepare_pixel_mask(mask_image, init_np[None], 0.0)
+            # blur ONCE at native resolution (feathers both the in-crop
+            # blend and the final paste), then hand the inner pass the
+            # already-feathered mask
+            mask_full = blur_mask(mask_np, float(mask_blur))
+            mask_blur = 0.0
+            x0, y0, x1, y1 = expand_crop_region(
+                mask_np, int(inpaint_full_res_padding), fw, fh
+            )
+
+            def _up(arr, resample):
+                return np.asarray(
+                    _PILImage.fromarray(arr).resize((fw, fh), resample)
+                )
+
+            init_image = _up(init_np[y0:y1, x0:x1], _PILImage.LANCZOS)
+            mask_image = np.clip(np.asarray(
+                _PILImage.fromarray(
+                    mask_full[y0:y1, x0:x1], mode="F"
+                ).resize((fw, fh), _PILImage.BILINEAR)
+            ), 0.0, 1.0)
+            if color_map is not None:
+                if color_map.shape[:2] != (fh, fw):
+                    color_map = np.asarray(
+                        _PILImage.fromarray(color_map).resize(
+                            (fw, fh), _PILImage.NEAREST
+                        )
+                    )
+                color_map = _up(color_map[y0:y1, x0:x1], _PILImage.NEAREST)
+
+            def _crop_hint(img):
+                a = _to_numpy_image(img)
+                if a.shape[:2] != (fh, fw):
+                    a = np.asarray(
+                        _PILImage.fromarray(a).resize(
+                            (fw, fh), _PILImage.LANCZOS
+                        )
+                    )
+                return _up(a[y0:y1, x0:x1], _PILImage.LANCZOS)
+
+            if control_image is not None:
+                control_image = (
+                    [_crop_hint(c) for c in control_image]
+                    if isinstance(control_image, (list, tuple))
+                    else _crop_hint(control_image)
+                )
+            if adapter_image is not None:
+                adapter_image = _crop_hint(adapter_image)
+            ifr_state = (init_np, mask_full, (x0, y0, x1, y1))
         import contextlib
 
         phase = self.timers.phase if self.profile else (
@@ -1383,6 +1497,29 @@ class PwwPipeline:
         inpaint = mask_image is not None
         if inpaint and init_image is None:
             raise ValueError("inpainting requires init_image alongside mask_image")
+        if masked_content not in ("original", "fill", "latent_noise",
+                                  "latent_nothing"):
+            raise ValueError(
+                "masked_content must be one of original/fill/latent_noise/"
+                f"latent_nothing, got {masked_content!r}"
+            )
+        if (masked_content != "original" or mask_blur) and not inpaint:
+            raise ValueError(
+                "mask_blur/masked_content require mask_image (inpainting)"
+            )
+        # Standard 4-channel checkpoints inpaint via the legacy masked-blend
+        # (A1111 / diffusers InpaintPipelineLegacy): per-step re-noised init
+        # outside the mask, exact restore at the end. 9-channel checkpoints
+        # keep the reference's conditioned-UNet path.
+        legacy_inpaint = inpaint and cfg.unet.in_channels == cfg.vae.latent_channels
+        if masked_content in ("latent_noise", "latent_nothing") and not legacy_inpaint:
+            raise ValueError(
+                f"masked_content={masked_content!r} applies to the legacy "
+                "masked-blend path (standard 4-channel checkpoints); a "
+                "9-channel inpainting UNet conditions on the real masked "
+                "image — use 'original' or 'fill'"
+            )
+        blend_mask = blend_init_lat = blend_noise_arr = None
         if init_latents is not None and (init_image is not None or inpaint):
             raise ValueError(
                 "init_latents is exclusive with init_image/mask_image"
@@ -1456,6 +1593,20 @@ class PwwPipeline:
             latents = latents * schedule.init_noise_sigma
         else:
             init = _preprocess_image(init_image)  # (1, H', W', 3) in [-1, 1]
+            proc_mask = None
+            if inpaint:
+                # one pixel-space mask (init-sized, optionally feathered)
+                # feeds BOTH inpaint paths
+                proc_mask = self._prepare_pixel_mask(mask_image, init, mask_blur)
+                if masked_content == "fill":
+                    from .inpaint import fill_masked_region
+
+                    init = jnp.asarray(
+                        fill_masked_region(
+                            np.asarray(init[0]), proc_mask >= 0.5
+                        ),
+                        jnp.float32,
+                    )[None]
             t_start = _t_start_from_strength(
                 num_inference_steps, strength, cfg.scheduler.steps_offset
             )
@@ -1479,12 +1630,37 @@ class PwwPipeline:
                 * cfg.vae.scaling_factor
             )
             init_lat = jnp.repeat(init_lat, n, axis=0)
-            if inpaint:
+            if legacy_inpaint:
+                # masked-blend inpaint for standard checkpoints: fractional
+                # latent mask (feathered seam), optional latent-space
+                # masked-content fills, per-step blend inside the scan
+                sf = cfg.vae.scale_factor
+                m_lat = jax.image.resize(
+                    jnp.asarray(proc_mask, jnp.float32)[None, :, :, None],
+                    (1, init.shape[1] // sf, init.shape[2] // sf, 1),
+                    method="linear",
+                )
+                blend_mask = jnp.repeat(jnp.clip(m_lat, 0.0, 1.0), n, 0)
+                if masked_content == "latent_noise":
+                    # A1111: masked area starts from fresh unit noise (the
+                    # draw is jax-native; deterministic per seed/rng)
+                    hole = (blend_mask >= 0.5).astype(jnp.float32)
+                    init_lat = (
+                        init_lat * (1.0 - hole)
+                        + jax.random.normal(k_noise, init_lat.shape) * hole
+                    )
+                elif masked_content == "latent_nothing":
+                    init_lat = init_lat * (1.0 - (blend_mask >= 0.5))
+                noise = make_noise(seed, init_lat.shape, noise_mode)
+                latents = schedule.add_noise(init_lat, noise, jnp.int32(t_start))
+                blend_init_lat = init_lat
+                blend_noise_arr = noise
+            elif inpaint:
                 # reference inpaint noises VAE latents at the strength-offset
                 # step even at strength 1.0 (reference inpaint.py:180-198)
                 noise = make_noise(seed, init_lat.shape, noise_mode)
                 latents = schedule.add_noise(init_lat, noise, jnp.int32(t_start))
-                extra = self._prepare_inpaint_channels(init, mask_image, n)
+                extra = self._prepare_inpaint_channels(init, proc_mask, n)
                 expected = (
                     cfg.vae.latent_channels + extra.shape[-1]
                 )
@@ -1625,6 +1801,9 @@ class PwwPipeline:
             if sharding == "spatial":
                 # single-image parallelism: latent height over dp (high-res)
                 latents = shard_spatial(latents, self.mesh)
+                blend_mask = None if blend_mask is None else shard_spatial(blend_mask, self.mesh)
+                blend_init_lat = None if blend_init_lat is None else shard_spatial(blend_init_lat, self.mesh)
+                blend_noise_arr = None if blend_noise_arr is None else shard_spatial(blend_noise_arr, self.mesh)
                 text_states = replicate(text_states, self.mesh)
                 pww = replicate(pww, self.mesh)
                 if added_cond is not None:
@@ -1633,6 +1812,9 @@ class PwwPipeline:
                     ip = replicate(ip, self.mesh)
             else:
                 latents = shard_batch(latents, self.mesh)
+                blend_mask = None if blend_mask is None else shard_batch(blend_mask, self.mesh)
+                blend_init_lat = None if blend_init_lat is None else shard_batch(blend_init_lat, self.mesh)
+                blend_noise_arr = None if blend_noise_arr is None else shard_batch(blend_noise_arr, self.mesh)
                 text_states = shard_batch(text_states, self.mesh)
                 pww = pww.replace(
                     weights={
@@ -1653,6 +1835,9 @@ class PwwPipeline:
             added_cond=added_cond,
             ip=ip,
             extra_channels=extra,
+            blend_mask=blend_mask,
+            blend_init=blend_init_lat,
+            blend_noise=blend_noise_arr,
             controlnet=controlnet,
             controlnet_params=controlnet_params,
             control_hint=hint,
@@ -1736,6 +1921,13 @@ class PwwPipeline:
             return ts_v, pww_v, ac_v
 
         def to_output(images: np.ndarray):
+            if ifr_state is not None:
+                from .inpaint import paste_region
+
+                full, m_full, region = ifr_state
+                images = np.stack([
+                    paste_region(full, im, region, m_full) for im in images
+                ])
             if output_type == "np":
                 return images
             from PIL import Image
@@ -1834,6 +2026,14 @@ class PwwPipeline:
                 )
                 callback(j - 1, float(schedule.timesteps[j - 1]), latents)
                 i = j
+        if (
+            (edit_sched is not None or callback is not None)
+            and denoise_kwargs.get("blend_mask") is not None
+        ):
+            # segmented paths end outside the scan: apply the exact final
+            # restore the one-scan path does internally
+            bm = denoise_kwargs["blend_mask"]
+            latents = denoise_kwargs["blend_init"] * (1.0 - bm) + latents * bm
         if return_latents:
             return latents
         with phase("decode"):
@@ -2080,6 +2280,35 @@ class PwwPipeline:
         from PIL import Image
 
         return [Image.fromarray(im) for im in images]
+
+    def _prepare_pixel_mask(self, mask_image, init, mask_blur: float) -> np.ndarray:
+        """(H, W) float32 mask in [0, 1] at the preprocessed init's size,
+        optionally gaussian-feathered (A1111 ``mask_blur``; beyond-reference).
+        Array masks keep the reference's [0, 1] range validation
+        (reference `paint_with_words_inpaint.py:74-99`)."""
+        from PIL import Image
+
+        from .inpaint import blur_mask
+
+        ih, iw = int(init.shape[1]), int(init.shape[2])
+        m = mask_image
+        if isinstance(m, Image.Image):
+            m = m.convert("L")
+            if m.size != (iw, ih):
+                m = m.resize((iw, ih), Image.NEAREST)
+            m = np.asarray(m, np.float32) / 255.0
+        else:
+            m = np.asarray(m, np.float32)
+            if m.ndim == 3:
+                m = m[..., 0]
+            if m.min() < 0.0 or m.max() > 1.0:
+                raise ValueError("mask should be in [0, 1] range")
+            if m.shape != (ih, iw):
+                pil = Image.fromarray((m * 255).astype(np.uint8))
+                m = np.asarray(
+                    pil.resize((iw, ih), Image.NEAREST), np.float32
+                ) / 255.0
+        return blur_mask(np.clip(m, 0.0, 1.0), float(mask_blur))
 
     def _prepare_inpaint_channels(self, init, mask_image, n: int) -> jnp.ndarray:
         """mask + VAE(masked image) latents, concat channels (reference

@@ -77,12 +77,16 @@ def test_inpaint_runs(pipe9):
     assert out.shape == (1, 64, 64, 3)
 
 
-def test_inpaint_channel_validation(pipe):
-    """4-channel UNet + mask → the reference's channel-count error
-    (reference inpaint.py:216-227)."""
+def test_inpaint_channel_validation():
+    """A checkpoint whose UNet channel count matches NEITHER plain latents
+    (legacy masked-blend takes those) nor latents+mask+masked-image gets
+    the reference's channel-count error (reference inpaint.py:216-227).
+    (4-channel checkpoints no longer error: they inpaint via the legacy
+    masked-blend path, `test_legacy_inpaint.py`.)"""
+    pipe6 = PwwPipeline(config=SDModelConfig.tiny(in_channels=6))
     init = Image.fromarray(np.full((64, 64, 3), 120, np.uint8))
     with pytest.raises(ValueError, match="channel"):
-        pipe.generate(
+        pipe6.generate(
             prompt="x", color_map_image=_cm(), num_inference_steps=2,
             init_image=init, mask_image=np.ones((64, 64), np.float32),
         )
