@@ -27,12 +27,22 @@ class _Pending:
     future: Future = field(default_factory=Future)
 
 
+def _is_singleton(req: Dict) -> bool:
+    """Requests that can't ride ``generate_batch``: per-step conditioning
+    switches (switch points differ per request) and img2img/inpaint
+    (per-request init/mask state). Served by a plain ``generate`` call."""
+    return bool(
+        req.get("prompt_editing")
+        or req.get("init_image") is not None
+        or req.get("mask_image") is not None
+    )
+
+
 def compat_key(req: Dict, tokenizer=None) -> Tuple:
-    if req.get("prompt_editing"):
-        # Per-step conditioning switches can't share a batched scan (switch
-        # points differ per request): force a singleton group, served by a
-        # plain `generate` call in the worker.
-        return ("prompt_editing", object())
+    if _is_singleton(req):
+        # Force a singleton group (the fresh object() never compares equal),
+        # served by a plain `generate` call in the worker.
+        return ("singleton", object())
     cm = req.get("color_map_image")
     shape = tuple(cm.shape[:2]) if cm is not None else (512, 512)
     long_p = bool(req.get("long_prompts", False))
@@ -134,7 +144,7 @@ class Batcher:
 
     # -- worker --------------------------------------------------------------
     def _drain_group(self, first: _Pending) -> List[_Pending]:
-        if first.key and first.key[0] == "prompt_editing":
+        if first.key and first.key[0] == "singleton":
             # Singleton by construction (compat_key embeds a fresh object()):
             # waiting out max_wait could never find a batchmate, and pulling
             # the queue here would only re-order other requests behind it.
@@ -168,9 +178,9 @@ class Batcher:
             self.stats["batches"] += 1
             self.stats["batched_requests"] += len(group)
             try:
-                if group[0].request.get("prompt_editing"):
-                    # singleton group (see compat_key): the segmented
-                    # editing path runs through plain generate
+                if group[0].key and group[0].key[0] == "singleton":
+                    # singleton group (see compat_key): prompt editing and
+                    # img2img/inpaint run through plain generate
                     p = group[0]
                     img = self.pipeline.generate(
                         **p.request, output_type="np"

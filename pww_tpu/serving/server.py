@@ -6,7 +6,11 @@ POST /generate  {"prompt": ..., "color_context": {"#ff0000": "cat,1.0"},
                  "weight_function": {"scale": 0.4, "sigma_mode":
                      "log1p_sigma", "reduce_mode": "max"},   # optional
                  "cache_interval": 1,   # >1 = DeepCache approximation
-                 "tome_ratio": 0.0}     # >0 = ToMe approximation
+                 "tome_ratio": 0.0,     # >0 = ToMe approximation
+                 "init_image_png_b64": ...,    # optional: img2img
+                 "strength": 0.5,
+                 "mask_image_png_b64": ...,    # optional: inpaint (with init)
+                 "mask_blur": 0.0, "masked_content": "original"}
   → {"image_png_b64": ..., "latency_s": ...}
 GET  /healthz   → {"ok": true, "stats": {...}}
 GET  /metrics   → counters + p50/p95 request latency + batch efficiency
@@ -92,6 +96,19 @@ def make_handler(batcher: Batcher):
                                 (bw, bh), Image.NEAREST
                             )
                         )
+                init_image = mask_image = None
+                if req.get("init_image_png_b64"):
+                    init_image = _decode_image(req["init_image_png_b64"])
+                if req.get("mask_image_png_b64"):
+                    from PIL import Image
+
+                    raw = base64.b64decode(req["mask_image_png_b64"])
+                    mask_image = (
+                        np.asarray(
+                            Image.open(io.BytesIO(raw)).convert("L"),
+                            np.float32,
+                        ) / 255.0
+                    )
                 wf = None
                 if req.get("weight_function"):
                     from ..ops.weight_functions import WeightFunction
@@ -123,6 +140,13 @@ def make_handler(batcher: Batcher):
                             True if req.get("freeu") is True
                             else tuple(req["freeu"]) if req.get("freeu")
                             else None
+                        ),
+                        "init_image": init_image,
+                        "mask_image": mask_image,
+                        "strength": float(req.get("strength", 0.5)),
+                        "mask_blur": float(req.get("mask_blur", 0.0)),
+                        "masked_content": str(
+                            req.get("masked_content", "original")
                         ),
                     }
                 )

@@ -265,3 +265,82 @@ def test_drain_group_editing_short_circuits(pipe):
     assert time.monotonic() - t0 < 1.0  # no max_wait sleep
     assert group == [p_edit]
     assert b._q.qsize() == 1  # untouched
+
+
+def test_batcher_img2img_singleton(pipe):
+    """img2img / inpaint requests carry per-request init/mask state so they
+    get singleton groups served by plain generate; results match a direct
+    generate call with the same kwargs."""
+    init = np.full((64, 64, 3), 120, np.uint8)
+    r = _req("a cat", 3)
+    r.update(init_image=init, strength=0.5)
+    assert compat_key(r) != compat_key(r)  # never groups
+    mask = np.zeros((64, 64), np.float32)
+    mask[8:32, 8:32] = 1.0
+    r_in = _req("a dog", 4)
+    r_in.update(init_image=init, mask_image=mask, strength=0.8,
+                mask_blur=2.0, masked_content="fill")
+    b = Batcher(pipe, max_batch=4, max_wait_ms=50.0)
+    try:
+        f1 = b.submit(dict(r))
+        f2 = b.submit(dict(r_in))
+        im1 = f1.result(timeout=600)
+        im2 = f2.result(timeout=600)
+        assert im1.size == (64, 64) and im2.size == (64, 64)
+    finally:
+        b.close()
+    direct = pipe.generate(**r, output_type="np")
+    np.testing.assert_array_equal(np.asarray(im1), np.asarray(direct)[0])
+
+
+def test_server_handler_inpaint_roundtrip(pipe):
+    """The HTTP handler decodes init/mask PNGs and returns an image (run
+    through a real socket so header/body framing is exercised)."""
+    import base64
+    import http.client
+    import io
+    import json
+    import threading as _t
+    from http.server import ThreadingHTTPServer
+
+    from PIL import Image
+
+    from pww_tpu.serving.server import make_handler
+
+    b = Batcher(pipe, max_batch=2, max_wait_ms=10.0)
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(b))
+    port = srv.server_address[1]
+    th = _t.Thread(target=srv.serve_forever, daemon=True)
+    th.start()
+
+    def _png(arr, mode="RGB"):
+        buf = io.BytesIO()
+        Image.fromarray(arr).convert(mode).save(buf, format="PNG")
+        return base64.b64encode(buf.getvalue()).decode()
+
+    init = np.full((64, 64, 3), 120, np.uint8)
+    mask = np.zeros((64, 64), np.uint8)
+    mask[16:48, 16:48] = 255
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=600)
+        body = json.dumps({
+            "prompt": "a cat",
+            "steps": 2,
+            "seed": 0,
+            "init_image_png_b64": _png(init),
+            "mask_image_png_b64": _png(mask, "L"),
+            "strength": 0.8,
+            "mask_blur": 1.5,
+        })
+        conn.request("POST", "/generate", body,
+                     {"Content-Type": "application/json"})
+        resp = conn.getresponse()
+        payload = json.loads(resp.read())
+        assert resp.status == 200, payload
+        img = Image.open(io.BytesIO(
+            base64.b64decode(payload["image_png_b64"])
+        ))
+        assert img.size == (64, 64)
+    finally:
+        srv.shutdown()
+        b.close()
