@@ -2148,14 +2148,22 @@ class PwwPipeline:
         freeu=None,  # FreeU: True (family defaults) or (b1, b2, s1, s2)
         sag_scale: float = 0.0,  # Self-Attention Guidance (0 = off)
         ip_adapter_image=None,  # one reference image shared by the batch
+        strength: float = 0.5,  # img2img noise level (shared: sets t_start)
     ):
         """Heterogeneous-prompt batch: N independent PwW requests, ONE compiled
         denoise call (BASELINE config #5: batched multi-prompt PwW).
 
         Each request dict: ``prompt``, ``color_map_image``, ``color_context``,
-        ``seed``, optional ``negative_prompt``. All requests in a batch share
-        resolution, steps, guidance, and the (static) weight function — the
-        serving batcher groups by that compatibility key. The reference serves
+        ``seed``, optional ``negative_prompt``; img2img/inpaint requests add
+        ``init_image`` (and ``mask_image``/``mask_blur``/``masked_content``).
+        All requests in a batch share resolution, steps, guidance, the
+        (static) weight function, and — for img2img — ``strength`` (it sets
+        the compile-static ``t_start``) and the img2img/inpaint mode; the
+        serving batcher groups by that compatibility key. Per-request init
+        images and masks are fine: init latents/noise/blend state are
+        per-sample rows of the batched scan, exactly as in :meth:`generate`
+        (reference `paint_with_words.py:435-460`,
+        `paint_with_words_inpaint.py:20-134`). The reference serves
         multi-request work as a serial host loop reloading models each time
         (reference `gradio_pww.py:31-45`).
         """
@@ -2172,11 +2180,45 @@ class PwwPipeline:
                     long_prompts=bool(r.get("long_prompts", False)),
                 )
             )
-        h0, w0 = encs[0].height, encs[0].width
+        # mode uniformity: txt2img / img2img / inpaint cannot mix in one
+        # compiled program (latent channels and t_start differ)
+        has_init = [r.get("init_image") is not None for r in requests]
+        has_mask = [r.get("mask_image") is not None for r in requests]
+        if any(has_init) and not all(has_init):
+            raise ValueError(
+                "all requests in a batch must agree on img2img (init_image)"
+            )
+        if any(has_mask):
+            if not all(has_mask):
+                raise ValueError(
+                    "all requests in a batch must agree on inpainting "
+                    "(mask_image)"
+                )
+            if not all(has_init):
+                raise ValueError(
+                    "inpainting requires init_image alongside mask_image"
+                )
+        img2img = all(has_init) and len(requests) > 0
+        inpaint = img2img and all(has_mask)
+
+        # resolution per request: the color map drives it when present,
+        # otherwise the %32-floored init image (generate's rule, see
+        # `_preprocess_image`; reference `paint_with_words.py:28-35`)
+        dims = []
+        for r, e in zip(requests, encs):
+            if r.get("color_map_image") is not None:
+                dims.append((e.height, e.width))
+            elif r.get("init_image") is not None:
+                ih, iw = _image_hw(r["init_image"], default=(512, 512))
+                dims.append((ih - ih % 32, iw - iw % 32))
+            else:
+                dims.append((e.height, e.width))
+        h0, w0 = dims[0]
         t0 = encs[0].text_states.shape[1]
-        for e in encs[1:]:
-            if (e.height, e.width) != (h0, w0):
+        for d in dims[1:]:
+            if d != (h0, w0):
                 raise ValueError("all requests in a batch must share resolution")
+        for e in encs[1:]:
             if e.text_states.shape[1] != t0:
                 raise ValueError(
                     "all requests in a batch must share the text length "
@@ -2242,11 +2284,139 @@ class PwwPipeline:
         schedule = self.scheduler.set_timesteps(num_inference_steps)
         sf = self.config.vae.scale_factor
         shape = (1, h0 // sf, w0 // sf, self.config.vae.latent_channels)
-        lats = []
-        for r, e in zip(requests, encs):
-            lat = make_noise(int(r.get("seed", 0)), shape, noise_mode)
-            lats.append(regional_seed_latents(lat, e.regions, noise_mode))
-        latents = jnp.concatenate(lats) * schedule.init_noise_sigma
+        cfg = self.config
+        t_start = 0
+        extra = None
+        blend_mask = blend_init_lat = blend_noise_arr = None
+        if img2img:
+            # Per-request init/mask, shared strength → shared (compile-static)
+            # t_start. Mirrors generate's img2img/inpaint prep exactly
+            # (reference `paint_with_words.py:435-460` truncation,
+            # `paint_with_words_inpaint.py:180-198` noising) so a batched
+            # request bit-matches the same request served alone.
+            legacy_inpaint = (
+                inpaint and cfg.unet.in_channels == cfg.vae.latent_channels
+            )
+            t_start = _t_start_from_strength(
+                num_inference_steps, strength, cfg.scheduler.steps_offset
+            )
+            if t_start > 0 and schedule.kind in ("pndm", "heun", "unipc",
+                                                 "dpmpp_2m", "dpmpp_2m_sde"):
+                raise ValueError(
+                    f"img2img strength truncation is not supported with the "
+                    f"{schedule.kind} scheduler; use lms/euler/ddim"
+                )
+            init_rows, mask_rows = [], []
+            for r in requests:
+                mc = r.get("masked_content", "original")
+                if mc not in ("original", "fill", "latent_noise",
+                              "latent_nothing"):
+                    raise ValueError(
+                        "masked_content must be one of original/fill/"
+                        f"latent_noise/latent_nothing, got {mc!r}"
+                    )
+                if ((mc != "original" or r.get("mask_blur"))
+                        and not inpaint):
+                    raise ValueError(
+                        "mask_blur/masked_content require mask_image "
+                        "(inpainting)"
+                    )
+                if (mc in ("latent_noise", "latent_nothing")
+                        and inpaint and not legacy_inpaint):
+                    raise ValueError(
+                        f"masked_content={mc!r} applies to the legacy "
+                        "masked-blend path (standard 4-channel checkpoints)"
+                    )
+                init = _preprocess_image(r["init_image"])
+                if init.shape[1:3] != (h0, w0):
+                    raise ValueError(
+                        "all requests in a batch must share resolution "
+                        f"(init image gives {init.shape[1]}x{init.shape[2]}, "
+                        f"batch is {h0}x{w0})"
+                    )
+                pm = None
+                if inpaint:
+                    pm = self._prepare_pixel_mask(
+                        r["mask_image"], init, float(r.get("mask_blur", 0.0))
+                    )
+                    if mc == "fill":
+                        from .inpaint import fill_masked_region
+
+                        init = jnp.asarray(
+                            fill_masked_region(np.asarray(init[0]), pm >= 0.5),
+                            jnp.float32,
+                        )[None]
+                init_rows.append(init)
+                mask_rows.append(pm)
+            # Per-request batch-1 VAE encodes, NOT one batched encode: XLA
+            # picks different conv reduction schedules per batch size, so a
+            # batched encode's latents would drift from the single path
+            # before the scan even starts — per-request encodes keep the
+            # initial latents bit-identical to `generate` (the batched scan
+            # itself still reassociates; see test_batch_img2img.py). All n
+            # calls hit the same compiled program (already built by any
+            # prior `generate`) and dispatch asynchronously, so the tunnel
+            # cost is one round-trip, not n.
+            lat_rows, extra_rows = [], []
+            bm_rows, bi_rows, bn_rows = [], [], []
+            for i, r in enumerate(requests):
+                seed = int(r.get("seed", 0))
+                k_sample, k_noise = jax.random.split(jax.random.PRNGKey(seed))
+                moments = run_encode_image(
+                    self.vae, self.params["vae"], init_rows[i]
+                )
+                init_lat = (
+                    sample_from_moments(moments, k_sample)
+                    * cfg.vae.scaling_factor
+                )
+                noise = make_noise(seed, shape, noise_mode)
+                if legacy_inpaint:
+                    m_lat = jax.image.resize(
+                        jnp.asarray(mask_rows[i], jnp.float32)[None, :, :, None],
+                        (1, h0 // sf, w0 // sf, 1), method="linear",
+                    )
+                    bm = jnp.clip(m_lat, 0.0, 1.0)
+                    mc = r.get("masked_content", "original")
+                    if mc == "latent_noise":
+                        hole = (bm >= 0.5).astype(jnp.float32)
+                        init_lat = (
+                            init_lat * (1.0 - hole)
+                            + jax.random.normal(k_noise, init_lat.shape) * hole
+                        )
+                    elif mc == "latent_nothing":
+                        init_lat = init_lat * (1.0 - (bm >= 0.5))
+                    bm_rows.append(bm)
+                    bi_rows.append(init_lat)
+                    bn_rows.append(noise)
+                elif inpaint:
+                    extra_rows.append(
+                        self._prepare_inpaint_channels(
+                            init_rows[i], mask_rows[i], 1
+                        )
+                    )
+                lat_rows.append(
+                    schedule.add_noise(init_lat, noise, jnp.int32(t_start))
+                )
+            latents = jnp.concatenate(lat_rows)
+            if extra_rows:
+                extra = jnp.concatenate(extra_rows)
+                expected = cfg.vae.latent_channels + extra.shape[-1]
+                if cfg.unet.in_channels != expected:
+                    raise ValueError(
+                        f"UNet expects {cfg.unet.in_channels} input channels "
+                        f"but latents+mask+masked_image = {expected}; pass an "
+                        "inpainting checkpoint (9-channel UNet)."
+                    )
+            if bm_rows:
+                blend_mask = jnp.concatenate(bm_rows)
+                blend_init_lat = jnp.concatenate(bi_rows)
+                blend_noise_arr = jnp.concatenate(bn_rows)
+        else:
+            lats = []
+            for r, e in zip(requests, encs):
+                lat = make_noise(int(r.get("seed", 0)), shape, noise_mode)
+                lats.append(regional_seed_latents(lat, e.regions, noise_mode))
+            latents = jnp.concatenate(lats) * schedule.init_noise_sigma
 
         from ..ops.weight_functions import CustomWeightFunction
 
@@ -2259,10 +2429,15 @@ class PwwPipeline:
             self.params["vae"],
             latents, text_states, pww,
             schedule, jnp.float32(guidance_scale), ip=ip,
+            extra_channels=extra,
+            t_start=t_start,
             cfg_batched=not isinstance(wf, CustomWeightFunction),
             cache_interval=cache_interval,
             sag_scale=jnp.float32(sag_scale) if sag_scale > 0 else None,
             added_cond=added_cond,
+            blend_mask=blend_mask,
+            blend_init=blend_init_lat,
+            blend_noise=blend_noise_arr,
             step_rng=(
                 jax.random.PRNGKey(0x5EED)
                 if schedule.needs_rng else None

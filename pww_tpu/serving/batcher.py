@@ -29,13 +29,19 @@ class _Pending:
 
 def _is_singleton(req: Dict) -> bool:
     """Requests that can't ride ``generate_batch``: per-step conditioning
-    switches (switch points differ per request) and img2img/inpaint
-    (per-request init/mask state). Served by a plain ``generate`` call."""
+    switches (switch points differ per request) and inpaint-only-masked
+    (per-request crop region → per-request paste-back resolution). Plain
+    img2img/inpaint requests DO batch — init latents, noise, and blend state
+    are per-sample rows of the batched scan."""
     return bool(
         req.get("prompt_editing")
-        or req.get("init_image") is not None
-        or req.get("mask_image") is not None
+        or req.get("inpaint_full_res")
     )
+
+
+def _image_shape_hw(img) -> Tuple[int, int]:
+    arr = np.asarray(img)
+    return int(arr.shape[0]), int(arr.shape[1])
 
 
 def compat_key(req: Dict, tokenizer=None) -> Tuple:
@@ -44,7 +50,25 @@ def compat_key(req: Dict, tokenizer=None) -> Tuple:
         # served by a plain `generate` call in the worker.
         return ("singleton", object())
     cm = req.get("color_map_image")
-    shape = tuple(cm.shape[:2]) if cm is not None else (512, 512)
+    init = req.get("init_image")
+    if cm is not None:
+        shape = tuple(cm.shape[:2])
+    elif init is not None:
+        # img2img without a color map: the %32-floored init image sets the
+        # resolution (pipeline's _preprocess_image rule)
+        ih, iw = _image_shape_hw(init)
+        shape = (ih - ih % 32, iw - iw % 32)
+    else:
+        shape = (512, 512)
+    # img2img/inpaint mode and strength are compile-relevant: t_start is a
+    # static argument of the denoise program and extra channels / blend state
+    # change its signature — only same-mode requests can share a batch.
+    i2i = init is not None
+    mode = (
+        i2i,
+        req.get("mask_image") is not None,
+        float(req.get("strength", 0.5)) if i2i else None,
+    )
     long_p = bool(req.get("long_prompts", False))
     # Windowed long-prompt encoding makes the text length a function of each
     # prompt's token count (encode.py:_window_ids); two long-prompt requests
@@ -70,6 +94,7 @@ def compat_key(req: Dict, tokenizer=None) -> Tuple:
         repr(req.get("freeu")),
         (long_p, n_win),
         float(req.get("sag_scale", 0.0)),
+        mode,
     )
 
 
@@ -180,7 +205,7 @@ class Batcher:
             try:
                 if group[0].key and group[0].key[0] == "singleton":
                     # singleton group (see compat_key): prompt editing and
-                    # img2img/inpaint run through plain generate
+                    # inpaint-only-masked run through plain generate
                     p = group[0]
                     img = self.pipeline.generate(
                         **p.request, output_type="np"
@@ -204,6 +229,7 @@ class Batcher:
                     tome_ratio=group[0].request.get("tome_ratio", 0.0),
                     freeu=group[0].request.get("freeu"),
                     sag_scale=group[0].request.get("sag_scale", 0.0),
+                    strength=group[0].request.get("strength", 0.5),
                     output_type="device",
                 )
                 try:

@@ -267,19 +267,22 @@ def test_drain_group_editing_short_circuits(pipe):
     assert b._q.qsize() == 1  # untouched
 
 
-def test_batcher_img2img_singleton(pipe):
-    """img2img / inpaint requests carry per-request init/mask state so they
-    get singleton groups served by plain generate; results match a direct
-    generate call with the same kwargs."""
+def test_batcher_img2img_mode_groups(pipe):
+    """img2img / inpaint requests batch through generate_batch (per-request
+    init/mask state rides per-sample rows), but the compatibility key splits
+    by (mode, strength) so an img2img and an inpaint request land in
+    DIFFERENT groups; a batch-1 group compiles the same program shapes as
+    plain generate, so its result is bit-identical to a direct call."""
     init = np.full((64, 64, 3), 120, np.uint8)
     r = _req("a cat", 3)
     r.update(init_image=init, strength=0.5)
-    assert compat_key(r) != compat_key(r)  # never groups
+    assert compat_key(r) == compat_key(dict(r, seed=9))  # same mode groups
     mask = np.zeros((64, 64), np.float32)
     mask[8:32, 8:32] = 1.0
     r_in = _req("a dog", 4)
     r_in.update(init_image=init, mask_image=mask, strength=0.8,
                 mask_blur=2.0, masked_content="fill")
+    assert compat_key(r) != compat_key(r_in)  # inpaint splits from img2img
     b = Batcher(pipe, max_batch=4, max_wait_ms=50.0)
     try:
         f1 = b.submit(dict(r))
