@@ -1815,6 +1815,7 @@ class PwwPipeline:
                 blend_mask = None if blend_mask is None else shard_batch(blend_mask, self.mesh)
                 blend_init_lat = None if blend_init_lat is None else shard_batch(blend_init_lat, self.mesh)
                 blend_noise_arr = None if blend_noise_arr is None else shard_batch(blend_noise_arr, self.mesh)
+                extra = None if extra is None else shard_batch(extra, self.mesh)
                 text_states = shard_batch(text_states, self.mesh)
                 pww = pww.replace(
                     weights={
@@ -2423,6 +2424,43 @@ class PwwPipeline:
         ip = None
         if self.config.unet.ip_adapter_tokens is not None:
             ip = self._ip_state(ip_adapter_image, n)
+        if self.mesh is not None:
+            # Serving on a pod: the request batch (and its CFG pair rows)
+            # shards over dp exactly like generate's num_samples path —
+            # shard_batch falls back to replication when dp doesn't divide
+            # the group size, so ragged serving groups still run.
+            from ..parallel.mesh import shard_batch
+
+            latents = shard_batch(latents, self.mesh)
+            text_states = shard_batch(text_states, self.mesh)
+            pww = pww.replace(
+                weights={
+                    k: shard_batch(v, self.mesh)
+                    for k, v in pww.weights.items()
+                },
+                weight_orig=None if pww.weight_orig is None
+                else shard_batch(pww.weight_orig, self.mesh),
+            )
+            extra = None if extra is None else shard_batch(extra, self.mesh)
+            blend_mask = (
+                None if blend_mask is None
+                else shard_batch(blend_mask, self.mesh)
+            )
+            blend_init_lat = (
+                None if blend_init_lat is None
+                else shard_batch(blend_init_lat, self.mesh)
+            )
+            blend_noise_arr = (
+                None if blend_noise_arr is None
+                else shard_batch(blend_noise_arr, self.mesh)
+            )
+            if added_cond is not None:
+                added_cond = {
+                    k: shard_batch(v, self.mesh)
+                    for k, v in added_cond.items()
+                }
+            if ip is not None:
+                ip = ip.replace(tokens=shard_batch(ip.tokens, self.mesh))
         images_dev = run_denoise_decode(
             self._unet_for(tome_ratio, freeu, sow_mid_attn=sag_scale > 0),
             self.params["unet"], self.vae,
