@@ -22,6 +22,10 @@ def main():
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--n", type=int, default=6, help="concurrent requests")
     ap.add_argument("--steps", type=int, default=30)
+    ap.add_argument("--img2img", action="store_true",
+                    help="also measure an img2img wave (these requests "
+                    "batched serially through plain generate before the "
+                    "per-sample-row scan landed)")
     args = ap.parse_args()
 
     import jax
@@ -117,6 +121,43 @@ def main():
         "latency_p95_s": round(lat[min(len(lat) - 1, int(0.95 * len(lat)))], 3),
         "tiny": bool(args.tiny),
     }
+    if args.img2img:
+        # img2img wave: per-request init latents/noise ride per-sample rows
+        # of the same compiled scan (previously: singleton generate calls)
+        rng = np.random.default_rng(0)
+        init = (rng.random((size, size, 3)) * 255).astype(np.uint8)
+
+        def i2i_req(i):
+            r = req(i)
+            r.update(init_image=init, strength=0.6)
+            return r
+
+        pipe.generate_batch([i2i_req(0)], num_inference_steps=steps,
+                            strength=0.6)
+        pipe.generate_batch([i2i_req(i) for i in range(args.n)],
+                            num_inference_steps=steps, strength=0.6)
+        t0 = time.time()
+        for i in range(args.n):
+            pipe.generate_batch([i2i_req(i)], num_inference_steps=steps,
+                                strength=0.6)
+        i2i_serial = time.time() - t0
+        batcher = Batcher(pipe, max_batch=args.n, max_wait_ms=200.0)
+        try:
+            t0 = time.time()
+            futs = [batcher.submit(i2i_req(i)) for i in range(args.n)]
+            for f in futs:
+                f.result(timeout=1200)
+            i2i_batched = time.time() - t0
+            i2i_batches = batcher.stats["batches"]
+        finally:
+            batcher.close()
+        record.update({
+            "img2img_serial_s": round(i2i_serial, 3),
+            "img2img_batched_s": round(i2i_batched, 3),
+            "img2img_speedup": round(i2i_serial / i2i_batched, 3),
+            "img2img_batches": i2i_batches,
+        })
+
     import json
 
     print(json.dumps(record))
