@@ -1592,6 +1592,10 @@ class PwwPipeline:
                 latents = regional_seed_latents(latents, enc.regions, noise_mode)
             latents = latents * schedule.init_noise_sigma
         else:
+            # SYNC DISCIPLINE: generate_batch's img2img branch mirrors this
+            # prep op-for-op so batched requests bit-match single ones —
+            # edits here must land there too (tests/test_batch_img2img.py
+            # gates the parity).
             init = _preprocess_image(init_image)  # (1, H', W', 3) in [-1, 1]
             proc_mask = None
             if inpaint:
@@ -2202,14 +2206,43 @@ class PwwPipeline:
         img2img = all(has_init) and len(requests) > 0
         inpaint = img2img and all(has_mask)
 
-        # resolution per request: the color map drives it when present,
-        # otherwise the %32-floored init image (generate's rule, see
-        # `_preprocess_image`; reference `paint_with_words.py:28-35`)
+        # Per-request validation that generate performs unconditionally
+        # (pipeline.py:1500-1521) — a txt2img request carrying mask_blur /
+        # masked_content is a caller error and must raise, not be silently
+        # ignored by the img2img branch below.
+        legacy_inpaint = (
+            inpaint
+            and self.config.unet.in_channels == self.config.vae.latent_channels
+        )
+        for r in requests:
+            mc = r.get("masked_content", "original")
+            if mc not in ("original", "fill", "latent_noise",
+                          "latent_nothing"):
+                raise ValueError(
+                    "masked_content must be one of original/fill/"
+                    f"latent_noise/latent_nothing, got {mc!r}"
+                )
+            if (mc != "original" or r.get("mask_blur")) and not inpaint:
+                raise ValueError(
+                    "mask_blur/masked_content require mask_image "
+                    "(inpainting)"
+                )
+            if (mc in ("latent_noise", "latent_nothing")
+                    and inpaint and not legacy_inpaint):
+                raise ValueError(
+                    f"masked_content={mc!r} applies to the legacy "
+                    "masked-blend path (standard 4-channel checkpoints)"
+                )
+
+        # Resolution per request: for img2img the %32-FLOORED init image sets
+        # the processing resolution exactly as in `generate` (latents take
+        # `_preprocess_image`'s shape, pipeline.py:1595,1674; a color map
+        # whose grid differs only drives the bias via bias_for()'s ORIG
+        # resize fallback) — a 500x500 map + 500x500 init runs at 480x480,
+        # it must not be rejected. txt2img keeps the raw encode dims.
         dims = []
         for r, e in zip(requests, encs):
-            if r.get("color_map_image") is not None:
-                dims.append((e.height, e.width))
-            elif r.get("init_image") is not None:
+            if r.get("init_image") is not None:
                 ih, iw = _image_hw(r["init_image"], default=(512, 512))
                 dims.append((ih - ih % 32, iw - iw % 32))
             else:
@@ -2291,13 +2324,13 @@ class PwwPipeline:
         blend_mask = blend_init_lat = blend_noise_arr = None
         if img2img:
             # Per-request init/mask, shared strength → shared (compile-static)
-            # t_start. Mirrors generate's img2img/inpaint prep exactly
-            # (reference `paint_with_words.py:435-460` truncation,
+            # t_start. SYNC DISCIPLINE: this prep mirrors generate's
+            # img2img/inpaint prep op-for-op (pipeline.py:1595-1680 —
+            # reference `paint_with_words.py:435-460` truncation,
             # `paint_with_words_inpaint.py:180-198` noising) so a batched
-            # request bit-matches the same request served alone.
-            legacy_inpaint = (
-                inpaint and cfg.unet.in_channels == cfg.vae.latent_channels
-            )
+            # request bit-matches the same request served alone; any edit to
+            # either copy must land in both — tests/test_batch_img2img.py
+            # gates the parity.
             t_start = _t_start_from_strength(
                 num_inference_steps, strength, cfg.scheduler.steps_offset
             )
@@ -2310,24 +2343,6 @@ class PwwPipeline:
             init_rows, mask_rows = [], []
             for r in requests:
                 mc = r.get("masked_content", "original")
-                if mc not in ("original", "fill", "latent_noise",
-                              "latent_nothing"):
-                    raise ValueError(
-                        "masked_content must be one of original/fill/"
-                        f"latent_noise/latent_nothing, got {mc!r}"
-                    )
-                if ((mc != "original" or r.get("mask_blur"))
-                        and not inpaint):
-                    raise ValueError(
-                        "mask_blur/masked_content require mask_image "
-                        "(inpainting)"
-                    )
-                if (mc in ("latent_noise", "latent_nothing")
-                        and inpaint and not legacy_inpaint):
-                    raise ValueError(
-                        f"masked_content={mc!r} applies to the legacy "
-                        "masked-blend path (standard 4-channel checkpoints)"
-                    )
                 init = _preprocess_image(r["init_image"])
                 if init.shape[1:3] != (h0, w0):
                     raise ValueError(

@@ -29,13 +29,18 @@ class _Pending:
 
 def _is_singleton(req: Dict) -> bool:
     """Requests that can't ride ``generate_batch``: per-step conditioning
-    switches (switch points differ per request) and inpaint-only-masked
-    (per-request crop region → per-request paste-back resolution). Plain
+    switches (switch points differ per request), inpaint-only-masked
+    (per-request crop region → per-request paste-back resolution), and
+    ControlNet / IP-Adapter conditioning (generate_batch has no hint /
+    per-request reference-image support — silently dropping them would
+    return a different image than the same request served alone). Plain
     img2img/inpaint requests DO batch — init latents, noise, and blend state
     are per-sample rows of the batched scan."""
     return bool(
         req.get("prompt_editing")
         or req.get("inpaint_full_res")
+        or req.get("control_image") is not None
+        or req.get("ip_adapter_image") is not None
     )
 
 
@@ -51,13 +56,15 @@ def compat_key(req: Dict, tokenizer=None) -> Tuple:
         return ("singleton", object())
     cm = req.get("color_map_image")
     init = req.get("init_image")
-    if cm is not None:
-        shape = tuple(cm.shape[:2])
-    elif init is not None:
-        # img2img without a color map: the %32-floored init image sets the
-        # resolution (pipeline's _preprocess_image rule)
+    if init is not None:
+        # img2img: the %32-floored init image sets the PROCESSING
+        # resolution (generate_batch's dims rule, matching generate's
+        # _preprocess_image) even when a color map is present — the map
+        # only drives the bias via the ORIG resize fallback.
         ih, iw = _image_shape_hw(init)
         shape = (ih - ih % 32, iw - iw % 32)
+    elif cm is not None:
+        shape = tuple(cm.shape[:2])
     else:
         shape = (512, 512)
     # img2img/inpaint mode and strength are compile-relevant: t_start is a
@@ -68,6 +75,9 @@ def compat_key(req: Dict, tokenizer=None) -> Tuple:
         i2i,
         req.get("mask_image") is not None,
         float(req.get("strength", 0.5)) if i2i else None,
+        # noise_mode is a batch-level generate_batch kwarg (host-side RNG
+        # choice): the worker forwards group[0]'s, so it must group
+        str(req.get("noise_mode", "jax")),
     )
     long_p = bool(req.get("long_prompts", False))
     # Windowed long-prompt encoding makes the text length a function of each
@@ -214,24 +224,52 @@ class Batcher:
 
                     p.future.set_result(Image.fromarray(np.asarray(img)[0]))
                     continue
-                # output_type="device": the un-fetched uint8 array lets this
-                # thread enqueue the NEXT group's compute while the fetcher
-                # thread pays this group's D2H transfer (JAX dispatch is
-                # async; the device executes in submission order).
-                images_dev = self.pipeline.generate_batch(
-                    [p.request for p in group],
-                    num_inference_steps=group[0].request.get(
-                        "num_inference_steps", 30
-                    ),
-                    guidance_scale=group[0].request.get("guidance_scale", 7.5),
-                    weight_function=group[0].request.get("weight_function"),
-                    cache_interval=group[0].request.get("cache_interval", 1),
-                    tome_ratio=group[0].request.get("tome_ratio", 0.0),
-                    freeu=group[0].request.get("freeu"),
-                    sag_scale=group[0].request.get("sag_scale", 0.0),
-                    strength=group[0].request.get("strength", 0.5),
-                    output_type="device",
+                # batch-level kwargs (uniform across the group — enforced
+                # by compat_key)
+                g0 = group[0].request
+                common = dict(
+                    num_inference_steps=g0.get("num_inference_steps", 30),
+                    guidance_scale=g0.get("guidance_scale", 7.5),
+                    weight_function=g0.get("weight_function"),
+                    cache_interval=g0.get("cache_interval", 1),
+                    tome_ratio=g0.get("tome_ratio", 0.0),
+                    freeu=g0.get("freeu"),
+                    sag_scale=g0.get("sag_scale", 0.0),
+                    strength=g0.get("strength", 0.5),
+                    noise_mode=g0.get("noise_mode", "jax"),
                 )
+                try:
+                    # output_type="device": the un-fetched uint8 array lets
+                    # this thread enqueue the NEXT group's compute while the
+                    # fetcher thread pays this group's D2H transfer (JAX
+                    # dispatch is async; the device executes in submission
+                    # order).
+                    images_dev = self.pipeline.generate_batch(
+                        [p.request for p in group],
+                        output_type="device", **common,
+                    )
+                except Exception:
+                    if len(group) == 1:
+                        raise
+                    # One request's validation error must not fail its
+                    # co-batched neighbors with a 500: retry each request
+                    # alone so only the offender errors (rare path — the
+                    # per-request programs are the already-compiled batch-1
+                    # shapes).
+                    from PIL import Image
+
+                    for p in group:
+                        try:
+                            img = self.pipeline.generate_batch(
+                                [p.request], output_type="np", **common,
+                            )
+                            p.future.set_result(
+                                Image.fromarray(np.asarray(img)[0])
+                            )
+                        except Exception as pe:
+                            if not p.future.done():
+                                p.future.set_exception(pe)
+                    continue
                 try:
                     self._fetcher.submit(self._resolve, group, images_dev)
                 except RuntimeError:

@@ -23,6 +23,7 @@ HEAVY = [
     "tests/test_sharding.py",
     "tests/test_sdxl.py",
     "tests/test_serving.py",
+    "tests/test_batch_img2img.py",
     "tests/test_sd2.py",
     "tests/test_ip_adapter.py",
     "tests/test_fidelity_harness.py",

@@ -164,6 +164,55 @@ def test_batched_9ch_inpaint_matches_single(pipe9):
                               _single(pipe9, r, strength=1.0, steps=2))
 
 
+def test_batched_img2img_non_multiple_of_32(pipe):
+    """The 500x500 case scaled down: a 68x68 map + 68x68 init must process
+    at the FLOORED init resolution (64x64) exactly like generate — the raw
+    map grid only drives the bias via the ORIG resize fallback — not be
+    rejected as a resolution mismatch."""
+    size = 68
+    cm = np.zeros((size, size, 3), np.uint8)
+    cm[:, : size // 2] = (255, 0, 0)
+    reqs = [
+        {"prompt": "a cat", "color_map_image": cm,
+         "color_context": {(255, 0, 0): "cat,1.0"}, "seed": 3,
+         "init_image": _init(3, size)},
+        {"prompt": "a dog", "color_map_image": cm,
+         "color_context": {(255, 0, 0): "dog,1.0"}, "seed": 8,
+         "init_image": _init(8, size)},
+    ]
+    batch = np.asarray(
+        pipe.generate_batch(
+            reqs, num_inference_steps=2, strength=0.6, output_type="np"
+        )
+    )
+    assert batch.shape == (2, 64, 64, 3)
+    _assert_quantum_equal(batch[0], _single(pipe, reqs[0], strength=0.6,
+                                            steps=2))
+
+
+def test_batch_rejects_masked_content_for_txt2img(pipe):
+    """generate's unconditional caller-error checks apply per request in
+    the batch path too — a txt2img request carrying masked_content or
+    mask_blur must raise, not silently return a plain image."""
+    with pytest.raises(ValueError, match="require mask_image"):
+        pipe.generate_batch(
+            [{"prompt": "a", "seed": 0, "color_map_image": _cm(),
+              "masked_content": "fill"}],
+            num_inference_steps=2,
+        )
+    with pytest.raises(ValueError, match="require mask_image"):
+        pipe.generate_batch(
+            [{"prompt": "a", "seed": 0, "color_map_image": _cm(),
+              "mask_blur": 4.0}],
+            num_inference_steps=2,
+        )
+    with pytest.raises(ValueError, match="masked_content must be"):
+        pipe.generate_batch(
+            [_req("a", 0, mask_image=_mask(), masked_content="bogus")],
+            num_inference_steps=2,
+        )
+
+
 def test_batch_rejects_mixed_modes(pipe):
     with pytest.raises(ValueError, match="agree on img2img"):
         pipe.generate_batch(
@@ -200,6 +249,39 @@ def test_compat_key_groups_img2img():
     # inpaint-only-masked stays singleton (per-request crop resolution)
     k = compat_key(_req("f", 5, mask_image=_mask(), inpaint_full_res=True))
     assert k[0] == "singleton"
+    # noise_mode is forwarded batch-level, so it must split groups
+    assert compat_key(a) != compat_key(_req("g", 6, noise_mode="torch"))
+    # ControlNet / IP-Adapter conditioning: generate_batch has no support,
+    # so these must ride singleton generate (not silently drop the hint)
+    for extra_field in ("control_image", "ip_adapter_image"):
+        k = compat_key({"prompt": "h", "seed": 7, "color_map_image": _cm(),
+                        extra_field: _init(7)})
+        assert k[0] == "singleton"
+    # img2img resolution key uses the floored init dims even with a map
+    cm68 = np.zeros((68, 68, 3), np.uint8)
+    k68 = compat_key({"prompt": "i", "seed": 8, "color_map_image": cm68,
+                      "init_image": _init(8, 68)})
+    assert k68[0] == (64, 64)
+
+
+def test_batcher_isolates_bad_request(pipe):
+    """One malformed request in a fused group must not 500 its co-batched
+    neighbors: the worker retries the group per-request so only the
+    offender errors."""
+    b = Batcher(pipe, max_batch=4, max_wait_ms=300.0)
+    try:
+        good = dict(_req("a cat", 0), num_inference_steps=2, strength=0.8)
+        bad = dict(_req("a dog", 1), num_inference_steps=2, strength=0.8,
+                   masked_content="bogus")
+        assert compat_key(good) == compat_key(bad)  # they DO fuse
+        f_good = b.submit(good)
+        f_bad = b.submit(bad)
+        img = f_good.result(timeout=300)
+        assert np.asarray(img).shape == (64, 64, 3)
+        with pytest.raises(ValueError, match="masked_content must be"):
+            f_bad.result(timeout=300)
+    finally:
+        b.close()
 
 
 def test_batcher_fuses_concurrent_img2img(pipe):
