@@ -73,20 +73,22 @@ def prepare_mask_and_masked_image(
 
 def _gauss2d(arr: np.ndarray, sigma: float) -> np.ndarray:
     """Separable 2D gaussian of a (H, W) float array, edge-padded,
-    UNclipped (also used on signed image channels)."""
+    UNclipped (also used on signed image channels).
+
+    Definition: truncated kernel at radius max(int(3σ), 1), normalized to
+    sum 1, applied per axis with edge replication — pinned against a direct
+    pad+convolve re-derivation in tests/test_inpaint_numerics.py. Runs via
+    scipy's C convolution (a Python per-row loop here is multi-second host
+    work at 512² σ=64 in the serving path)."""
+    from scipy.ndimage import convolve1d
+
     radius = max(int(3 * sigma), 1)
     x = np.arange(-radius, radius + 1, dtype=np.float32)
     k = np.exp(-0.5 * (x / sigma) ** 2)
     k /= k.sum()
     m = np.asarray(arr, np.float32)
-    mp = np.pad(m, ((radius, radius), (0, 0)), mode="edge")
-    m = np.stack([
-        np.convolve(mp[:, j], k, mode="valid") for j in range(m.shape[1])
-    ], axis=1)
-    mp = np.pad(m, ((0, 0), (radius, radius)), mode="edge")
-    m = np.stack([
-        np.convolve(mp[i, :], k, mode="valid") for i in range(m.shape[0])
-    ], axis=0)
+    m = convolve1d(m, k, axis=0, mode="nearest")
+    m = convolve1d(m, k, axis=1, mode="nearest")
     return m.astype(np.float32)
 
 

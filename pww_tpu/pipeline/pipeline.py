@@ -294,6 +294,12 @@ def _denoise_scan(
     if blend_mask is not None and cache_interval > 1:
         raise ValueError("cache_interval > 1 is not supported with legacy "
                          "masked-blend inpainting")
+    if blend_mask is not None and t_end is not None:
+        raise ValueError(
+            "denoising_end is not supported with legacy masked-blend "
+            "inpainting: the final exact restore assumes the trajectory ran "
+            "to completion, and a refiner continuation cannot carry the mask"
+        )
     if sag_scale is not None:
         if not cfg_batched:
             raise ValueError(
@@ -1408,8 +1414,13 @@ class PwwPipeline:
             # already-feathered mask
             mask_full = blur_mask(mask_np, float(mask_blur))
             mask_blur = 0.0
+            # The crop region expands from the BLURRED mask's support (as
+            # A1111 does): a feather wider than the padding must still land
+            # inside the crop, or the paste-back blend would cut it off at
+            # the region edge with a visible seam.
             x0, y0, x1, y1 = expand_crop_region(
-                mask_np, int(inpaint_full_res_padding), fw, fh
+                (mask_full > 1e-3).astype(np.float32),
+                int(inpaint_full_res_padding), fw, fh,
             )
 
             def _up(arr, resample):
@@ -2258,6 +2269,19 @@ class PwwPipeline:
                     "all requests in a batch must share the text length "
                     "(long_prompts window counts differ)"
                 )
+        # The PwW weight pyramids are keyed by the color-map grid, which can
+        # differ between requests even when the processing resolution agrees
+        # (e.g. a 64x64 map vs a 128x128 map on the same img2img init) —
+        # they cannot ride one program. The serving batcher keys groups by
+        # the map grid; reject direct callers with a real error, not a
+        # KeyError from the concat below.
+        keys0 = set(encs[0].pww.weights.keys())
+        for e in encs[1:]:
+            if set(e.pww.weights.keys()) != keys0:
+                raise ValueError(
+                    "all requests in a batch must share the color-map grid "
+                    "(the PwW weight pyramids have different spatial keys)"
+                )
 
         n = len(requests)
         # rows: [uncond_0..uncond_{n-1}, cond_0..cond_{n-1}]
@@ -2277,15 +2301,33 @@ class PwwPipeline:
             pooled = jnp.concatenate(
                 [e.pooled[:1] for e in encs] + [e.pooled[1:] for e in encs]
             )
+            # Micro-conditioning sizes follow generate's per-request rule
+            # (pipeline.py: color-map dims when a map is present, else the
+            # RAW un-floored init dims for img2img, else the encode dims) so
+            # a batched SDXL request carries the exact time_ids it would get
+            # served alone — NOT the %32-floored batch processing dims.
+            tid_dims = []
+            for r, e in zip(requests, encs):
+                if (r.get("init_image") is not None
+                        and r.get("color_map_image") is None):
+                    tid_dims.append(
+                        _image_hw(r["init_image"], default=(512, 512))
+                    )
+                else:
+                    tid_dims.append((e.height, e.width))
             if self.config.xl_refiner:
-                tid_c = jnp.asarray([h0, w0, 0, 0, 6.0], jnp.float32)
-                tid_u = jnp.asarray([h0, w0, 0, 0, 2.5], jnp.float32)
-                time_ids = jnp.concatenate(
-                    [jnp.tile(tid_u[None], (n, 1)), jnp.tile(tid_c[None], (n, 1))]
+                tid_c = jnp.asarray(
+                    [[h, w, 0, 0, 6.0] for h, w in tid_dims], jnp.float32
                 )
+                tid_u = jnp.asarray(
+                    [[h, w, 0, 0, 2.5] for h, w in tid_dims], jnp.float32
+                )
+                time_ids = jnp.concatenate([tid_u, tid_c])
             else:
-                tid = jnp.asarray([h0, w0, 0, 0, h0, w0], jnp.float32)
-                time_ids = jnp.tile(tid[None], (2 * n, 1))
+                tid = jnp.asarray(
+                    [[h, w, 0, 0, h, w] for h, w in tid_dims], jnp.float32
+                )
+                time_ids = jnp.concatenate([tid, tid])
             added_cond = {
                 "text_embeds": pooled.astype(jnp.float32),
                 "time_ids": time_ids,
@@ -2295,12 +2337,18 @@ class PwwPipeline:
         # from the actual latent attention size, reference :96-101). Resolution
         # equality across the group is enforced above, so shapes agree.
         worigs = [e.pww.weight_orig for e in encs]
-        weight_orig = (
-            None if any(w is None for w in worigs)
-            else jnp.concatenate(
+        if all(w is None for w in worigs):
+            weight_orig = None
+        else:
+            # A request without a color map has an all-zero pyramid; give it
+            # a zero ORIG row too instead of silently dropping the fallback
+            # for the requests that DO carry one.
+            tmpl = next(w for w in worigs if w is not None)
+            worigs = [jnp.zeros_like(tmpl) if w is None else w
+                      for w in worigs]
+            weight_orig = jnp.concatenate(
                 [w[:1] for w in worigs] + [w[1:] for w in worigs]
             )
-        )
         pww = PwwState(
             weights=weights, weight_orig=weight_orig, sigma=jnp.float32(0.0),
             weight_fn=wf,

@@ -56,6 +56,11 @@ def compat_key(req: Dict, tokenizer=None) -> Tuple:
         return ("singleton", object())
     cm = req.get("color_map_image")
     init = req.get("init_image")
+    # The color-map grid sets the PwW weight-pyramid spatial keys; requests
+    # with different grids (or map vs no map) cannot share one
+    # generate_batch call even when the processing resolution agrees
+    # (pipeline enforces equal pyramid keys), so the grid is part of the key.
+    map_grid = None if cm is None else _image_shape_hw(cm)
     if init is not None:
         # img2img: the %32-floored init image sets the PROCESSING
         # resolution (generate_batch's dims rule, matching generate's
@@ -64,7 +69,7 @@ def compat_key(req: Dict, tokenizer=None) -> Tuple:
         ih, iw = _image_shape_hw(init)
         shape = (ih - ih % 32, iw - iw % 32)
     elif cm is not None:
-        shape = tuple(cm.shape[:2])
+        shape = map_grid
     else:
         shape = (512, 512)
     # img2img/inpaint mode and strength are compile-relevant: t_start is a
@@ -96,6 +101,7 @@ def compat_key(req: Dict, tokenizer=None) -> Tuple:
         )
     return (
         shape,
+        map_grid,
         int(req.get("num_inference_steps", 30)),
         float(req.get("guidance_scale", 7.5)),
         repr(req.get("weight_function")),

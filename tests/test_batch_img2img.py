@@ -300,3 +300,52 @@ def test_batcher_fuses_concurrent_img2img(pipe):
         _assert_quantum_equal(np.asarray(imgs[1]), single)
     finally:
         b.close()
+
+
+def test_compat_key_separates_map_grids():
+    """Same floored init dims, different color-map grids → different PwW
+    pyramid keys → must not share a batch key (regression: equal keys fused
+    groups that generate_batch then failed with a KeyError)."""
+    r64 = _req("a cat", 0)
+    r128 = dict(r64, color_map_image=_cm(128))
+    r_none = {k: v for k, v in r64.items()
+              if k not in ("color_map_image", "color_context")}
+    assert compat_key(r64) != compat_key(r128)
+    assert compat_key(r64) != compat_key(r_none)
+    assert compat_key(r64) == compat_key(dict(r64, seed=5))
+
+
+def test_generate_batch_rejects_mixed_map_grids(pipe):
+    reqs = [
+        _req("a cat", 0),
+        dict(_req("a dog", 1), color_map_image=_cm(128)),
+    ]
+    with pytest.raises(ValueError, match="color-map grid"):
+        pipe.generate_batch(reqs, num_inference_steps=2, strength=0.6)
+
+
+@pytest.fixture(scope="module")
+def pipe_xl():
+    import jax.numpy as jnp
+
+    return PwwPipeline(config=SDModelConfig.tiny_xl(), weights_dtype=None,
+                       compute_dtype=jnp.float32)
+
+
+def test_batch1_sdxl_img2img_time_ids_match_single(pipe_xl):
+    """SDXL micro-conditioning: a non-%32 init (80x80) PROCESSES at 64x64
+    but generate's time_ids carry the raw 80x80 dims — the batch path must
+    build the same per-request time_ids or a batched request diverges from
+    the same request served alone."""
+    req = {"prompt": "a cat", "seed": 3, "init_image": _init(3, size=80)}
+    batch = np.asarray(
+        pipe_xl.generate_batch(
+            [req], num_inference_steps=2, strength=0.6, output_type="np"
+        )
+    )
+    single = np.asarray(
+        pipe_xl.generate(
+            **req, strength=0.6, num_inference_steps=2, output_type="np"
+        )
+    )[0]
+    np.testing.assert_array_equal(batch[0], single)

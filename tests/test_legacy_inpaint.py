@@ -202,3 +202,13 @@ def test_inpaint_full_res_validation(pipe):
     with pytest.raises(ValueError, match="return_latents"):
         pipe.generate(init_image=_init(), mask_image=_mask(),
                       inpaint_full_res=True, return_latents=True, **_kw())
+
+
+def test_legacy_inpaint_rejects_denoising_end(pipe):
+    """The final exact restore assumes a complete trajectory; an
+    ensemble-of-denoisers split would hand the refiner clean unmasked
+    pixels at the wrong noise level — reject the combination."""
+    with pytest.raises(ValueError, match="denoising_end"):
+        pipe.generate(
+            init_image=_init(), mask_image=_mask(), seed=0,
+            denoising_end=0.5, return_latents=True, **_kw())
