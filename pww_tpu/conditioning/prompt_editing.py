@@ -19,8 +19,10 @@ True)`: each distinct rendered prompt is encoded once (the encode cache
 dedupes across segments and calls) and the denoise scan is split at the
 switch points with the scheduler state carried through — the same
 segmented-scan machinery the per-step ``callback`` path uses, so every
-scheduler (including multistep ones, whose histories persist across a
-switch, matching A1111) works unchanged.
+scheduler works (multistep histories persist across a switch, matching
+A1111). Switch points here are in SAMPLER-STEP units; the pipeline maps
+them to scan-visit indices via ``Schedule.visit_of_step`` because pndm
+and heun visit some steps twice.
 """
 from __future__ import annotations
 

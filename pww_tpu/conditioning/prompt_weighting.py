@@ -106,10 +106,15 @@ def weighted_prompt_ids(
             i for i in ids
             if i not in (tokenizer.bos_token_id, tokenizer.eos_token_id)
         ]
-        # a real tokenizer pads to eos; guard against pad-id leakage too
+        # Guard against pad-id leakage from tokenizers that pad by default —
+        # but only strip TRAILING pads: OpenCLIP towers pad with id 0, which
+        # is also the legitimate non-word-final "!" token ("hey!?" encodes to
+        # [..., 0, '?</w>']), so filtering id 0 everywhere would silently
+        # drop real tokens and shift every later position.
         pad = getattr(tokenizer, "pad_token_id", None)
         if pad is not None and pad != tokenizer.eos_token_id:
-            ids = [i for i in ids if i != pad]
+            while ids and ids[-1] == pad:
+                ids.pop()
         body_ids.extend(ids)
         body_w.extend([w] * len(ids))
     body_ids = body_ids[: max_len - 2]

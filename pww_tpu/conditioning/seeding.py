@@ -9,7 +9,10 @@ mask-weighted sum of the regional latents.
 RNG parity: torch's ``manual_seed`` stream is not reproducible with
 ``jax.random``, so for fixed-seed fidelity checks we optionally draw initial
 noise with CPU torch (``noise_mode="torch"`` — host-side, prologue only);
-default is pure ``jax.random`` (fold_in per region, deterministic under jit).
+default is pure ``jax.random``, with each region's latent drawn from
+``PRNGKey(region.seed)`` directly — mirroring the reference's independent
+``manual_seed`` generator per region, NOT a fold_in of one master key (two
+regions given the same seed intentionally get identical noise, as there).
 """
 from __future__ import annotations
 
@@ -49,13 +52,13 @@ def regional_seed_latents(
     noise_mode: str = "jax",
 ) -> jnp.ndarray:
     """Composite per-region seeded noise over the base latent."""
-    seeded = [(i, r) for i, r in enumerate(regions) if r.seed is not None]
+    seeded = [r for r in regions if r.seed is not None]
     if not seeded:
         return base_latents
     b, h, w, c = base_latents.shape
     masks = []
     lats = []
-    for _, r in seeded:
+    for r in seeded:
         binary = (r.mask > 0).astype(np.float32)
         m = resize_bilinear(
             jnp.asarray(binary)[None, None], h, w, align_corners=False

@@ -222,7 +222,7 @@ def fused_pww_cross_attention(
     scale = 1.0 / (dh ** 0.5)
 
     bq = _pick_block_q(lq, block_q)
-    if bq is None or lq < 256:
+    if bq is None:  # too short (< 256) or not tile-divisible: dense fallback
         # shapes too odd to tile: dense fallback, bias = coef·w inlined
         # (coef already includes the per-sample reduce)
         s = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)

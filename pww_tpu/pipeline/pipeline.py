@@ -1985,8 +1985,14 @@ class PwwPipeline:
             # device conditioning sets, not 150.
             cond_memo: Dict = {}
             for end, pos_v, neg_v in edit_sched:
-                if end > t_start:  # rows fully before t_start never run
-                    bounds.append(end)
+                # switch points are in sampler-step units; the loop below
+                # walks SCAN-VISIT indices (pndm/heun visit some steps
+                # twice), so map before comparing — both visits of one
+                # step share its conditioning, and the final bound lands
+                # on num_steps so seg_ix can never run off the list.
+                vend = schedule.visit_of_step(end)
+                if vend > t_start:  # rows fully before t_start never run
+                    bounds.append(vend)
                     if (pos_v, neg_v) not in cond_memo:
                         cond_memo[pos_v, neg_v] = _cond_for(pos_v, neg_v)
                     conds.append(cond_memo[pos_v, neg_v])

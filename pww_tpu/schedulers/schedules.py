@@ -47,13 +47,6 @@ def make_betas(cfg: SchedulerConfig) -> np.ndarray:
     raise ValueError(f"unknown beta_schedule {cfg.beta_schedule!r}")
 
 
-def make_sigmas(cfg: SchedulerConfig) -> np.ndarray:
-    """Per-train-timestep Karras sigma table: sqrt((1-ᾱ)/ᾱ)."""
-    betas = make_betas(cfg)
-    alphas_cumprod = np.cumprod(1.0 - betas)
-    return np.sqrt((1.0 - alphas_cumprod) / alphas_cumprod)
-
-
 def _lms_coefficients(sigmas: np.ndarray, num_steps: int) -> np.ndarray:
     """(num_steps, LMS_ORDER) integrated-Lagrange coefficients, zero-padded."""
     from scipy import integrate
@@ -112,6 +105,20 @@ class Schedule(flax.struct.PyTreeNode):
     num_steps: int = flax.struct.field(pytree_node=False, default=30)
 
     # -- uniform interface ---------------------------------------------------
+    def visit_of_step(self, step: int) -> int:
+        """Scan-visit index at which requested step ``step`` (0-based)
+        begins. The denoise scan visits some steps more than once —
+        pndm's doubled PLMS warmup (its 2nd step runs twice) and heun's
+        two-stage steps — so anything expressed in sampler-step units
+        (e.g. A1111 prompt-editing switch points) must be mapped before
+        it is compared against scan indices. 1:1 for every other kind.
+        ``step == N`` maps to ``num_steps`` (the end of the scan)."""
+        if self.kind == "heun":
+            return min(max(2 * step - 1, 0), self.num_steps)
+        if self.kind == "pndm":
+            return min(step if step <= 1 else step + 1, self.num_steps)
+        return min(step, self.num_steps)
+
     @property
     def needs_rng(self) -> bool:
         """Kinds whose ``step`` draws fresh noise (pass ``rng=``)."""
@@ -636,25 +643,30 @@ class Scheduler:
         With ``use_karras_sigmas`` the trajectory follows the Karras ρ=7 ramp
         (σ ↦ ᾱ = 1/(1+σ²), fractional timesteps via log-sigma interpolation —
         the "DPM++ 2M Karras" / "UniPC Karras" sampler variants); otherwise
-        the standard rounded-linspace integer timesteps. The final 'next'
-        alpha clamps to ᾱ[0] in both cases.
+        the standard rounded-linspace integer timesteps. Spacing follows
+        diffusers: ``linspace(0, T−1, N+1).round()[::-1][:-1]`` — N+1 points
+        with the trailing t=0 DROPPED, and the final 'next' alpha is exactly
+        1.0 (σ=0 — diffusers ``final_sigmas_type="zero"``, the modern
+        DPMSolverMultistep/UniPC default): the last update lands exactly on
+        the predicted x0, so the x0-prediction error at t_min — not a fixed
+        λ-jump — bounds the final-step error. Keeping t=0 as the last
+        timestep (the old behavior) would make the final step h=0 — an
+        identity update that discards one UNet eval per image and parks
+        ``lower_order_final`` on a no-op step.
         """
         cfg = self.config
+        t_int = np.linspace(
+            0, cfg.num_train_timesteps - 1, num_steps + 1
+        ).round().astype(np.int64)[::-1][:-1].copy()
         if cfg.use_karras_sigmas:
             full = np.sqrt((1.0 - alphas_cumprod) / alphas_cumprod)
-            ts_lin = np.linspace(
-                0, cfg.num_train_timesteps - 1, num_steps, dtype=np.float64
-            )[::-1].copy()
-            lin = np.interp(ts_lin, np.arange(cfg.num_train_timesteps), full)
+            lin = full[t_int]
             sig, ts = _karras_sigmas(lin, full, num_steps)
             ac = 1.0 / (1.0 + sig ** 2)
         else:
-            t_int = np.linspace(
-                0, cfg.num_train_timesteps - 1, num_steps
-            ).round().astype(np.int64)[::-1].copy()
             ts = t_int.astype(np.float64)
             ac = alphas_cumprod[t_int]
-        ac_next = np.concatenate([ac[1:], [alphas_cumprod[0]]])
+        ac_next = np.concatenate([ac[1:], [1.0]])
         return ts, ac, ac_next
 
     def _set_timesteps_dpmpp(
@@ -677,7 +689,11 @@ class Scheduler:
         alpha_t, sigma_t = np.sqrt(ac_t), np.sqrt(1 - ac_t)
         alpha_p, sigma_p = np.sqrt(ac_p), np.sqrt(1 - ac_p)
         lam_t = np.log(alpha_t) - np.log(sigma_t)
-        lam_p = np.log(alpha_p) - np.log(sigma_p)
+        # final σ' is exactly 0 (final_sigmas_type="zero"): the floor keeps
+        # λ finite so the coefficient limits fall out exactly —
+        # exp(-h) underflows to 0, so x_coeff[-1]=0, d_coeff[-1]=α'=1 (the
+        # final update returns the predicted x0) and n_coeff[-1]=0.
+        lam_p = np.log(alpha_p) - np.log(np.maximum(sigma_p, 1e-38))
         h = lam_p - lam_t  # step size in λ space (positive: λ grows)
         h_last = np.concatenate([[np.nan], h[:-1]])
 

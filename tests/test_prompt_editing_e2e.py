@@ -95,3 +95,22 @@ def test_editing_rejects_deepcache_and_sag(pipe):
         pipe.generate(cache_interval=3, **kw)
     with pytest.raises(ValueError, match="sag_scale"):
         pipe.generate(sag_scale=0.5, **kw)
+
+
+@pytest.mark.parametrize("kind", ["pndm", "heun"])
+def test_editing_with_multi_visit_schedulers(kind):
+    """pndm/heun visit some steps twice: switch bounds are mapped from
+    sampler-step units to scan-visit indices (regression: the segment loop
+    walked off the bounds list with IndexError)."""
+    from pww_tpu import PwwPipeline
+    from pww_tpu.config import SDModelConfig
+
+    pipe = PwwPipeline(config=SDModelConfig.tiny(), scheduler=kind)
+    out = pipe.generate(
+        prompt="a [cat|dog]", prompt_editing=True, num_inference_steps=4,
+        seed=0, color_map_image=np.zeros((64, 64, 3), np.uint8),
+        output_type="np",
+    )
+    arr = np.asarray(out)
+    assert arr.shape == (1, 64, 64, 3)
+    assert np.isfinite(arr.astype(np.float64)).all()

@@ -118,3 +118,25 @@ def test_generate_weighting_xl_dual_tower():
 def test_unmatched_brackets_stay_literal(text, want):
     got = parse_prompt_attention(text)
     assert got == want
+
+
+def test_weighted_ids_keep_interior_pad_id_token():
+    """OpenCLIP towers pad with id 0, which is ALSO the legitimate
+    non-word-final '!' token: the pad guard must only strip trailing pads,
+    never interior tokens (regression: SDXL tokenizer_2 dropped '!' from
+    'hey!?' under prompt_weighting, shifting every later position)."""
+
+    class _Tok:
+        model_max_length = 8
+        bos_token_id = 100
+        eos_token_id = 101
+        pad_token_id = 0
+
+        def __call__(self, text, **kw):
+            # 'hey!?' → [bos, hey, !(id 0, non-word-final), ?</w>, eos, pad]
+            return {"input_ids": [100, 71, 0, 286, 101, 0, 0]}
+
+    ids, weights = weighted_prompt_ids(_Tok(), "hey!?")
+    # interior 0 kept, trailing pads stripped, then padded back out
+    assert ids == [100, 71, 0, 286, 101, 0, 0, 0]
+    assert list(weights) == [1.0] * 8

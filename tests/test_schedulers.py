@@ -397,8 +397,15 @@ def test_unipc_exact_for_constant_x0():
 
 
 def test_unipc_converges_to_ode_solution():
-    """UniPC-2 must converge to the same probability-flow ODE solution as
-    DPM-Solver++ 2M (2048-step ground truth) with 2nd-order-like behavior."""
+    """UniPC-2 and DPM-Solver++ 2M integrate the same probability-flow ODE
+    over the same trajectory family. With ``final_sigmas_type="zero"``
+    (diffusers default) the output is the t_min x0 prediction and t_min
+    shrinks with N, so the error vs a dense-step reference has two
+    components: the SOLVER error (2nd order — measured solver-vs-solver at
+    matched N, where the endpoint cancels exactly) and the endpoint drift
+    of this toy model's ever-changing x0 prediction (decays slowly by
+    construction — real denoisers' x0 output is nearly constant at low t,
+    which is why diffusers defaults to the zero-final-sigma jump)."""
     rng = np.random.default_rng(1)
     x_init = rng.standard_normal((1, 4, 4, 1)).astype(np.float32)
 
@@ -409,12 +416,19 @@ def test_unipc_converges_to_ode_solution():
     # linspace would duplicate integer timesteps -> degenerate h=0 steps)
     ref = _run_alpha_space("dpmpp_2m", 500, x_init, model)
     scale = np.abs(ref).mean()
-    err = {n: np.abs(_run_alpha_space("unipc", n, x_init, model) - ref).max()
-           for n in (4, 8, 16)}
-    assert err[8] < err[4] and err[16] < err[8], err  # converging
-    assert err[16] < 0.04 * scale, (err, scale)
-    err_dpm8 = np.abs(_run_alpha_space("dpmpp_2m", 8, x_init, model) - ref).max()
-    assert err[8] < 3 * err_dpm8, (err[8], err_dpm8)  # same accuracy class
+    solver_err, end_err = {}, {}
+    for n in (4, 16, 64):
+        u = _run_alpha_space("unipc", n, x_init, model)
+        d = _run_alpha_space("dpmpp_2m", n, x_init, model)
+        solver_err[n] = np.abs(u - d).max()
+        end_err[n] = np.abs(u - ref).max()
+    # matched-N solver agreement: 2nd-order-like decay, tight by N=64
+    assert solver_err[16] < solver_err[4] / 3, solver_err
+    assert solver_err[64] < solver_err[16] / 3, solver_err
+    assert solver_err[64] < 1e-3 * scale, (solver_err, scale)
+    # endpoint drift decays monotonically toward the dense reference
+    assert end_err[16] < end_err[4] and end_err[64] < end_err[16], end_err
+    assert end_err[64] < 0.2 * scale, (end_err, scale)
 
 
 def test_unipc_pipeline_end_to_end():
@@ -720,3 +734,54 @@ def test_dpmpp_2m_sde_karras_spacing_runs():
     ).set_timesteps(6)
     s = np.asarray(sch.sigmas)[:-1]
     assert (np.diff(s) < 0).all()  # strictly decreasing Karras ramp
+
+
+def test_alpha_trajectory_diffusers_spacing_no_degenerate_final_step():
+    """dpmpp_2m/unipc spacing must match diffusers
+    (linspace(0, T-1, N+1).round()[::-1][:-1]): keeping t=0 as the last
+    timestep makes the final step h=0 — an identity update that discards
+    one UNet eval per image and parks lower_order_final on a no-op."""
+    for kind in ("dpmpp_2m", "dpmpp_2m_sde", "unipc"):
+        sch = make_scheduler(kind).set_timesteps(8)
+        ts = np.asarray(sch.timesteps)
+        np.testing.assert_array_equal(
+            ts, [999, 874, 749, 624, 500, 375, 250, 125]
+        )
+        ac = np.asarray(sch.alphas_cumprod_t)
+        ac_next = np.asarray(sch.alphas_cumprod_prev)
+        # every step advances: next alpha strictly above current alpha
+        assert (ac_next > ac + 1e-9).all(), (kind, ac_next - ac)
+
+
+def test_dpmpp_2m_final_step_is_not_identity(rng):
+    sch = make_scheduler("dpmpp_2m").set_timesteps(8)
+    x = jnp.asarray(rng.standard_normal((1, 4, 4, 2)).astype(np.float32))
+    st = sch.init_state(x.shape, jnp.float32)
+    eps = jnp.asarray(rng.standard_normal(x.shape).astype(np.float32))
+    # run to the last index with arbitrary eps; the final update must move
+    prev = x
+    for i in range(sch.num_steps):
+        prev = x
+        x, st = sch.step(eps, jnp.int32(i), x, st)
+    assert float(jnp.abs(x - prev).max()) > 1e-6
+
+
+def test_visit_of_step_mappings():
+    """Sampler-step → scan-visit mapping (prompt-editing switch points)."""
+    n = 8
+    pndm = make_scheduler("pndm").set_timesteps(n)
+    heun = make_scheduler("heun").set_timesteps(n)
+    lms = make_scheduler("lms").set_timesteps(n)
+    assert [lms.visit_of_step(s) for s in (0, 1, 4, n)] == [0, 1, 4, n]
+    # pndm: PLMS warmup doubles the 2nd step → N+1 visits
+    assert pndm.num_steps == n + 1
+    assert [pndm.visit_of_step(s) for s in (0, 1, 2, 3, n)] == [0, 1, 3, 4,
+                                                               n + 1]
+    ts = np.asarray(pndm.timesteps)
+    assert ts[1] == ts[2]  # the doubled visit is step 1, visits 1-2
+    # heun: steps 1.. run two stages → 2N-1 visits
+    assert heun.num_steps == 2 * n - 1
+    assert [heun.visit_of_step(s) for s in (0, 1, 2, n)] == [0, 1, 3,
+                                                             2 * n - 1]
+    ts = np.asarray(heun.timesteps)
+    assert ts[1] == ts[2] and ts[3] == ts[4]
