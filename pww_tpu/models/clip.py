@@ -135,14 +135,20 @@ class CLIPTextEncoder(nn.Module):
             raise ValueError(
                 "pooled output requires CLIPTextConfig.projection_dim"
             )
-        if cfg.eos_token_id is not None:
+        if cfg.eos_token_id is not None and cfg.eos_token_id != 2:
             # first EOS occurrence — robust to added/TI token ids > EOS id
             # (transformers CLIPTextModelWithProjection semantics)
             eos_pos = jnp.argmax(
                 (input_ids == cfg.eos_token_id).astype(jnp.int32), axis=-1
             )
         else:
-            eos_pos = jnp.argmax(input_ids, axis=-1)  # CLIP: EOS = max id
+            # CLIP: EOS = max id. eos_token_id == 2 is the legacy-wrong
+            # value shipped in SD/SDXL text-encoder config.json files (id 2
+            # never appears in tokenized prompts); transformers special-
+            # cases it to this argmax fallback, and so must we, or the
+            # pooled embedding is read from position 0 (BOS) on every
+            # prompt.
+            eos_pos = jnp.argmax(input_ids, axis=-1)
         pooled = final[jnp.arange(final.shape[0]), eos_pos]
         pooled = nn.Dense(
             cfg.projection_dim, use_bias=False, dtype=self.dtype,

@@ -96,9 +96,13 @@ CLIP_IMAGE_STD = (0.26862954, 0.26130258, 0.27577711)
 def preprocess_clip_image(image, size: int = 224) -> jnp.ndarray:
     """PIL / (H, W, 3) uint8 → normalized (1, size, size, 3) float32.
 
-    Bicubic resize to (size, size) + CLIP mean/std normalization
-    (transformers CLIPImageProcessor with do_center_crop on a square
-    resize — the IP-Adapter reference preprocessing).
+    transformers ``CLIPImageProcessor`` semantics (the IP-Adapter reference
+    preprocessing): bicubic resize of the SHORTEST edge to ``size``
+    preserving aspect ratio, center crop to (size, size), 1/255 rescale,
+    CLIP mean/std normalization. A direct square resize would squash
+    non-square references anisotropically and shift the image embedding.
+    Pinned against the real ``transformers.CLIPImageProcessor`` in
+    tests/test_ip_adapter.py.
     """
     import numpy as np
     from PIL import Image
@@ -108,7 +112,15 @@ def preprocess_clip_image(image, size: int = 224) -> jnp.ndarray:
         if arr.dtype != np.uint8:
             arr = (np.clip(arr, 0, 1) * 255).astype(np.uint8)
         image = Image.fromarray(arr)
-    image = image.convert("RGB").resize((size, size), Image.BICUBIC)
+    image = image.convert("RGB")
+    w, h = image.size
+    if h <= w:  # shortest-edge resize (transformers
+        nh, nw = size, int(size * w / h)  # get_resize_output_image_size)
+    else:
+        nh, nw = int(size * h / w), size
+    image = image.resize((nw, nh), Image.BICUBIC)
+    left, top = (nw - size) // 2, (nh - size) // 2
+    image = image.crop((left, top, left + size, top + size))
     x = np.asarray(image, np.float32) / 255.0
     x = (x - np.asarray(CLIP_IMAGE_MEAN)) / np.asarray(CLIP_IMAGE_STD)
     return jnp.asarray(x[None])

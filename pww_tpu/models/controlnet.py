@@ -130,6 +130,12 @@ class ControlNet(nn.Module):
                     nh, hd = cfg.heads_for(ch)
                     x = Transformer2D(
                         nh, hd, depth=cfg.depth_for(bi),
+                        use_flash=cfg.flash_attention,
+                        use_fused_cross=cfg.fused_cross_attention,
+                        xattn_block_q=cfg.xattn_block_q,
+                        flash_min_seq=cfg.flash_min_seq,
+                        flash_block=cfg.flash_block,
+                        xattn_variant=cfg.xattn_variant,
                         groups=cfg.norm_num_groups,
                         dtype=self.dtype, name=f"down_{bi}_attn_{li}",
                     )(x, ctx, pww)
@@ -149,6 +155,12 @@ class ControlNet(nn.Module):
         nh, hd = cfg.heads_for(ch)
         x = Transformer2D(
             nh, hd, depth=cfg.depth_for(len(cfg.block_out_channels) - 1),
+            use_flash=cfg.flash_attention,
+            use_fused_cross=cfg.fused_cross_attention,
+            xattn_block_q=cfg.xattn_block_q,
+            flash_min_seq=cfg.flash_min_seq,
+            flash_block=cfg.flash_block,
+            xattn_variant=cfg.xattn_variant,
             groups=cfg.norm_num_groups, dtype=self.dtype,
             name="mid_attn",
         )(x, ctx, pww)

@@ -387,10 +387,14 @@ class UNet2DCondition(nn.Module):
                     groups=cfg.norm_num_groups, dtype=self.dtype,
                     name=f"down_{bi}_attn_{li}",
                 )(x, ctx, pww, ip=ip)
-            if intrablock is not None and li == cfg.layers_per_block - 1:
-                # T2I-Adapter feature: added after the block's last layer,
-                # INCLUDED in the skip (diffusers
-                # down_intrablock_additional_residuals semantics).
+            if (intrablock is not None and has_attn
+                    and li == cfg.layers_per_block - 1):
+                # T2I-Adapter feature on an ATTENTION block: added after the
+                # last attn, INCLUDED in the skip and fed through the
+                # downsampler (diffusers CrossAttnDownBlock2D
+                # additional_residuals semantics). Attention-less blocks get
+                # theirs added after the whole block — excluded from skips —
+                # in the caller (diffusers adds it at the UNet level there).
                 x = x + intrablock.astype(x.dtype)
             skips.append(x)
         return x
@@ -539,14 +543,20 @@ class UNet2DCondition(nn.Module):
         # ---- down ----
         skips = [x]
         for bi, ch in enumerate(cfg.block_out_channels):
+            intra = (None if down_intrablock_residuals is None
+                     else down_intrablock_residuals[bi])
             x = self._down_block(
-                x, bi, ch, temb, ctx, pww, skips, ip=ip,
-                intrablock=None if down_intrablock_residuals is None
-                else down_intrablock_residuals[bi],
+                x, bi, ch, temb, ctx, pww, skips, ip=ip, intrablock=intra,
             )
             if bi < n_blocks - 1:
                 x = Downsample(ch, self.dtype, name=f"down_{bi}_downsample")(x)
                 skips.append(x)
+            if intra is not None and not cfg.down_block_has_attn[bi]:
+                # attention-less DownBlock2D: diffusers adds the adapter
+                # feature AFTER the block (downsampler included) and it is
+                # EXCLUDED from every skip — adding it inside the block
+                # would double-count it through the first up-block concat.
+                x = x + intra.astype(x.dtype)
 
         # ---- ControlNet residual injection (additive, diffusers semantics) ----
         if down_block_residuals is not None:

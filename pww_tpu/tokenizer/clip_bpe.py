@@ -131,6 +131,9 @@ class CLIPTokenizer:
         self.model_max_length = MAX_LENGTH
         self._cache: Dict[str, str] = {}
         self.added_tokens: Dict[str, int] = {}
+        # lowercase aliases of uppercase added tokens → same id (ids are
+        # allocated from len(added_tokens), so aliases live separately)
+        self.added_aliases: Dict[str, int] = {}
 
     def add_tokens(self, token: str) -> int:
         """Register an atomic extra token (textual-inversion placeholder).
@@ -143,11 +146,19 @@ class CLIPTokenizer:
             new_id = len(self.encoder) + len(self.added_tokens)
             self.added_tokens[token] = new_id
             self.decoder[new_id] = token
+            # CLIP lowercases plain text, so prompts typed in lowercase must
+            # still hit an uppercase placeholder: alias the lowered form to
+            # the SAME id (not a new row; tokenize() matches raw text).
+            low = token.lower()
+            if low != token:
+                self.added_aliases[low] = new_id
         return len(self.encoder) + len(self.added_tokens)
 
     def convert_tokens_to_ids(self, token: str) -> int:
         if token in self.added_tokens:
             return self.added_tokens[token]
+        if token in self.added_aliases:
+            return self.added_aliases[token]
         return self.encoder[token]
 
     # -- loading -------------------------------------------------------------
@@ -231,19 +242,28 @@ class CLIPTokenizer:
         return out
 
     def tokenize(self, text: str) -> List[int]:
-        """Text → raw BPE ids (no special tokens)."""
-        text = _clean_text(text)
-        if self.added_tokens:
-            pattern = "(" + "|".join(re.escape(t) for t in self.added_tokens) + ")"
+        """Text → raw BPE ids (no special tokens).
+
+        Added tokens (TI placeholders) are split out of the RAW text before
+        CLIP's lowercasing — transformers extracts added tokens verbatim, so
+        an uppercase placeholder like ``<MyStyle>`` or ``EasyNegative`` must
+        match as written — and alternatives are tried longest-first so a
+        multi-vector name ``<cat>_1`` is not eaten by its ``<cat>`` prefix
+        (Python ``re`` alternation is leftmost-first, not longest-match).
+        """
+        lookup = {**self.added_aliases, **self.added_tokens}
+        if lookup:
+            alts = sorted(lookup, key=len, reverse=True)
+            pattern = "(" + "|".join(re.escape(t) for t in alts) + ")"
             parts = re.split(pattern, text)
         else:
             parts = [text]
         ids: List[int] = []
         for part in parts:
-            if part in self.added_tokens:
-                ids.append(self.added_tokens[part])
+            if part in lookup:
+                ids.append(lookup[part])
                 continue
-            for tok in _PAT.findall(part):
+            for tok in _PAT.findall(_clean_text(part)):
                 tok = "".join(self.byte_encoder[b] for b in tok.encode("utf-8"))
                 for bpe_tok in self.bpe(tok).split(" "):
                     ids.append(self.encoder[bpe_tok])
@@ -330,11 +350,16 @@ def toy_tokenizer(vocab_size: int = 1000) -> CLIPTokenizer:
             self.eos_token_id = 1
             self.model_max_length = MAX_LENGTH
             self.added_tokens = {}
+            self.added_aliases = {}
             self.encoder = {}  # base vocab is implicit (hash-based)
 
         def add_tokens(self, token: str) -> int:
             if token not in self.added_tokens:
                 self.added_tokens[token] = self.n + len(self.added_tokens)
+                if token.lower() != token:
+                    self.added_aliases[token.lower()] = (
+                        self.added_tokens[token]
+                    )
             return self.n + len(self.added_tokens)
 
         def _word_ids(self, w: str) -> List[int]:
@@ -349,18 +374,23 @@ def toy_tokenizer(vocab_size: int = 1000) -> CLIPTokenizer:
             return [h(w)]
 
         def tokenize(self, text):
-            text = _whitespace_clean(text).lower()
-            if self.added_tokens:
-                pattern = "(" + "|".join(re.escape(t) for t in self.added_tokens) + ")"
+            # split added tokens from the RAW text (longest alternative
+            # first), lowercase only the plain segments — same contract as
+            # the real tokenizer above
+            text = _whitespace_clean(text)
+            lookup = {**self.added_aliases, **self.added_tokens}
+            if lookup:
+                alts = sorted(lookup, key=len, reverse=True)
+                pattern = "(" + "|".join(re.escape(t) for t in alts) + ")"
                 parts = re.split(pattern, text)
             else:
                 parts = [text]
             ids = []
             for part in parts:
-                if part in self.added_tokens:
-                    ids.append(self.added_tokens[part])
+                if part in lookup:
+                    ids.append(lookup[part])
                     continue
-                for w in re.findall(r"[a-z0-9]+|[^\sa-z0-9]", part):
+                for w in re.findall(r"[a-z0-9]+|[^\sa-z0-9]", part.lower()):
                     ids.extend(self._word_ids(w))
             return ids
 

@@ -13,6 +13,7 @@ mirroring the reference CLI's ``--extract_ema`` (change_model_path.py:828).
 from __future__ import annotations
 
 import re
+import warnings
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -275,7 +276,25 @@ def detect_ldm_config(
         if prediction_type == "auto":
             step = ckpt_meta.get("global_step")
             step = int(np.asarray(step)) if step is not None else None
-            v_pred = step != 110000
+            # Canonical releases: global_step 110000 is SD-2.1-768 (the
+            # v-objective model diffusers' converter special-cases for
+            # upcast attention); 220000 is SD-2.1-base (512, epsilon).
+            # Anything else — including safetensors single files, which
+            # carry no global_step at all — defaults to v_prediction like
+            # diffusers' single-file loader (its fallback config for an
+            # SD-2-shaped checkpoint is stable-diffusion-2-1), with a
+            # warning since a 512-base fine-tune would need the override.
+            if step == 220000:
+                v_pred = False
+            else:
+                if step != 110000:
+                    warnings.warn(
+                        "SD-2.x checkpoint with no recognized global_step "
+                        f"({step}): assuming v_prediction (the SD-2.1-768 "
+                        "family). Pass prediction_type='epsilon' for "
+                        "512-base models."
+                    )
+                v_pred = True
         else:
             v_pred = prediction_type == "v_prediction"
         config = SDModelConfig.sd21(v_prediction=v_pred)

@@ -315,11 +315,24 @@ def fill_params(
             missing.append((path, keys))
             leaves.append(jnp.zeros(shape_leaf.shape, shape_leaf.dtype))
             continue
-        arr = tf(src)
+        try:
+            arr = tf(src)
+            raw = False
+        except ValueError:
+            # rank mismatch between checkpoint and model: diffusers
+            # ``use_linear_projection=True`` (SD-2.x, SDXL) stores
+            # Transformer2D proj_in/proj_out as nn.Linear (O, I) while our
+            # module is a 1x1 conv (rank-4 HWIO kernel), so the conv
+            # transpose cannot apply — keep the raw tensor and let the
+            # rank-fix below lay it out.
+            arr = np.asarray(src)
+            raw = True
         # torch convs sometimes store 1x1 convs as linear (proj_in variants)
         if arr.shape != tuple(shape_leaf.shape):
             if arr.ndim == 2 and len(shape_leaf.shape) == 4:
-                arr = arr[None, None]  # (I,O) -> (1,1,I,O)
+                # raw torch Linear is (O, I); an already-transformed dense
+                # kernel is (I, O) -> both to HWIO (1, 1, I, O)
+                arr = (np.transpose(arr) if raw else arr)[None, None]
             elif arr.ndim == 4 and len(shape_leaf.shape) == 2 and arr.shape[:2] == (1, 1):
                 arr = arr[0, 0]
         if arr.shape != tuple(shape_leaf.shape):

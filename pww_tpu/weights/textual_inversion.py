@@ -63,11 +63,24 @@ def load_learned_embed_in_clip(
         )
 
     names = [token] + [f"{token}_{i}" for i in range(1, len(vecs))]
+    ids = []
     for name in names:
         tokenizer.add_tokens(name)
+        ids.append(int(tokenizer.convert_tokens_to_ids(name)))
 
-    new_table = jnp.concatenate(
-        [jnp.asarray(table), jnp.asarray(vecs, table.dtype)], axis=0
+    # Write each vector at its token's id — NOT a blind append: re-applying
+    # an updated embedding for an already-registered placeholder must
+    # overwrite the existing rows in place (an append would create orphan
+    # rows no token id maps to, silently keeping the stale vectors and
+    # growing vocab_size — a recompile — on every call).
+    table = jnp.asarray(table)
+    new_size = max(table.shape[0], max(ids) + 1)
+    new_table = table if new_size == table.shape[0] else jnp.concatenate(
+        [table,
+         jnp.zeros((new_size - table.shape[0], table.shape[-1]), table.dtype)]
+    )
+    new_table = new_table.at[jnp.asarray(ids)].set(
+        jnp.asarray(vecs, table.dtype)
     )
     new_params = {
         **clip_params,

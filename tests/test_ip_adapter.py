@@ -373,3 +373,25 @@ def test_ip_adapter_bf16_precomputed_embeddings_bypass_encoder():
     emb = jnp.ones((1, 16), jnp.bfloat16) * 0.1
     out = np.asarray(pipe.generate(ip_adapter_image=emb, **_kwargs()))
     assert np.isfinite(out).all()
+
+
+@pytest.mark.parametrize("hw", [(96, 64), (64, 96), (64, 64)])
+def test_preprocess_matches_transformers_clip_image_processor(hw):
+    """CLAUDE.md numerics rule: the IP-Adapter reference preprocessing is
+    transformers CLIPImageProcessor — shortest-edge bicubic resize + center
+    crop (a direct square resize squashes non-square references and shifts
+    the image embedding)."""
+    from transformers import CLIPImageProcessor
+
+    from pww_tpu.models.clip_vision import preprocess_clip_image
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (*hw, 3), dtype=np.uint8)
+    got = np.asarray(preprocess_clip_image(img, size=48))
+    proc = CLIPImageProcessor(
+        size={"shortest_edge": 48}, crop_size={"height": 48, "width": 48}
+    )
+    want = proc(img, return_tensors="np")["pixel_values"]
+    np.testing.assert_allclose(
+        got, want.transpose(0, 2, 3, 1), atol=1e-5, rtol=1e-5
+    )

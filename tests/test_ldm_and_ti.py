@@ -158,22 +158,43 @@ def _sd1_shaped_unet_sd(in_channels=4):
 
 def test_detect_ldm_config_families():
     """Config derivation from checkpoint shapes (VERDICT #4c): context dim
-    768→SD-1.x, 1024→SD-2.x; global_step 110000 marks the 512-base epsilon
-    model; 9-channel conv_in marks inpainting."""
+    768→SD-1.x, 1024→SD-2.x; global_step 110000 is the SD-2.1-768
+    v-objective release and 220000 the 512-base epsilon model; anything
+    else warns and defaults to v_prediction (diffusers' single-file
+    fallback config for SD-2 shapes is stable-diffusion-2-1); 9-channel
+    conv_in marks inpainting."""
+    import warnings as _w
+
     from pww_tpu.weights.ldm_convert import detect_ldm_config
 
     cfg = detect_ldm_config({}, _sd1_shaped_unet_sd())
     assert cfg.unet.cross_attention_dim == 768
     assert cfg.unet.prediction_type == "epsilon"
 
-    cfg = detect_ldm_config({"global_step": np.int64(875000)}, _sd2_shaped_unet_sd())
+    with pytest.warns(UserWarning, match="prediction_type"):
+        cfg = detect_ldm_config(
+            {"global_step": np.int64(875000)}, _sd2_shaped_unet_sd()
+        )
     assert cfg.unet.cross_attention_dim == 1024
     assert cfg.unet.prediction_type == "v_prediction"
     assert cfg.clip.hidden_size == 1024 and cfg.clip.hidden_act == "gelu"
 
-    cfg = detect_ldm_config({"global_step": np.int64(110000)}, _sd2_shaped_unet_sd())
-    assert cfg.unet.prediction_type == "epsilon"
-    assert cfg.unet.cross_attention_dim == 1024
+    with _w.catch_warnings():
+        _w.simplefilter("error")  # recognized steps must NOT warn
+        cfg = detect_ldm_config(
+            {"global_step": np.int64(110000)}, _sd2_shaped_unet_sd()
+        )
+        assert cfg.unet.prediction_type == "v_prediction"
+        assert cfg.unet.cross_attention_dim == 1024
+
+        cfg = detect_ldm_config(
+            {"global_step": np.int64(220000)}, _sd2_shaped_unet_sd()
+        )
+        assert cfg.unet.prediction_type == "epsilon"
+
+    with pytest.warns(UserWarning, match="epsilon"):
+        cfg = detect_ldm_config({}, _sd2_shaped_unet_sd())
+    assert cfg.unet.prediction_type == "v_prediction"
 
     cfg = detect_ldm_config({}, _sd2_shaped_unet_sd(in_channels=9),
                             prediction_type="epsilon")
@@ -393,3 +414,39 @@ def test_global_step_survives_state_dict_reading(tmp_path):
     # and without the header field, SD-2.x defaults to 768-v
     cfg = detect_ldm_config({}, _sd2_shaped_unet_sd())
     assert cfg.unet.prediction_type == "v_prediction"
+
+
+def test_textual_inversion_reapply_overwrites_in_place():
+    """Loading an updated embedding for an already-registered placeholder
+    must overwrite its rows, not append orphan rows that no token id maps
+    to (which would silently keep the stale vectors and grow vocab_size —
+    a recompile — on every call)."""
+    import os
+    import tempfile
+
+    import torch
+
+    from pww_tpu.pipeline.pipeline import PwwPipeline
+    from pww_tpu.weights.textual_inversion import load_learned_embed_in_clip
+
+    pipe = PwwPipeline(config=SDModelConfig.tiny(), weights_dtype=None)
+    hidden = pipe.config.clip.hidden_size
+    rng = np.random.default_rng(3)
+    v1 = rng.standard_normal((hidden,)).astype(np.float32)
+    v2 = rng.standard_normal((hidden,)).astype(np.float32)
+
+    with tempfile.TemporaryDirectory() as d:
+        p1, p2 = os.path.join(d, "v1.bin"), os.path.join(d, "v2.bin")
+        torch.save({"<cat>": torch.from_numpy(v1)}, p1)
+        torch.save({"<cat>": torch.from_numpy(v2)}, p2)
+        clip1, _ = load_learned_embed_in_clip(
+            p1, pipe.params["clip"], pipe.tokenizer
+        )
+        clip2, _ = load_learned_embed_in_clip(p2, clip1, pipe.tokenizer)
+
+    tid = pipe.tokenizer.convert_tokens_to_ids("<cat>")
+    t1 = clip1["params"]["token_embedding"]["embedding"]
+    t2 = clip2["params"]["token_embedding"]["embedding"]
+    assert t2.shape == t1.shape  # no orphan growth
+    np.testing.assert_allclose(np.asarray(t1[tid]), v1, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(t2[tid]), v2, rtol=1e-6)

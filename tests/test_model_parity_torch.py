@@ -167,7 +167,7 @@ def _t2d(sd, p, x, ctx, heads, depth, groups):
 
 def torch_unet_forward(
     sd, x, t, ctx, *, channels, layers, groups, has_attn, heads_of,
-    depth_of=lambda bi: 1, added=None, add_time_dim=None,
+    depth_of=lambda bi: 1, added=None, add_time_dim=None, intrablock=None,
 ):
     """diffusers UNet2DConditionModel.forward, functional, NCHW."""
     c0 = channels[0]
@@ -191,10 +191,18 @@ def torch_unet_forward(
             if has_attn[bi]:
                 x = _t2d(sd, f"down_blocks.{bi}.attentions.{li}", x, ctx,
                          heads_of(ch), depth_of(bi), groups)
+                # T2I-Adapter intrablock residual, diffusers
+                # CrossAttnDownBlock2D: after the last attn, INSIDE the skip
+                if intrablock is not None and li == layers - 1:
+                    x = x + intrablock[bi]
             skips.append(x)
         if bi < n - 1:
             x = _conv(sd, f"down_blocks.{bi}.downsamplers.0.conv", x, stride=2)
             skips.append(x)
+        # diffusers UNet level for attention-less DownBlock2D: added AFTER
+        # the block (downsampler included), excluded from every skip
+        if intrablock is not None and not has_attn[bi]:
+            x = x + intrablock[bi]
 
     x = _resnet(sd, "mid_block.resnets.0", x, temb, groups)
     x = _t2d(sd, "mid_block.attentions.0", x, ctx, heads_of(channels[-1]),
@@ -284,7 +292,8 @@ def torch_vae_decode(sd, z, channels, layers, groups):
 # ---------------------------------------------------------------------------
 
 
-def _run_unet_parity(cfg: UNetConfig, rng, ctx_dim, size=16, added_pooled=None):
+def _run_unet_parity(cfg: UNetConfig, rng, ctx_dim, size=16,
+                     added_pooled=None, intrablock=False):
     model = UNet2DCondition(cfg)
     b = 2
     sample = rng.standard_normal((b, size, size, cfg.in_channels)).astype(
@@ -296,6 +305,25 @@ def _run_unet_parity(cfg: UNetConfig, rng, ctx_dim, size=16, added_pooled=None):
     added_flax = None
     added_torch = None
     init_kwargs = {}
+    intra_torch = None
+    if intrablock:
+        # T2I-Adapter features at each block's INJECTION resolution:
+        # attention blocks take theirs pre-downsample; attention-less
+        # blocks after the downsampler (diffusers adds at the UNet level)
+        n_blocks = len(cfg.block_out_channels)
+        feats = []
+        for bi, ch in enumerate(cfg.block_out_channels):
+            lvl = bi
+            if not cfg.down_block_has_attn[bi] and bi < n_blocks - 1:
+                lvl = bi + 1
+            s = size // (2 ** lvl)
+            feats.append(
+                rng.standard_normal((b, s, s, ch)).astype(np.float32) * 0.2
+            )
+        init_kwargs["down_intrablock_residuals"] = tuple(
+            jnp.asarray(f) for f in feats
+        )
+        intra_torch = [torch.from_numpy(f).permute(0, 3, 1, 2) for f in feats]
     if added_pooled is not None:
         text_embeds = rng.standard_normal((b, added_pooled)).astype(np.float32)
         time_ids = np.array(
@@ -341,6 +369,7 @@ def _run_unet_parity(cfg: UNetConfig, rng, ctx_dim, size=16, added_pooled=None):
             depth_of=cfg.depth_for,
             added=added_torch,
             add_time_dim=cfg.addition_time_embed_dim,
+            intrablock=intra_torch,
         ).permute(0, 2, 3, 1).numpy()
     np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
 
@@ -531,3 +560,65 @@ def test_controlnet_matches_torch_replica(rng):
         np.asarray(got_mid), want_mid.permute(0, 2, 3, 1).numpy(),
         atol=2e-4, rtol=2e-4,
     )
+
+
+def test_unet_t2i_intrablock_placement_sd15(rng):
+    """T2I-Adapter residual placement vs the diffusers replica: attention
+    blocks take the feature inside the skip (pre-downsample); the trailing
+    attention-less block takes it after the block, excluded from skips
+    (regression: it was added inside every block, double-counting it
+    through the first up-block concat)."""
+    cfg = UNetConfig(
+        block_out_channels=(32, 48, 64, 64), layers_per_block=2,
+        num_attention_heads=4, cross_attention_dim=40, norm_num_groups=8,
+        down_block_has_attn=(True, True, True, False), sample_size=16,
+    )
+    _run_unet_parity(cfg, rng, ctx_dim=40, intrablock=True)
+
+
+def test_unet_t2i_intrablock_placement_sdxl_downblock(rng):
+    """SDXL block layout (leading attention-less DownBlock2D WITH a
+    downsampler): its adapter feature lands after the downsampler, at the
+    downsampled resolution, excluded from skips."""
+    cfg = UNetConfig(
+        block_out_channels=(32, 48, 64), layers_per_block=2,
+        num_attention_heads=4, cross_attention_dim=40, norm_num_groups=8,
+        down_block_has_attn=(False, True, True), sample_size=16,
+    )
+    _run_unet_parity(cfg, rng, ctx_dim=40, intrablock=True)
+
+
+def test_loader_accepts_linear_projection_checkpoints(rng):
+    """SD-2.x / SDXL diffusers checkpoints (use_linear_projection=True)
+    store Transformer2D proj_in/proj_out as nn.Linear (O, I); the loader
+    must lay them into our 1x1-conv HWIO kernels bit-identically to the
+    conv-stored (O, I, 1, 1) form (regression: the conv transpose was
+    applied by MODEL rank and crashed on the 2-D source)."""
+    cfg = UNetConfig(
+        block_out_channels=(32, 48), layers_per_block=1,
+        num_attention_heads=4, cross_attention_dim=40, norm_num_groups=8,
+        down_block_has_attn=(True, True), sample_size=16,
+    )
+    model = UNet2DCondition(cfg)
+    sample = jnp.zeros((1, 16, 16, cfg.in_channels), jnp.float32)
+    shapes = jax.eval_shape(
+        model.init, jax.random.PRNGKey(0), sample,
+        jnp.zeros((1,), jnp.float32), jnp.zeros((1, 7, 40), jnp.float32),
+    )
+    state = _synth_state(shapes, unet_key, rng)
+    lin_state = {
+        k: (v[:, :, 0, 0]
+            if v.ndim == 4 and v.shape[2:] == (1, 1)
+            and (k.endswith("proj_in.weight") or k.endswith("proj_out.weight"))
+            else v)
+        for k, v in state.items()
+    }
+    assert any(v.ndim == 2 and k.endswith("proj_in.weight")
+               for k, v in lin_state.items())
+    p_conv = fill_params(shapes, state, unet_key, name="unet")
+    p_lin = fill_params(shapes, lin_state, unet_key, name="unet")
+    for (ka, a), (kb, b) in zip(
+        jax.tree_util.tree_leaves_with_path(p_conv),
+        jax.tree_util.tree_leaves_with_path(p_lin),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=str(ka))

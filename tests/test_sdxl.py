@@ -423,3 +423,52 @@ def test_refiner_diffusers_layout_detection(tmp_path):
     assert "clip2" not in params
     assert "text_projection" in params["clip"]["params"]
     assert tok.pad_token_id == 0  # OpenCLIP-style padding
+
+
+def test_clip2_legacy_eos_token_id_2_pooled_position():
+    """Real SD/SDXL text-encoder config.json files carry the legacy-wrong
+    ``eos_token_id: 2`` (id 2 never appears in tokenized prompts);
+    transformers special-cases it to ``argmax(input_ids)`` — the pooled
+    embedding must come from the true EOS (the max id), not position 0."""
+    import functools
+
+    import torch
+    from transformers import CLIPTextConfig as HFConfig
+    from transformers import CLIPTextModelWithProjection
+
+    hf_cfg = HFConfig(
+        vocab_size=100, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=3, num_attention_heads=4,
+        max_position_embeddings=77, hidden_act="gelu",
+        projection_dim=24, eos_token_id=2,
+    )
+    torch.manual_seed(0)
+    model = CLIPTextModelWithProjection(hf_cfg).eval()
+    state = {k: v.numpy() for k, v in model.state_dict().items()}
+
+    cfg = CLIPTextConfig(
+        vocab_size=100, hidden_size=32, intermediate_size=64,
+        num_layers=3, num_heads=4, max_position_embeddings=77,
+        hidden_act="gelu", projection_dim=24, eos_token_id=2,
+    )
+    enc = CLIPTextEncoder(cfg)
+    ids = np.array([[1, 5, 9, 3, 99] + [7] * 72], np.int64)  # no id 2
+    shapes = jax.eval_shape(
+        functools.partial(enc.init, output="penultimate_and_pooled"),
+        jax.random.PRNGKey(0), jnp.asarray(ids, jnp.int32),
+    )
+    params = fill_params(shapes, state, clip_key, name="clip2")
+    _, pooled = enc.apply(
+        params, jnp.asarray(ids, jnp.int32), output="penultimate_and_pooled"
+    )
+    with torch.no_grad():
+        out = model(torch.from_numpy(ids))
+    np.testing.assert_allclose(
+        np.asarray(pooled), out.text_embeds.numpy(), atol=2e-5, rtol=1e-4
+    )
+    # and it must differ from the broken position-0 read
+    pooled0 = np.asarray(
+        enc.apply(params, jnp.asarray(ids[:, ::-1].copy(), jnp.int32),
+                  output="penultimate_and_pooled")[1]
+    )
+    assert np.abs(pooled0 - np.asarray(pooled)).max() > 1e-3

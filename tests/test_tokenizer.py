@@ -154,3 +154,41 @@ def test_synthetic_tokenizer_real_bpe_path():
     # the merge ladder actually fires: 'cat' encodes in < 3 byte tokens + 1
     cat = tok("cat", max_length=77, truncation=True)["input_ids"]
     assert len(cat) < 5  # bos + merged token(s) + eos
+
+
+def test_added_token_prefix_not_eaten():
+    """Multi-vector TI placeholders: '<cat>_1' must tokenize as its own id,
+    not '<cat>' + BPE('_1') (regression: Python re alternation is
+    leftmost-first, so insertion order made the prefix win)."""
+    tok = _mini_tokenizer()
+    id0 = tok.added_tokens.setdefault  # noqa: F841  (readability)
+    tok.add_tokens("<cat>")
+    tok.add_tokens("<cat>_1")
+    a, b = tok.added_tokens["<cat>"], tok.added_tokens["<cat>_1"]
+    ids = tok.tokenize("<cat> <cat>_1")
+    assert ids == [a, b], ids
+
+
+def test_added_token_uppercase_matches_raw_and_lowered():
+    """CLIP lowercases plain text, but added tokens are extracted from the
+    RAW text (transformers semantics): an uppercase placeholder must match
+    as written, and — via the lowercase alias — in lowercased prompts too,
+    resolving to the SAME id (one embedding row)."""
+    tok = _mini_tokenizer()
+    n_before = tok("cat")["input_ids"]
+    tok.add_tokens("<MyStyle>")
+    tid = tok.added_tokens["<MyStyle>"]
+    assert tid in tok.tokenize("a cat <MyStyle>")
+    assert tid in tok.tokenize("a cat <mystyle>")
+    assert tok.convert_tokens_to_ids("<mystyle>") == tid
+    # plain text tokenization unaffected
+    assert tok("cat")["input_ids"] == n_before
+
+
+def test_toy_tokenizer_added_token_case_and_prefix():
+    tok = toy_tokenizer(512)
+    tok.add_tokens("<S>")
+    tok.add_tokens("<S>_1")
+    a, b = tok.added_tokens["<S>"], tok.added_tokens["<S>_1"]
+    assert tok.tokenize("<S> <S>_1") == [a, b]
+    assert a in tok.tokenize("a photo of <s>")
