@@ -153,6 +153,15 @@ def _cfg_eps_fns(
     return unet_eps_batched, unet_eps_split
 
 
+
+def _fold_step_rng(step_rng, i):
+    """Per-step key(s): one key, or a (B, 2) batch of per-sample keys
+    (generate_batch's per-request ancestral streams)."""
+    if step_rng.ndim == 2:
+        return jax.vmap(lambda s: jax.random.fold_in(s, i))(step_rng)
+    return jax.random.fold_in(step_rng, i)
+
+
 def _denoise_scan(
     unet: UNet2DCondition,
     unet_params,
@@ -224,7 +233,7 @@ def _denoise_scan(
         eps_uncond = schedule.to_epsilon(out_uncond, lat, i, prediction_type)
         eps_text = schedule.to_epsilon(out_text, lat, i, prediction_type)
         eps = eps_uncond + guidance_scale * (eps_text - eps_uncond)
-        k = None if step_rng is None else jax.random.fold_in(step_rng, i)
+        k = None if step_rng is None else _fold_step_rng(step_rng, i)
         lat, sch_state = schedule.step(eps, i, lat, sch_state, rng=k)
         return (lat, sch_state), None
 
@@ -284,7 +293,7 @@ def _denoise_scan(
         )[0].astype(jnp.float32)
         eps_deg = schedule.to_epsilon(eps_deg, deg_lat, i, prediction_type)
         eps = eps + sag_scale * (eps_uncond - eps_deg)
-        k = None if step_rng is None else jax.random.fold_in(step_rng, i)
+        k = None if step_rng is None else _fold_step_rng(step_rng, i)
         lat, sch_state = schedule.step(eps, i, lat, sch_state, rng=k)
         return (lat, sch_state), None
 
@@ -376,7 +385,7 @@ def _denoise_scan(
             eps_uncond = schedule.to_epsilon(out_uncond, lat, i, prediction_type)
             eps_text = schedule.to_epsilon(out_text, lat, i, prediction_type)
             eps = eps_uncond + guidance_scale * (eps_text - eps_uncond)
-            k = None if step_rng is None else jax.random.fold_in(step_rng, i)
+            k = None if step_rng is None else _fold_step_rng(step_rng, i)
             lat, sch_state = schedule.step(eps, i, lat, sch_state, rng=k)
             return (lat, sch_state, feat), None
 
@@ -526,7 +535,7 @@ def run_denoise_segment(
         eps_uncond = schedule.to_epsilon(out_uncond, lat, i, prediction_type)
         eps_text = schedule.to_epsilon(out_text, lat, i, prediction_type)
         eps = eps_uncond + guidance_scale * (eps_text - eps_uncond)
-        k = None if step_rng is None else jax.random.fold_in(step_rng, i)
+        k = None if step_rng is None else _fold_step_rng(step_rng, i)
         lat, st = schedule.step(eps, i, lat, st, rng=k)
         return (lat, st), None
 
@@ -708,14 +717,31 @@ class PwwPipeline:
 
     @classmethod
     def from_pretrained(
-        cls, model_path: str, scheduler: str = "lms", **kwargs
+        cls, model_path: str, scheduler: Optional[str] = None, **kwargs
     ) -> "PwwPipeline":
-        """Load a converted / diffusers-layout checkpoint directory."""
+        """Load a converted / diffusers-layout checkpoint directory.
+
+        ``scheduler=None`` (default) restores the checkpoint's recorded
+        ``scheduler_type`` (written by :meth:`save_pretrained` and the
+        converter CLI's ``--scheduler_type``), falling back to "lms"; an
+        explicit value overrides the record."""
+        import json as _json
+        import os as _os
+
         from ..weights.loader import load_pipeline_checkpoint
 
         config, params, tokenizer, tokenizer_2 = load_pipeline_checkpoint(
             model_path
         )
+        if scheduler is None:
+            scheduler = "lms"
+            cj = _os.path.join(model_path, "config.json")
+            if _os.path.isdir(model_path) and _os.path.exists(cj):
+                try:
+                    with open(cj) as f:
+                        scheduler = _json.load(f).get("scheduler_type", "lms")
+                except (OSError, ValueError):
+                    pass
         return cls(
             config=config, params=params, tokenizer=tokenizer,
             tokenizer_2=tokenizer_2, scheduler=scheduler, **kwargs,
@@ -1699,8 +1725,22 @@ class PwwPipeline:
                 )
             controlnet = self.controlnet
 
+            sf_ = cfg.vae.scale_factor
+            proc_hw = (latents.shape[1] * sf_, latents.shape[2] * sf_)
+
             def _prep_hint(img):
                 arr = _to_numpy_image(img).astype(np.float32) / 255.0
+                if arr.ndim >= 3 and arr.shape[-3:-1] != proc_hw:
+                    # validate like adapter_image: a mismatched hint would
+                    # otherwise die during jit tracing with an opaque XLA
+                    # shape error at the ControlNet residual add (e.g. a
+                    # raw 500x500 canny map against a %32-floored 480x480
+                    # img2img render — the PROCESSING resolution is the
+                    # latent grid × vae scale, not the raw input dims)
+                    raise ValueError(
+                        f"control_image size {arr.shape[-3:-1]} != "
+                        f"processing resolution {proc_hw}; resize the hint"
+                    )
                 h = jnp.asarray(arr)[None] if arr.ndim == 3 else jnp.asarray(arr)
                 return jnp.repeat(h, n, axis=0)
 
@@ -1750,10 +1790,15 @@ class PwwPipeline:
             cin = self.t2i_adapter.in_channels
             if cin == 1 and arr.shape[-1] == 3:
                 arr = arr.mean(-1, keepdims=True)  # mono hint (sketch/depth)
-            if arr.shape[:2] != (height, width):
+            sf_a = cfg.vae.scale_factor
+            proc_hw_a = (latents.shape[1] * sf_a, latents.shape[2] * sf_a)
+            if arr.shape[:2] != proc_hw_a:
+                # the processing resolution is the latent grid × vae scale —
+                # for img2img that's the %32-floored init dims, not the raw
+                # input (or color-map) size
                 raise ValueError(
-                    f"adapter_image size {arr.shape[:2]} != render size "
-                    f"({height}, {width})"
+                    f"adapter_image size {arr.shape[:2]} != processing "
+                    f"resolution {proc_hw_a}"
                 )
             a_hint = jnp.repeat(jnp.asarray(arr)[None], n, axis=0)
             feats = run_t2i_adapter(
@@ -2546,8 +2591,14 @@ class PwwPipeline:
             blend_init=blend_init_lat,
             blend_noise=blend_noise_arr,
             step_rng=(
-                jax.random.PRNGKey(0x5EED)
-                if schedule.needs_rng else None
+                # (n, 2) per-request keys: each row's ancestral/SDE/LCM step
+                # noise comes from the exact stream `generate` would use for
+                # that request's seed (PRNGKey(seed ^ 0x5EED)) — a shared key
+                # would make serving output depend on batch composition.
+                jnp.stack([
+                    jax.random.PRNGKey(int(r.get("seed", 0)) ^ 0x5EED)
+                    for r in requests
+                ]) if schedule.needs_rng else None
             ),
         )
         if output_type == "device":

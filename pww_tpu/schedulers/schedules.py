@@ -87,6 +87,20 @@ def _karras_sigmas(
     return new_sigmas, timesteps
 
 
+
+def _step_noise(rng, sample, dtype):
+    """Fresh per-step scheduler noise. ``rng`` is one key, or a (B, 2) batch
+    of per-sample keys — ``generate_batch`` passes per-request keys so a
+    batched row's ancestral noise is drawn from the same stream the request
+    would get served alone (jax.random bits depend only on key + flat count,
+    so a (h, w, c) per-row draw equals the (1, h, w, c) single-path draw)."""
+    if rng.ndim == 2:
+        return jax.vmap(
+            lambda k: jax.random.normal(k, sample.shape[1:], dtype)
+        )(rng)
+    return jax.random.normal(rng, sample.shape, dtype)
+
+
 class Schedule(flax.struct.PyTreeNode):
     """Static-shape scheduler trajectory + pure step functions.
 
@@ -207,7 +221,7 @@ class Schedule(flax.struct.PyTreeNode):
             prev = sample + model_output * dt
             if rng is None:
                 raise ValueError("euler_ancestral requires rng")
-            noise = jax.random.normal(rng, sample.shape, sample.dtype)
+            noise = _step_noise(rng, sample, sample.dtype)
             return prev + noise * sigma_up.astype(sample.dtype), state
 
         if self.kind == "pndm":
@@ -267,7 +281,7 @@ class Schedule(flax.struct.PyTreeNode):
             d = tab["c0"][i] * x0 + tab["c1"][i] * prev_x0
             if rng is None:
                 raise ValueError("dpmpp_2m_sde requires rng")
-            noise = jax.random.normal(rng, sample.shape, jnp.float32)
+            noise = _step_noise(rng, sample, jnp.float32)
             prev = (
                 tab["x_coeff"][i] * x
                 + tab["d_coeff"][i] * d
@@ -315,7 +329,7 @@ class Schedule(flax.struct.PyTreeNode):
             denoised = tab["c_out"][i] * x0 + tab["c_skip"][i] * x
             if rng is None:
                 raise ValueError("lcm requires rng (fresh noise per step)")
-            noise = jax.random.normal(rng, sample.shape, jnp.float32)
+            noise = _step_noise(rng, sample, jnp.float32)
             renoised = (
                 jnp.sqrt(a_prev) * denoised + jnp.sqrt(1.0 - a_prev) * noise
             )

@@ -41,6 +41,13 @@ def _is_singleton(req: Dict) -> bool:
         or req.get("inpaint_full_res")
         or req.get("control_image") is not None
         or req.get("ip_adapter_image") is not None
+        or req.get("adapter_image") is not None  # T2I-Adapter hint
+        or int(req.get("num_samples", 1)) != 1
+        or req.get("denoising_end") is not None
+        or req.get("denoising_start") is not None
+        # SDXL micro-conditioning overrides are generate-only kwargs
+        or req.get("original_size") is not None
+        or req.get("target_size") is not None
     )
 
 
@@ -153,7 +160,9 @@ class Batcher:
 
     def metrics(self) -> Dict:
         """Counters + latency percentiles over the last 1024 requests."""
-        lat = sorted(self._latencies)
+        # snapshot first: handler threads append concurrently, and sorting
+        # the live deque raises "deque mutated during iteration" under load
+        lat = sorted(self._latencies.copy())
         out = dict(self.stats)
         out["batch_efficiency"] = (
             self.stats["batched_requests"] / self.stats["batches"]

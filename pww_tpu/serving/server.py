@@ -98,7 +98,24 @@ def make_handler(batcher: Batcher):
                         )
                 init_image = mask_image = None
                 if req.get("init_image_png_b64"):
+                    from PIL import Image
+
+                    from ..utils.buckets import snap_resolution
+
                     init_image = _decode_image(req["init_image_png_b64"])
+                    # Snap the init to the bucket lattice like the color
+                    # map: the %32-floored init dims set the compiled
+                    # program's shape, so arbitrary upload sizes would
+                    # compile a fresh denoise program each (1-6 min on the
+                    # tunneled chip — a trivial serving stall/DoS).
+                    ih, iw = init_image.shape[:2]
+                    bw, bh = snap_resolution(iw, ih)
+                    if (bh, bw) != (ih, iw):
+                        init_image = np.asarray(
+                            Image.fromarray(init_image).resize(
+                                (bw, bh), Image.BILINEAR
+                            )
+                        )
                 if req.get("mask_image_png_b64"):
                     from PIL import Image
 
@@ -109,6 +126,16 @@ def make_handler(batcher: Batcher):
                             np.float32,
                         ) / 255.0
                     )
+                    if init_image is not None and mask_image.shape[:2] != \
+                            init_image.shape[:2]:
+                        # keep the mask aligned with the snapped init
+                        ih, iw = init_image.shape[:2]
+                        mask_image = np.asarray(
+                            Image.fromarray(
+                                (mask_image * 255).astype(np.uint8)
+                            ).resize((iw, ih), Image.NEAREST),
+                            np.float32,
+                        ) / 255.0
                 wf = None
                 if req.get("weight_function"):
                     from ..ops.weight_functions import WeightFunction

@@ -100,6 +100,17 @@ def train_textual_inversion(
 
     from ..models.clip import CLIPTextEncoder
 
+    if pipeline.config.is_xl:
+        # Validate BEFORE mutating: the tokenizer add below is shared state,
+        # and the train step would feed tower-1 hidden states into a UNet
+        # expecting the concatenated dual-encoder context.
+        raise NotImplementedError(
+            "train_textual_inversion currently targets single-encoder SD "
+            "models (the XL dual-encoder/micro-conditioning path is "
+            "inference-only here); train on SD-1.x/2.x or inject an "
+            "upstream XL embedding via apply_textual_inversion"
+        )
+
     tokenizer = pipeline.tokenizer
     clip_params = pipeline.params["clip"]
     table = jnp.asarray(clip_params["params"]["token_embedding"]["embedding"])
@@ -201,8 +212,12 @@ def train_textual_inversion(
     pipeline.config = dataclasses.replace(pipeline.config, clip=clip_cfg)
     pipeline.clip = CLIPTextEncoder(clip_cfg, dtype=pipeline.compute_dtype)
     pipeline.params = {**pipeline.params, "clip": with_table(table)}
-    if hasattr(pipeline, "_text_cache"):
-        pipeline._text_cache.clear()
+    # Both conditioning caches key on the prompt STRING: a pre-training
+    # generate() of the placeholder prompt is cached with the old table, so
+    # a plain _text_cache clear would leave _encode_cache serving stale
+    # conditioning (the learned concept silently absent). The pipeline's
+    # invalidation helper clears both under the encode lock.
+    pipeline.invalidate_encode_caches()
 
     return TIResult(
         placeholder=phrase,

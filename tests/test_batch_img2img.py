@@ -349,3 +349,40 @@ def test_batch1_sdxl_img2img_time_ids_match_single(pipe_xl):
         )
     )[0]
     np.testing.assert_array_equal(batch[0], single)
+
+
+@pytest.fixture(scope="module")
+def pipe_anc():
+    import jax.numpy as jnp
+
+    return PwwPipeline(config=SDModelConfig.tiny(), weights_dtype=None,
+                       compute_dtype=jnp.float32, scheduler="euler_ancestral")
+
+
+def test_batch1_ancestral_step_noise_bitmatches_single(pipe_anc):
+    """Ancestral schedulers draw fresh noise every step: generate_batch must
+    derive each row's stream from ITS request seed (regression: a shared
+    fixed key made serving output depend on batch composition and never
+    match the same request served alone)."""
+    req = {"prompt": "a cat", "seed": 11, "color_map_image": _cm(),
+           "color_context": {(255, 0, 0): "cat,1.0"}}
+    batch = np.asarray(pipe_anc.generate_batch(
+        [req], num_inference_steps=3, output_type="np"))
+    single = np.asarray(pipe_anc.generate(
+        **req, num_inference_steps=3, output_type="np"))
+    np.testing.assert_array_equal(batch[0], single[0])
+
+
+def test_batched_ancestral_rows_match_singles(pipe_anc):
+    reqs = [
+        {"prompt": "a cat", "seed": 4, "color_map_image": _cm(),
+         "color_context": {(255, 0, 0): "cat,1.0"}},
+        {"prompt": "a dog", "seed": 9, "color_map_image": _cm(),
+         "color_context": {(255, 0, 0): "dog,1.0"}},
+    ]
+    batch = np.asarray(pipe_anc.generate_batch(
+        reqs, num_inference_steps=3, output_type="np"))
+    for i, r in enumerate(reqs):
+        single = np.asarray(pipe_anc.generate(
+            **r, num_inference_steps=3, output_type="np"))[0]
+        _assert_quantum_equal(batch[i], single)

@@ -179,3 +179,18 @@ def test_control_image_list_without_stacking_raises():
     pipe.load_controlnet(seed=3)
     with pytest.raises(ValueError, match="add_controlnet"):
         _gen(pipe, control_image=[h1, h2])
+
+
+def test_control_image_size_mismatch_raises():
+    from pww_tpu.config import SDModelConfig
+    from pww_tpu.pipeline.pipeline import PwwPipeline
+
+    pipe = PwwPipeline(config=SDModelConfig.tiny(), weights_dtype=None)
+    pipe.load_controlnet(seed=0)
+    cm = np.zeros((64, 64, 3), np.uint8)
+    with pytest.raises(ValueError, match="processing resolution"):
+        pipe.generate(
+            prompt="a cat", color_map_image=cm,
+            control_image=np.zeros((96, 96, 3), np.uint8),
+            num_inference_steps=2, seed=0, output_type="np",
+        )

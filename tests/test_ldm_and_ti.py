@@ -450,3 +450,35 @@ def test_textual_inversion_reapply_overwrites_in_place():
     assert t2.shape == t1.shape  # no orphan growth
     np.testing.assert_allclose(np.asarray(t1[tid]), v1, rtol=1e-6)
     np.testing.assert_allclose(np.asarray(t2[tid]), v2, rtol=1e-6)
+
+
+def test_train_textual_inversion_rejects_xl_before_mutating():
+    from pww_tpu.pipeline.pipeline import PwwPipeline
+    from pww_tpu.training import train_textual_inversion
+
+    pipe = PwwPipeline(config=SDModelConfig.tiny_xl())
+    tok_before = dict(pipe.tokenizer.added_tokens)
+    img = np.zeros((64, 64, 3), np.uint8)
+    with pytest.raises(NotImplementedError, match="single-encoder"):
+        train_textual_inversion(pipe, [img], "<thing>", num_steps=1)
+    assert pipe.tokenizer.added_tokens == tok_before  # nothing mutated
+
+
+def test_train_textual_inversion_invalidates_encode_cache():
+    """A pre-training generate() caches the placeholder prompt's (BPE-
+    decomposed) conditioning; training must invalidate it or the learned
+    concept is silently absent from later generations."""
+    from pww_tpu.pipeline.pipeline import PwwPipeline
+    from pww_tpu.training import train_textual_inversion
+
+    pipe = PwwPipeline(config=SDModelConfig.tiny(), weights_dtype=None)
+    cm = np.zeros((64, 64, 3), np.uint8)
+    kw = dict(color_map_image=cm, num_inference_steps=2, seed=0,
+              output_type="np")
+    before = np.asarray(pipe.generate(prompt="a photo of <thing>", **kw))
+    img = (np.random.default_rng(0).random((64, 64, 3)) * 255).astype(
+        np.uint8)
+    train_textual_inversion(pipe, [img], "<thing>", num_steps=2,
+                            learning_rate=1.0)
+    after = np.asarray(pipe.generate(prompt="a photo of <thing>", **kw))
+    assert not np.array_equal(before, after)

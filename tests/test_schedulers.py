@@ -785,3 +785,18 @@ def test_visit_of_step_mappings():
                                                              2 * n - 1]
     ts = np.asarray(heun.timesteps)
     assert ts[1] == ts[2] and ts[3] == ts[4]
+
+
+def test_from_pretrained_restores_saved_scheduler(tmp_path):
+    """save_pretrained records scheduler_type; from_pretrained must restore
+    it by default (regression: the reloaded pipeline silently reset to lms)
+    while an explicit scheduler= still overrides."""
+    from pww_tpu.config import SDModelConfig
+    from pww_tpu.pipeline.pipeline import PwwPipeline
+
+    pipe = PwwPipeline(config=SDModelConfig.tiny(), scheduler="ddim")
+    d = str(tmp_path / "ckpt")
+    pipe.save_pretrained(d)
+    assert PwwPipeline.from_pretrained(d).scheduler.kind == "ddim"
+    assert PwwPipeline.from_pretrained(d, scheduler="euler").scheduler.kind \
+        == "euler"

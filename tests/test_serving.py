@@ -347,3 +347,21 @@ def test_server_handler_inpaint_roundtrip(pipe):
     finally:
         srv.shutdown()
         b.close()
+
+
+def test_singleton_routing_for_generate_only_kwargs():
+    """Requests carrying generate-only kwargs (T2I-Adapter hints, multi-
+    sample, ensemble splits, SDXL micro-conditioning overrides) must NOT
+    ride generate_batch, which would silently drop them."""
+    base = {"prompt": "a", "color_map_image": None}
+    for extra in (
+        {"adapter_image": np.zeros((64, 64, 3), np.uint8)},
+        {"num_samples": 2},
+        {"denoising_end": 0.8},
+        {"denoising_start": 0.8},
+        {"original_size": (1024, 1024)},
+        {"target_size": (1024, 1024)},
+    ):
+        r = dict(base, **extra)
+        assert compat_key(r) != compat_key(r), extra  # singleton: never groups
+    assert compat_key(dict(base)) == compat_key(dict(base))
