@@ -94,7 +94,8 @@ def collect_color_panels(
 ) -> str:
     """Per-color textboxes → context-dict string (reference
     ``collect_color_content``, `gradio_pww.py:87-99`). Panels whose color is
-    ``None``/empty are skipped; returns ``""`` when nothing is filled in."""
+    ``None``/empty are skipped; returns ``"{}"`` when nothing is filled in
+    (``""`` would make the generate path's ``ast.literal_eval`` raise)."""
     parts = []
     for color, prompt, strength, seed in zip(colors, prompts, strengths, seeds):
         if isinstance(color, str):
@@ -102,7 +103,7 @@ def collect_color_panels(
         if color is None:
             continue
         parts.append(f"{tuple(color)}: {f'{prompt},{strength},{seed}'!r}")
-    return "{" + ", ".join(parts) + "}" if parts else ""
+    return "{" + ", ".join(parts) + "}"
 
 
 def collect_color_content(entries: Dict[Tuple[int, int, int], str]) -> str:

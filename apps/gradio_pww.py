@@ -68,6 +68,10 @@ def run_pww(
     pipe = get_pipeline(model_path)
     if isinstance(color_map_image, dict):  # gradio sketch tool payload
         color_map_image = color_map_image["image"]
+    if color_map_image is None:
+        # a clear message instead of np.asarray(None)'s 0-d IndexError
+        err = getattr(gr, "Error", ValueError)
+        raise err("Draw or upload a segmentation color map first.")
     cm = Image.fromarray(np.asarray(color_map_image)[..., :3]).resize(
         (width, height), Image.NEAREST
     )

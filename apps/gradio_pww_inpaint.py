@@ -62,6 +62,16 @@ def run_pww_inpaint(
     model_path=None,
 ):
     pipe = get_pipeline(model_path)
+    if init_with_mask is None or (
+        isinstance(init_with_mask, dict) and init_with_mask.get("image") is None
+    ):
+        err = getattr(gr, "Error", ValueError)
+        raise err("Upload an init image (and sketch a mask) first.")
+    if color_map_image is None or (
+        isinstance(color_map_image, dict) and color_map_image.get("image") is None
+    ):
+        err = getattr(gr, "Error", ValueError)
+        raise err("Draw or upload a segmentation color map first.")
     if isinstance(init_with_mask, dict):
         init_image = Image.fromarray(np.asarray(init_with_mask["image"])[..., :3])
         mask = Image.fromarray(np.asarray(init_with_mask["mask"])[..., :3]).convert("L")

@@ -44,9 +44,7 @@ def _make_pipeline(cfg, args):
             shapes = _param_shapes(cfg)
             with open(cache_path, "rb") as f:
                 params = flax.serialization.from_bytes(shapes, f.read())
-            params = jax.device_put(
-                jax.tree.map(lambda x: x, params)
-            )
+            params = jax.device_put(params)
             print(f"params loaded from disk: {time.time() - t0:.1f}s",
                   file=sys.stderr)
             return PwwPipeline(
@@ -376,12 +374,21 @@ def main():
     tome_ips = extras.get("tome_ratio05_img_per_s")
     lcm4_ips = extras.get("lcm_4step_img_per_s")
 
-    baseline_ips = 0.5  # north star: < 2 s/image
+    baseline_ips = 0.5  # north star: < 2 s/image at the 512px/30-step config
+    headline_cfg = not args.tiny and size == 512 and steps == 30
     record = {
-        "metric": "images_per_sec_per_chip_sd15_512px_30step_pww",
+        # name + baseline describe the MEASURED configuration: a --size /
+        # --steps / --tiny override must not masquerade as the headline
+        "metric": (
+            "images_per_sec_per_chip_sd15_512px_30step_pww" if headline_cfg
+            else f"images_per_sec_per_chip_"
+                 f"{'tiny' if args.tiny else 'sd15'}_{size}px_{steps}step_pww"
+        ),
         "value": round(ips, 4),
         "unit": "img/s/chip",
-        "vs_baseline": round(ips / baseline_ips, 3),
+        "size": size,
+        "steps": steps,
+        "vs_baseline": round(ips / baseline_ips, 3) if headline_cfg else None,
         "p50_s_per_image": round(per_image, 4),
         "mfu_end_to_end": None if mfu is None else round(mfu, 4),
         "denoise_tflops_per_image": (

@@ -184,8 +184,9 @@ def _load_assets(case, ref_dir, size=None):
 
 
 def run_cases(pipe, pipe_inpaint, ref_dir, steps, inpaint_steps, size=None,
-              smoke=False):
-    """Generate every case; returns [(name, out_array, ref_array|None)]."""
+              smoke=False, only=None):
+    """Generate every case (or just ``only``); returns
+    [(name, out_array, ref_array|None)]."""
     from pww_tpu.ops.weight_functions import WeightFunction
     from pww_tpu.pipeline.facade import paint_with_words, paint_with_words_inpaint
 
@@ -193,6 +194,8 @@ def run_cases(pipe, pipe_inpaint, ref_dir, steps, inpaint_steps, size=None,
     wf_inp = WeightFunction(scale=0.15, sigma_mode="log1p_sigma", reduce_mode="max")
     results = []
     for case in CASES:
+        if only is not None and case["name"] != only:
+            continue
         if case.get("inpaint") and pipe_inpaint is None:
             print(f"skip {case['name']}: no inpaint model")
             continue
@@ -278,9 +281,12 @@ def main():
         assert len(results) == len(CASES), (len(results), len(CASES))
         for name, out, _ in results:
             print(f"{name}: generated {out.shape} mean={out.mean():.2f}")
-        # determinism: the first case repeats bit-identically
+        # determinism: the first case repeats bit-identically (only that
+        # case — regenerating all 7 would double the smoke's wall time for
+        # a single-case assertion)
         again = run_cases(pipe, pipe9, ref_dir, steps=2, inpaint_steps=2,
-                          size=args.smoke_size, smoke=True)[0]
+                          size=args.smoke_size, smoke=True,
+                          only=CASES[0]["name"])[0]
         assert np.array_equal(results[0][1], again[1]), "nondeterministic!"
         print(f"all {len(results)} cases ran end-to-end; determinism ok")
         return

@@ -43,7 +43,19 @@ def main():
         cases = [(64, 1), (64, 2)]
         steps = 2
     else:
-        pipe = PwwPipeline()
+        # reuse bench's pipeline builder: it restores random-init params
+        # from .bench_params.msgpack (skipping minutes of remote-compiled
+        # init programs) and installs the synthetic full-vocab tokenizer so
+        # the measured prologue is the real BPE path, not the toy fallback
+        # (same reasons serve_load.py goes through it)
+        import types
+
+        import bench as B
+
+        pipe = B._make_pipeline(
+            SDModelConfig.sd15(),
+            types.SimpleNamespace(tiny=False, scheduler="lms"),
+        )
         cases = [(512, 1), (512, 4), (768, 1), (768, 4), (1024, 1)]
         steps = args.steps
 

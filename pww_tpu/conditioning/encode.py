@@ -133,12 +133,24 @@ def encode_text_color_inputs(
         )
         n_text = max_len
     else:
-        prompt_ids = tokenizer(
-            prompt, max_length=max_len, truncation=True, padding=True
-        )["input_ids"]
-        uncond_ids = tokenizer(
-            negative_prompt, max_length=max_len, truncation=True, padding=True
-        )["input_ids"]
+        # padding="max_length": stock transformers tokenizers treat a bare
+        # padding=True as pad-to-LONGEST (a no-op for one string), which
+        # would yield ragged uncond/prompt id lists; our tokenizer accepts
+        # both spellings. Pad explicitly afterwards as a belt-and-braces
+        # for minimal tokenizer stand-ins.
+        def _padded(text):
+            ids = tokenizer(
+                text, max_length=max_len, truncation=True,
+                padding="max_length",
+            )["input_ids"]
+            if len(ids) < max_len:
+                pad = getattr(tokenizer, "pad_token_id",
+                              tokenizer.eos_token_id)
+                ids = list(ids) + [pad] * (max_len - len(ids))
+            return ids
+
+        prompt_ids = _padded(prompt)
+        uncond_ids = _padded(negative_prompt)
         n_text = max_len
 
     regions, width, height = separate_image_context(
@@ -223,10 +235,14 @@ def encode_text_color_inputs(
                     tokenizer_2, negative_prompt
                 )
             else:
-                u2 = tokenizer_2(negative_prompt, max_length=ml2,
-                                 truncation=True, padding=True)["input_ids"]
-                c2 = tokenizer_2(prompt, max_length=ml2, truncation=True,
-                                 padding=True)["input_ids"]
+                u2 = tokenizer_2(
+                    negative_prompt, max_length=ml2, truncation=True,
+                    padding="max_length",
+                )["input_ids"]
+                c2 = tokenizer_2(
+                    prompt, max_length=ml2, truncation=True,
+                    padding="max_length",
+                )["input_ids"]
             ids2 = jnp.asarray([u2, c2], jnp.int32)
             out = encode_text(ids, ids2, **(
                 {"clip_skip": clip_skip} if clip_skip else {}

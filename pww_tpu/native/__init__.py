@@ -42,7 +42,15 @@ def load() -> Optional[ctypes.CDLL]:
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        path = _SO if os.path.exists(_SO) else _build()
+        # rebuild when the source is newer than the (gitignored) .so —
+        # otherwise an edit to host_ops.cpp silently keeps executing the
+        # stale binary
+        stale = (
+            os.path.exists(_SO)
+            and os.path.exists(_SRC)
+            and os.path.getmtime(_SRC) > os.path.getmtime(_SO)
+        )
+        path = _SO if os.path.exists(_SO) and not stale else _build()
         if path is None:
             return None
         try:

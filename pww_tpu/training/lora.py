@@ -155,7 +155,7 @@ def train_lora(
     max_len = pipeline.tokenizer.model_max_length
     ids = np.asarray(
         [pipeline.tokenizer(c, max_length=max_len, truncation=True,
-                            padding=True)["input_ids"] for c in captions],
+                            padding="max_length")["input_ids"] for c in captions],
         np.int32,
     )
     enc = pipeline.encode_text(jnp.asarray(ids))

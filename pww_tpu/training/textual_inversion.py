@@ -151,7 +151,7 @@ def train_textual_inversion(
     max_len = tokenizer.model_max_length
     ids = np.asarray(
         [tokenizer(t.format(phrase), max_length=max_len, truncation=True,
-                   padding=True)["input_ids"] for t in templates],
+                   padding="max_length")["input_ids"] for t in templates],
         np.int32,
     )  # (T, 77)
     ids = jnp.asarray(ids)

@@ -133,7 +133,11 @@ def test_collect_color_panels_handles_string_colors_and_empties():
     )
     ctx = parse_color_content(text)
     assert ctx == {(255, 0, 0): "cat,1.0,-1", (0, 0, 255): "dog,2.0,5"}
-    assert collect_color_panels([None], [""], [""], [""]) == ""
+    # nothing filled in -> the empty-dict LITERAL, so the generate path's
+    # ast.literal_eval round-trip still parses (regression: "" raised
+    # SyntaxError in the UI)
+    empty = collect_color_panels([None], [""], [""], [""])
+    assert empty == "{}" and parse_color_content(empty) == {}
 
 
 def test_build_color_panels_wiring_with_stub_gradio():

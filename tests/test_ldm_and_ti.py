@@ -408,11 +408,12 @@ def test_global_step_survives_state_dict_reading(tmp_path):
     state, meta = read_state_dict(p, return_meta=True)
     assert meta == {"global_step": 110000}
     assert "model.diffusion_model.time_embed.0.weight" in state
-    # 512-base epsilon model detected (not v-prediction)
+    # global_step 110000 = the SD-2.1-768 v-objective release
     cfg = detect_ldm_config(meta, _sd2_shaped_unet_sd())
-    assert cfg.unet.prediction_type == "epsilon"
-    # and without the header field, SD-2.x defaults to 768-v
-    cfg = detect_ldm_config({}, _sd2_shaped_unet_sd())
+    assert cfg.unet.prediction_type == "v_prediction"
+    # and without the header field, SD-2.x defaults to 768-v (with a warning)
+    with pytest.warns(UserWarning, match="epsilon"):
+        cfg = detect_ldm_config({}, _sd2_shaped_unet_sd())
     assert cfg.unet.prediction_type == "v_prediction"
 
 
