@@ -109,8 +109,8 @@ def make_handler(batcher: Batcher):
                     # compile a fresh denoise program each (1-6 min on the
                     # tunneled chip — a trivial serving stall/DoS).
                     ih, iw = init_image.shape[:2]
-                    bw, bh = snap_resolution(iw, ih)
-                    if (bh, bw) != (ih, iw):
+                    if ih % 64 or iw % 64:  # already lattice-aligned sizes
+                        bw, bh = snap_resolution(iw, ih)  # pass unresized
                         init_image = np.asarray(
                             Image.fromarray(init_image).resize(
                                 (bw, bh), Image.BILINEAR

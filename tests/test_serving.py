@@ -365,3 +365,18 @@ def test_singleton_routing_for_generate_only_kwargs():
         r = dict(base, **extra)
         assert compat_key(r) != compat_key(r), extra  # singleton: never groups
     assert compat_key(dict(base)) == compat_key(dict(base))
+
+
+def test_server_snaps_only_unaligned_init_sizes():
+    """Uploaded init images snap to the bucket lattice to bound compiles —
+    but a size that is already a multiple of 64 (including tiny test sizes
+    below the bucket minimum) passes through unresized."""
+    import importlib
+
+    server_mod = importlib.import_module("pww_tpu.serving.server")
+    src = open(server_mod.__file__).read()
+    assert "ih % 64 or iw % 64" in src  # aligned sizes skip the snap
+    from pww_tpu.utils.buckets import snap_resolution
+
+    assert snap_resolution(500, 375) == (512, 384)
+    assert snap_resolution(1023, 681) == (1024, 704)
