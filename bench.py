@@ -354,7 +354,30 @@ def main():
             print(f"serve_batch8: p50/call {per:.3f}s", file=sys.stderr)
             return len(reqs) / per
 
+        def _pipelined():
+            # Sustained throughput of the IDENTICAL headline program with
+            # D2H overlapped: dispatch call i+1 (async) before fetching
+            # call i's uint8 device image — exactly how the serving
+            # Batcher's fetcher thread runs. The headline stays the
+            # synchronous p50 latency; this point quantifies how much of
+            # the latency gap is the tunnel's D2H transfer (~80 ms/img at
+            # b1, docs/BENCHMARKING.md) rather than compute.
+            m = max(6, args.repeats - 5)
+            kwdev = dict(kwargs, output_type="device")
+            pipe.generate(seed=0, **kwdev)  # already warm (headline)
+            t0 = time.time()
+            pending = pipe.generate(seed=1, **kwdev)
+            for i in range(1, m):
+                nxt = pipe.generate(seed=i + 1, **kwdev)
+                np.asarray(pending)  # fetch i while i+1 computes
+                pending = nxt
+            np.asarray(pending)
+            total = time.time() - t0
+            print(f"pipelined x{m}: {total:.3f}s total", file=sys.stderr)
+            return m * args.batch / total
+
         _extra("batch8_img_per_s", _b8)
+        _extra("headline_pipelined_img_per_s", _pipelined)
         _extra("s_per_image_768px", _768)
         _extra("s_per_image_1024px", _1024)
         _extra("serve_batch8_req_per_s", _serve)
@@ -413,6 +436,10 @@ def main():
             else round(extras["headline_recheck_s_per_image"], 4)
         ),
         "headline_spread_s": {k: round(v, 4) for k, v in spread.items()},
+        "headline_pipelined_img_per_s": (
+            None if extras.get("headline_pipelined_img_per_s") is None
+            else round(extras["headline_pipelined_img_per_s"], 4)
+        ),
         "deepcache_interval5_img_per_s": (
             None if deepcache5_ips is None else round(deepcache5_ips, 4)
         ),

@@ -2003,15 +2003,29 @@ class PwwPipeline:
             edit_sched is None and callback is None
             and not return_latents and not self.profile
         )
+        if output_type == "device" and (not fused or ifr_state is not None):
+            raise ValueError(
+                'output_type="device" requires the fused denoise+decode '
+                "path: no return_latents/callback/profile/prompt_editing/"
+                "inpaint_full_res (those need host post-processing)"
+            )
         if fused:
             with phase("denoise+decode"):
-                images = np.asarray(run_denoise_decode(
+                images_dev = run_denoise_decode(
                     unet, self.params["unet"], self.vae,
                     self.params["vae"], latents, text_states, pww,
                     schedule, jnp.float32(guidance_scale), t_start=t_start,
                     cfg_batched=cfg_batched, cache_interval=cache_interval,
                     **denoise_kwargs,
-                ))
+                )
+                if output_type == "device":
+                    # un-fetched uint8 device array (same contract as
+                    # generate_batch): dispatch is async, so a caller can
+                    # enqueue the NEXT call's compute before paying this
+                    # one's D2H transfer — the sustained-throughput mode
+                    # bench.py's pipelined headline point measures.
+                    return images_dev
+                images = np.asarray(images_dev)
             return to_output(images)
         if edit_sched is not None:
             # prompt editing: the denoise loop splits at the schedule's

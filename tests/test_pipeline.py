@@ -29,6 +29,23 @@ def _cm(size=64):
 CTX = {(255, 0, 0): "cat,1.0", (0, 0, 255): "dog,1.0"}
 
 
+def test_output_type_device_matches_np(pipe):
+    """generate(output_type="device") returns the SAME uint8 image as "np",
+    un-fetched (the serving/bench overlap contract) — and paths needing host
+    post-processing reject it up front."""
+    import jax
+
+    kw = dict(prompt="a cat and a dog", color_map_image=_cm(),
+              color_context=dict(CTX), num_inference_steps=2, seed=7)
+    dev = pipe.generate(output_type="device", **kw)
+    assert isinstance(dev, jax.Array)
+    np.testing.assert_array_equal(
+        np.asarray(dev), pipe.generate(output_type="np", **kw)
+    )
+    with pytest.raises(ValueError, match="fused denoise\\+decode"):
+        pipe.generate(output_type="device", return_latents=True, **kw)
+
+
 def test_txt2img_deterministic(pipe):
     kw = dict(prompt="a cat and a dog", color_map_image=_cm(),
               color_context=dict(CTX), num_inference_steps=2, seed=7,
