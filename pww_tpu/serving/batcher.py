@@ -229,15 +229,36 @@ class Batcher:
             self.stats["batched_requests"] += len(group)
             try:
                 if group[0].key and group[0].key[0] == "singleton":
-                    # singleton group (see compat_key): prompt editing and
-                    # inpaint-only-masked run through plain generate
+                    # singleton group (see compat_key): runs through plain
+                    # generate. Fused-path singletons (ControlNet /
+                    # IP-Adapter / T2I-Adapter / num_samples / SDXL
+                    # overrides) still use output_type="device" so their
+                    # D2H overlaps the next group's compute like batched
+                    # groups; generate itself rejects device output on
+                    # paths needing host post-processing (prompt editing,
+                    # inpaint-only-masked) and those fall back to a
+                    # synchronous fetch here.
                     p = group[0]
-                    img = self.pipeline.generate(
-                        **p.request, output_type="np"
-                    )
-                    from PIL import Image
+                    try:
+                        images_dev = self.pipeline.generate(
+                            **p.request, output_type="device"
+                        )
+                    except ValueError as e:
+                        if 'output_type="device"' not in str(e):
+                            raise
+                        img = self.pipeline.generate(
+                            **p.request, output_type="np"
+                        )
+                        from PIL import Image
 
-                    p.future.set_result(Image.fromarray(np.asarray(img)[0]))
+                        p.future.set_result(
+                            Image.fromarray(np.asarray(img)[0])
+                        )
+                        continue
+                    try:
+                        self._fetcher.submit(self._resolve, group, images_dev)
+                    except RuntimeError:
+                        self._resolve(group, images_dev)
                     continue
                 # batch-level kwargs (uniform across the group — enforced
                 # by compat_key)

@@ -243,6 +243,22 @@ def test_batcher_prompt_editing_singleton(pipe):
         b.close()
 
 
+def test_batcher_fused_singleton_overlapped_fetch(pipe):
+    """Singleton requests on the fused path (here: num_samples=2) ride the
+    device-output + fetcher-thread overlap like batched groups, and resolve
+    the same first image generate would return alone."""
+    r = _req("a cat on a mat", 11)
+    r["num_samples"] = 2
+    assert compat_key(r)[0] == "singleton"
+    direct = np.asarray(pipe.generate(**r, output_type="np")[0])
+    b = Batcher(pipe, max_batch=4, max_wait_ms=25.0)
+    try:
+        im = b.submit(dict(r)).result(timeout=600)
+        np.testing.assert_array_equal(np.asarray(im), direct)
+    finally:
+        b.close()
+
+
 def test_drain_group_editing_short_circuits(pipe):
     """An editing singleton can never find a batchmate: _drain_group must
     return immediately without consuming max_wait or pulling (and thus
