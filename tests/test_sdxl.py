@@ -244,12 +244,6 @@ def _refiner_pipe():
     return PwwPipeline(config=SDModelConfig.tiny_xl_refiner(), weights_dtype=None)
 
 
-def _cm(size=64):
-    cm = np.zeros((size, size, 3), np.uint8)
-    cm[:, : size // 2] = (255, 0, 0)
-    return cm
-
-
 def test_refiner_config_shapes():
     cfg = SDModelConfig.tiny_xl_refiner()
     assert cfg.xl_refiner and not cfg.is_xl
