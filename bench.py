@@ -1,13 +1,22 @@
 """Benchmark: SD-1.5 512² 30-step paint-with-words on one TPU chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints JSON record lines {"metric", "value", "unit", "vs_baseline", ...}:
+the headline record is emitted (and flushed) IMMEDIATELY after the 512² b1
+measurement, then an extended record is re-emitted after every secondary
+point completes — so however early the driver's timeout lands, the last
+complete line on stdout is a valid, parseable benchmark record. (Round-3
+lesson: the record was built only at the very end and a cold-environment
+init ate the budget, leaving `parsed: null`.)
 
 The reference publishes no quantitative numbers (BASELINE.md); the north-star
 target is < 2 s/image (0.5 img/s) for SD-1.5 512², 30 steps, PwW active, on
 TPU v5e. vs_baseline is measured images/sec divided by that 0.5 img/s target.
 
-Weights are randomly initialized (no checkpoints ship in this environment);
-FLOPs, memory traffic, and program structure are identical to real weights.
+Weights are host-synthesized random values (no checkpoints ship in this
+environment); FLOPs, memory traffic, and program structure are identical to
+real weights. Synthesis runs on the host CPU with numpy — zero XLA init
+programs — so a cold environment (no .jax_cache) costs ~30 s of init instead
+of the ~919 s the device-side flax init cost in round 3.
 """
 import argparse
 import os
@@ -18,12 +27,54 @@ import time
 import numpy as np
 
 
-def _make_pipeline(cfg, args):
-    """Build the pipeline; persist random-init params to disk so repeat bench
-    runs skip the (remote-compiled, ~minutes) init programs entirely."""
-    import flax.serialization
+def _abstract_pipe(cfg):
+    """A PwwPipeline shell with just enough attributes for init_params to be
+    abstractly evaluated (no __init__, no device work)."""
+    import jax.numpy as jnp
+
+    from pww_tpu.models.clip import CLIPTextEncoder
+    from pww_tpu.models.unet import UNet2DCondition
+    from pww_tpu.models.vae import AutoencoderKL
+    from pww_tpu.pipeline.pipeline import PwwPipeline
+
+    p = PwwPipeline.__new__(PwwPipeline)
+    p.config = cfg
+    p.clip = CLIPTextEncoder(cfg.clip, dtype=jnp.bfloat16)
+    p.clip2 = (
+        CLIPTextEncoder(cfg.clip2, dtype=jnp.bfloat16) if cfg.is_xl else None
+    )
+    p.unet = UNet2DCondition(cfg.unet, dtype=jnp.bfloat16)
+    p.vae = AutoencoderKL(cfg.vae, dtype=jnp.bfloat16)
+    return p
+
+
+def _synth_params(cfg):
+    """Host-side random params with the exact pytree structure of
+    PwwPipeline.init_params (via jax.eval_shape — tracing only, no compile).
+
+    numpy RNG fills ~1.07e9 leaves in seconds; values are N(0, 0.02) bf16,
+    which is numerically tame (no inf/nan) and times identically to real
+    weights. Deterministic across runs (fixed SFC64 seed, fixed leaf order).
+    """
     import jax
     import jax.numpy as jnp
+    import ml_dtypes
+
+    shapes = jax.eval_shape(lambda: _abstract_pipe(cfg).init_params(0))
+    g = np.random.Generator(np.random.SFC64(0))
+
+    def fill(s):
+        if jnp.issubdtype(s.dtype, jnp.floating):
+            return (
+                g.standard_normal(s.shape, dtype=np.float32) * 0.02
+            ).astype(ml_dtypes.bfloat16)
+        return np.zeros(s.shape, s.dtype)
+
+    return jax.tree.map(fill, shapes)
+
+
+def _make_pipeline(cfg, args):
+    import jax
 
     from pww_tpu.pipeline.pipeline import PwwPipeline
 
@@ -37,76 +88,23 @@ def _make_pipeline(cfg, args):
 
     tok = synthetic_tokenizer(cfg.clip.vocab_size)
 
-    cache_path = os.path.join(os.path.dirname(__file__), ".bench_params.msgpack")
-    if os.path.exists(cache_path):
-        try:
-            t0 = time.time()
-            shapes = _param_shapes(cfg)
-            with open(cache_path, "rb") as f:
-                params = flax.serialization.from_bytes(shapes, f.read())
-            params = jax.device_put(params)
-            print(f"params loaded from disk: {time.time() - t0:.1f}s",
-                  file=sys.stderr)
-            return PwwPipeline(
-                config=cfg, params=params, scheduler=args.scheduler,
-                weights_dtype=None, tokenizer=tok,
-            )
-        except Exception as e:  # stale cache → re-init
-            print(f"param cache load failed ({e!r}); re-initializing",
-                  file=sys.stderr)
-    pipe = PwwPipeline(config=cfg, scheduler=args.scheduler, tokenizer=tok)
     try:
-        with open(cache_path, "wb") as f:
-            f.write(flax.serialization.to_bytes(
-                jax.tree.map(lambda x: jax.device_get(x), pipe.params)
-            ))
-    except Exception as e:
-        print(f"param cache save failed ({e!r})", file=sys.stderr)
-    return pipe
-
-
-def _param_shapes(cfg):
-    """Zero param pytrees with the right structure for from_bytes."""
-    import numpy as np
-
-    import jax
-    import jax.numpy as jnp
-
-    from pww_tpu.pipeline.pipeline import PwwPipeline
-
-    pipe = PwwPipeline.__new__(PwwPipeline)
-    pipe.config = cfg
-    from pww_tpu.models.clip import CLIPTextEncoder
-    from pww_tpu.models.unet import UNet2DCondition
-    from pww_tpu.models.vae import AutoencoderKL
-
-    pipe.clip = CLIPTextEncoder(cfg.clip, dtype=jnp.bfloat16)
-    pipe.unet = UNet2DCondition(cfg.unet, dtype=jnp.bfloat16)
-    pipe.vae = AutoencoderKL(cfg.vae, dtype=jnp.bfloat16)
-    rng = jax.random.PRNGKey(0)
-    h = w = 2 ** (len(cfg.unet.block_out_channels) - 1)
-    shapes = {
-        "clip": jax.eval_shape(
-            pipe.clip.init, rng,
-            jnp.zeros((1, cfg.clip.max_position_embeddings), jnp.int32),
-        ),
-        "unet": jax.eval_shape(
-            pipe.unet.init, rng, jnp.zeros((1, h, w, cfg.unet.in_channels)),
-            jnp.zeros((1,)),
-            jnp.zeros((1, cfg.clip.max_position_embeddings,
-                       cfg.unet.cross_attention_dim)),
-        ),
-        "vae": jax.eval_shape(
-            pipe.vae.init, rng,
-            jnp.zeros((1, cfg.vae.scale_factor * 2, cfg.vae.scale_factor * 2,
-                       cfg.vae.in_channels)),
-        ),
-    }
-    # bf16 leaves (weights_dtype cast happens before save)
-    return jax.tree.map(
-        lambda s: np.zeros(s.shape, jnp.bfloat16 if jnp.issubdtype(s.dtype, jnp.floating) else s.dtype),
-        shapes,
-    )
+        t0 = time.time()
+        params = _synth_params(cfg)
+        print(f"params synthesized on host: {time.time() - t0:.1f}s",
+              file=sys.stderr)
+        t0 = time.time()
+        params = jax.device_put(params)
+        jax.block_until_ready(params)
+        print(f"params H2D: {time.time() - t0:.1f}s", file=sys.stderr)
+        return PwwPipeline(
+            config=cfg, params=params, scheduler=args.scheduler,
+            weights_dtype=None, tokenizer=tok,
+        )
+    except Exception as e:  # pragma: no cover - belt and braces
+        print(f"host param synthesis failed ({e!r}); falling back to "
+              "device-side flax init (slow on cold cache)", file=sys.stderr)
+        return PwwPipeline(config=cfg, scheduler=args.scheduler, tokenizer=tok)
 
 
 _PEAK_BF16_FLOPS = {
@@ -201,12 +199,18 @@ def main():
     ap.add_argument("--steps", type=int, default=30)
     ap.add_argument("--batch", type=int, default=1, help="images per call")
     ap.add_argument("--repeats", type=int, default=None,
-                    help="headline reps (default: 15 on TPU, 2 with --tiny) "
+                    help="headline reps (default: 12 on TPU, 2 with --tiny) "
                     "— the spread over these is the variance evidence")
     ap.add_argument("--scheduler", default="lms")
     ap.add_argument("--no-extras", action="store_true",
-                    help="skip the batch-8 and 768px secondary points")
+                    help="headline only: skip every secondary point")
+    ap.add_argument("--budget", type=float,
+                    default=float(os.environ.get("PWW_BENCH_BUDGET", 1500)),
+                    help="wall-clock seconds; secondary points are skipped "
+                    "once elapsed time exceeds this (headline always runs)")
     args = ap.parse_args()
+
+    t_session0 = time.time()
 
     import jax
 
@@ -237,7 +241,7 @@ def main():
         steps = args.steps
 
     if args.repeats is None:
-        args.repeats = 2 if args.tiny else 15
+        args.repeats = 2 if args.tiny else 12
 
     print(f"devices: {jax.devices()}", file=sys.stderr)
     t0 = time.time()
@@ -260,31 +264,80 @@ def main():
           f"spread p25/p75 {spread['p25']:.3f}/{spread['p75']:.3f}s",
           file=sys.stderr)
 
+    extras = {}
+    baseline_ips = 0.5  # north star: < 2 s/image at the 512px/30-step config
+    headline_cfg = not args.tiny and size == 512 and steps == 30
+
+    def _round(v, n=4):
+        return None if v is None else round(v, n)
+
+    def emit():
+        """Print the full record with everything measured so far (one line,
+        flushed). Called after the headline and again after every extra: the
+        LAST complete line always parses, whatever the driver's timeout."""
+        record = {
+            # name + baseline describe the MEASURED configuration: a --size /
+            # --steps / --tiny override must not masquerade as the headline
+            "metric": (
+                "images_per_sec_per_chip_sd15_512px_30step_pww" if headline_cfg
+                else f"images_per_sec_per_chip_"
+                     f"{'tiny' if args.tiny else 'sd15'}_{size}px_{steps}step_pww"
+            ),
+            "value": round(ips, 4),
+            "unit": "img/s/chip",
+            "size": size,
+            "steps": steps,
+            "vs_baseline": round(ips / baseline_ips, 3) if headline_cfg else None,
+            "p50_s_per_image": round(per_image, 4),
+            "mfu_end_to_end": _round(extras.get("mfu_end_to_end")),
+            "denoise_tflops_per_image": _round(
+                extras.get("denoise_tflops_per_image"), 3
+            ),
+            "headline_spread_s": {k: round(v, 4) for k, v in spread.items()},
+            "repeats": args.repeats,
+            "elapsed_s": round(time.time() - t_session0, 1),
+        }
+        for k in ("batch8_img_per_s", "serve_batch8_req_per_s",
+                  "s_per_image_768px", "mfu_768", "s_per_image_1024px",
+                  "mfu_1024", "headline_pipelined_img_per_s",
+                  "headline_recheck_s_per_image",
+                  "deepcache_interval5_img_per_s", "tome_ratio05_img_per_s",
+                  "lcm_4step_img_per_s"):
+            record[k] = _round(extras.get(k))
+        print(json.dumps(record), flush=True)
+
     # MFU: XLA-counted denoise FLOPs / wall time / chip peak. Wall time is the
     # FULL pipeline (text encode + denoise + VAE + D2H), so this is the
     # end-to-end (conservative) utilization, not a kernel-window number.
-    mfu = flops_per_image = None
     try:
         flops = _denoise_flops(pipe, cm, kwargs, args.batch, size, steps)
-        flops_per_image = flops / args.batch
+        extras["denoise_tflops_per_image"] = flops / args.batch / 1e12
         peak = _chip_peak_flops()
         if peak:
-            mfu = flops / per_call / peak
-            print(f"denoise FLOPs/img: {flops_per_image/1e12:.2f} TF  "
-                  f"end-to-end MFU: {mfu:.3f}", file=sys.stderr)
+            extras["mfu_end_to_end"] = flops / per_call / peak
+            print(f"denoise FLOPs/img: {flops/args.batch/1e12:.2f} TF  "
+                  f"end-to-end MFU: {extras['mfu_end_to_end']:.3f}",
+                  file=sys.stderr)
     except Exception as e:  # pragma: no cover - backend-dependent
         print(f"cost analysis unavailable: {e!r}", file=sys.stderr)
 
-    extras = {}
+    emit()  # headline record is now on stdout whatever happens next
 
     def _extra(name, fn):
-        """Secondary points must never sink the headline JSON line."""
+        """Secondary points must never sink the headline JSON line, and must
+        respect the wall-clock budget (the driver kills over-budget runs)."""
+        elapsed = time.time() - t_session0
+        if elapsed > args.budget:
+            print(f"extra {name} skipped: {elapsed:.0f}s elapsed > "
+                  f"budget {args.budget:.0f}s", file=sys.stderr)
+            return
         try:
             extras[name] = fn()
             print(f"{name}: {extras[name]:.3f}", file=sys.stderr)
         except Exception as e:  # pragma: no cover - backend-dependent
             print(f"extra {name} failed: {e!r}", file=sys.stderr)
             extras[name] = None
+        emit()
 
     if not args.tiny and not args.no_extras:
         reps = max(2, args.repeats - 3)
@@ -292,38 +345,6 @@ def main():
         def _b8():
             _, kw8 = _bench_kwargs(size, steps, 8)
             return 8 / _timed_run(pipe, kw8, reps, f"{size}px b8")
-
-        def _768():
-            _, kw768 = _bench_kwargs(768, steps, 1)
-            return _timed_run(pipe, kw768, reps, "768px b1")
-
-        def _dc():  # opt-in DeepCache point (headline stays exact)
-            kwdc = dict(kwargs, cache_interval=5)
-            return args.batch / _timed_run(
-                pipe, kwdc, reps, f"{size}px b1 deepcache5"
-            )
-
-        def _tome():  # opt-in ToMe (token merging, ratio 0.5 — tomesd default)
-            kwtome = dict(kwargs, tome_ratio=0.5)
-            return args.batch / _timed_run(
-                pipe, kwtome, reps, f"{size}px b1 tome0.5"
-            )
-
-        def _lcm():
-            # LCM-LoRA/distilled fast-sampling path; random-init weights
-            # time identically to a distilled checkpoint
-            pipe_lcm = PwwPipeline(
-                config=cfg, params=pipe.params, scheduler="lcm",
-                weights_dtype=None, tokenizer=pipe.tokenizer,
-            )
-            kwlcm = dict(kwargs, num_inference_steps=4, guidance_scale=1.0)
-            return args.batch / _timed_run(
-                pipe_lcm, kwlcm, reps, f"{size}px b1 lcm4"
-            )
-
-        def _1024():
-            _, kw1024 = _bench_kwargs(1024, steps, 1)
-            return _timed_run(pipe, kw1024, reps, "1024px b1")
 
         def _serve():
             # generate_batch over heterogeneous requests — the serving hot
@@ -354,6 +375,48 @@ def main():
             print(f"serve_batch8: p50/call {per:.3f}s", file=sys.stderr)
             return len(reqs) / per
 
+        def _hires(px):
+            def run():
+                cm_r, kw = _bench_kwargs(px, steps, 1)
+                s = _timed_run(pipe, kw, reps, f"{px}px b1")
+                try:
+                    fl = _denoise_flops(pipe, cm_r, kw, 1, px, steps)
+                    peak = _chip_peak_flops()
+                    if peak:
+                        extras[f"mfu_{px}"] = fl / s / peak
+                        print(f"{px}px denoise FLOPs/img: {fl/1e12:.2f} TF  "
+                              f"MFU: {extras[f'mfu_{px}']:.3f}",
+                              file=sys.stderr)
+                except Exception as e:  # pragma: no cover
+                    print(f"{px}px cost analysis unavailable: {e!r}",
+                          file=sys.stderr)
+                return s
+            return run
+
+        def _dc():  # opt-in DeepCache point (headline stays exact)
+            kwdc = dict(kwargs, cache_interval=5)
+            return args.batch / _timed_run(
+                pipe, kwdc, reps, f"{size}px b1 deepcache5"
+            )
+
+        def _tome():  # opt-in ToMe (token merging, ratio 0.5 — tomesd default)
+            kwtome = dict(kwargs, tome_ratio=0.5)
+            return args.batch / _timed_run(
+                pipe, kwtome, reps, f"{size}px b1 tome0.5"
+            )
+
+        def _lcm():
+            # LCM-LoRA/distilled fast-sampling path; random-init weights
+            # time identically to a distilled checkpoint
+            pipe_lcm = PwwPipeline(
+                config=cfg, params=pipe.params, scheduler="lcm",
+                weights_dtype=None, tokenizer=pipe.tokenizer,
+            )
+            kwlcm = dict(kwargs, num_inference_steps=4, guidance_scale=1.0)
+            return args.batch / _timed_run(
+                pipe_lcm, kwlcm, reps, f"{size}px b1 lcm4"
+            )
+
         def _pipelined():
             # Sustained throughput of the IDENTICAL headline program with
             # D2H overlapped: dispatch call i+1 (async) before fetching
@@ -376,82 +439,22 @@ def main():
             print(f"pipelined x{m}: {total:.3f}s total", file=sys.stderr)
             return m * args.batch / total
 
-        _extra("batch8_img_per_s", _b8)
-        _extra("headline_pipelined_img_per_s", _pipelined)
-        _extra("s_per_image_768px", _768)
-        _extra("s_per_image_1024px", _1024)
-        _extra("serve_batch8_req_per_s", _serve)
-        _extra("deepcache_interval5_img_per_s", _dc)
-        _extra("tome_ratio05_img_per_s", _tome)
-        _extra("lcm_4step_img_per_s", _lcm)
-
         # end-of-session headline recheck: quantifies within-session drift
         # (tunnel variance) so round-over-round comparisons have error bars
         def _recheck():
             return _timed_run(pipe, kwargs, 5, f"{size}px b1 recheck")
 
+        # ordered by round-4 priority: batch/serving scaling first, then
+        # high-res MFU, then overlap/variance, then opt-in accelerators
+        _extra("batch8_img_per_s", _b8)
+        _extra("serve_batch8_req_per_s", _serve)
+        _extra("s_per_image_768px", _hires(768))
+        _extra("s_per_image_1024px", _hires(1024))
+        _extra("headline_pipelined_img_per_s", _pipelined)
         _extra("headline_recheck_s_per_image", _recheck)
-    batch8_ips = extras.get("batch8_img_per_s")
-    s_per_img_768 = extras.get("s_per_image_768px")
-    deepcache5_ips = extras.get("deepcache_interval5_img_per_s")
-    tome_ips = extras.get("tome_ratio05_img_per_s")
-    lcm4_ips = extras.get("lcm_4step_img_per_s")
-
-    baseline_ips = 0.5  # north star: < 2 s/image at the 512px/30-step config
-    headline_cfg = not args.tiny and size == 512 and steps == 30
-    record = {
-        # name + baseline describe the MEASURED configuration: a --size /
-        # --steps / --tiny override must not masquerade as the headline
-        "metric": (
-            "images_per_sec_per_chip_sd15_512px_30step_pww" if headline_cfg
-            else f"images_per_sec_per_chip_"
-                 f"{'tiny' if args.tiny else 'sd15'}_{size}px_{steps}step_pww"
-        ),
-        "value": round(ips, 4),
-        "unit": "img/s/chip",
-        "size": size,
-        "steps": steps,
-        "vs_baseline": round(ips / baseline_ips, 3) if headline_cfg else None,
-        "p50_s_per_image": round(per_image, 4),
-        "mfu_end_to_end": None if mfu is None else round(mfu, 4),
-        "denoise_tflops_per_image": (
-            None if flops_per_image is None else round(flops_per_image / 1e12, 3)
-        ),
-        "batch8_img_per_s": (
-            None if batch8_ips is None else round(batch8_ips, 4)
-        ),
-        "s_per_image_768px": (
-            None if s_per_img_768 is None else round(s_per_img_768, 4)
-        ),
-        "s_per_image_1024px": (
-            None if extras.get("s_per_image_1024px") is None
-            else round(extras["s_per_image_1024px"], 4)
-        ),
-        "serve_batch8_req_per_s": (
-            None if extras.get("serve_batch8_req_per_s") is None
-            else round(extras["serve_batch8_req_per_s"], 4)
-        ),
-        "headline_recheck_s_per_image": (
-            None if extras.get("headline_recheck_s_per_image") is None
-            else round(extras["headline_recheck_s_per_image"], 4)
-        ),
-        "headline_spread_s": {k: round(v, 4) for k, v in spread.items()},
-        "headline_pipelined_img_per_s": (
-            None if extras.get("headline_pipelined_img_per_s") is None
-            else round(extras["headline_pipelined_img_per_s"], 4)
-        ),
-        "deepcache_interval5_img_per_s": (
-            None if deepcache5_ips is None else round(deepcache5_ips, 4)
-        ),
-        "tome_ratio05_img_per_s": (
-            None if tome_ips is None else round(tome_ips, 4)
-        ),
-        "lcm_4step_img_per_s": (
-            None if lcm4_ips is None else round(lcm4_ips, 4)
-        ),
-        "repeats": args.repeats,
-    }
-    print(json.dumps(record))
+        _extra("deepcache_interval5_img_per_s", _dc)
+        _extra("tome_ratio05_img_per_s", _tome)
+        _extra("lcm_4step_img_per_s", _lcm)
 
 
 if __name__ == "__main__":
