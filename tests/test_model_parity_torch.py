@@ -120,8 +120,32 @@ def _resnet(sd, p, x, temb, groups):
     return x + h
 
 
-def _attn(sd, p, x, ctx, heads):
-    # diffusers CrossAttention: bias-free q/k/v, biased out proj, 1/sqrt(dh)
+def _pww_weight_for(pww, q_len):
+    """Weight-tensor lookup with the reference's ``ORIG`` resize fallback
+    (reference `paint_with_words/paint_with_words.py:93-103`)."""
+    if q_len in pww["weights"]:
+        return pww["weights"][q_len]
+    w = pww.get("orig", 0)
+    if isinstance(w, int):
+        return 0
+    img_h, img_w, nc = w.shape
+    ratio = math.sqrt(img_h * img_w / q_len)
+    w = F.interpolate(w.permute(2, 0, 1).unsqueeze(0), scale_factor=1 / ratio,
+                      mode="bilinear", align_corners=True)
+    w = F.interpolate(w.reshape(1, nc, -1), size=(q_len,),
+                      mode="nearest").permute(2, 1, 0).squeeze()
+    return w
+
+
+def _attn(sd, p, x, ctx, heads, pww=None):
+    # diffusers CrossAttention: bias-free q/k/v, biased out proj, 1/sqrt(dh).
+    # ``pww`` replicates the reference's inj_forward cross-attention bias
+    # (reference `paint_with_words.py:60-125`): the size-keyed weight tensor
+    # feeds weight_function(w, sigma, raw scores), and the bias is added to
+    # the raw logits BEFORE the 1/sqrt(dh) scale (`:112`). The reference
+    # folds heads into batch before reducing; since its weight functions use
+    # only global reductions (max/std) the (b, heads, q, kv) layout here is
+    # numerically identical.
     q = F.linear(x, _g(sd, p + ".to_q.weight"))
     k = F.linear(ctx, _g(sd, p + ".to_k.weight"))
     v = F.linear(ctx, _g(sd, p + ".to_v.weight"))
@@ -132,25 +156,32 @@ def _attn(sd, p, x, ctx, heads):
         return t_.view(b, -1, heads, dh).permute(0, 2, 1, 3)
 
     q, k, v = split(q), split(k), split(v)
-    s = (q @ k.transpose(-1, -2)) * (dh ** -0.5)
+    s = q @ k.transpose(-1, -2)
+    if pww is not None:
+        w = _pww_weight_for(pww, lq)
+        s = s + pww["fn"](w, pww["sigma"], s)
+    s = s * (dh ** -0.5)
     o = s.softmax(-1) @ v
     o = o.permute(0, 2, 1, 3).reshape(b, lq, d)
     return F.linear(o, _g(sd, p + ".to_out.0.weight"), _g(sd, p + ".to_out.0.bias"))
 
 
-def _tblock(sd, p, x, ctx, heads):
-    # BasicTransformerBlock: pre-LN self-attn, cross-attn, GEGLU ff
+def _tblock(sd, p, x, ctx, heads, pww=None):
+    # BasicTransformerBlock: pre-LN self-attn, cross-attn, GEGLU ff.
+    # PwW bias applies only to attn2 (cross): the reference's class-level
+    # patch hits attn1 too, but with context=None it takes the zero-bias
+    # fast path (reference `paint_with_words.py:71-72, 109-110`).
     h = _ln(sd, p + ".norm1", x)
     x = x + _attn(sd, p + ".attn1", h, h, heads)
     h = _ln(sd, p + ".norm2", x)
-    x = x + _attn(sd, p + ".attn2", h, ctx, heads)
+    x = x + _attn(sd, p + ".attn2", h, ctx, heads, pww=pww)
     h = _ln(sd, p + ".norm3", x)
     hg = _lin(sd, p + ".ff.net.0.proj", h)
     a, gate = hg.chunk(2, dim=-1)  # GEGLU: passthrough half, gelu-gated half
     return x + _lin(sd, p + ".ff.net.2", a * F.gelu(gate))
 
 
-def _t2d(sd, p, x, ctx, heads, depth, groups):
+def _t2d(sd, p, x, ctx, heads, depth, groups, pww=None):
     # Transformer2DModel (use_linear_projection=False): GN(eps 1e-6),
     # 1x1 conv in, blocks over flattened space, 1x1 conv out, residual
     b, c, hh, ww = x.shape
@@ -159,7 +190,7 @@ def _t2d(sd, p, x, ctx, heads, depth, groups):
     z = _conv(sd, p + ".proj_in", z, pad=0)
     z = z.permute(0, 2, 3, 1).reshape(b, hh * ww, c)
     for d in range(depth):
-        z = _tblock(sd, p + f".transformer_blocks.{d}", z, ctx, heads)
+        z = _tblock(sd, p + f".transformer_blocks.{d}", z, ctx, heads, pww=pww)
     z = z.reshape(b, hh, ww, c).permute(0, 3, 1, 2)
     z = _conv(sd, p + ".proj_out", z, pad=0)
     return z + res
@@ -168,6 +199,7 @@ def _t2d(sd, p, x, ctx, heads, depth, groups):
 def torch_unet_forward(
     sd, x, t, ctx, *, channels, layers, groups, has_attn, heads_of,
     depth_of=lambda bi: 1, added=None, add_time_dim=None, intrablock=None,
+    pww=None,
 ):
     """diffusers UNet2DConditionModel.forward, functional, NCHW."""
     c0 = channels[0]
@@ -190,7 +222,7 @@ def torch_unet_forward(
             x = _resnet(sd, f"down_blocks.{bi}.resnets.{li}", x, temb, groups)
             if has_attn[bi]:
                 x = _t2d(sd, f"down_blocks.{bi}.attentions.{li}", x, ctx,
-                         heads_of(ch), depth_of(bi), groups)
+                         heads_of(ch), depth_of(bi), groups, pww=pww)
                 # T2I-Adapter intrablock residual, diffusers
                 # CrossAttnDownBlock2D: after the last attn, INSIDE the skip
                 if intrablock is not None and li == layers - 1:
@@ -206,7 +238,7 @@ def torch_unet_forward(
 
     x = _resnet(sd, "mid_block.resnets.0", x, temb, groups)
     x = _t2d(sd, "mid_block.attentions.0", x, ctx, heads_of(channels[-1]),
-             depth_of(n - 1), groups)
+             depth_of(n - 1), groups, pww=pww)
     x = _resnet(sd, "mid_block.resnets.1", x, temb, groups)
 
     rev = list(reversed(channels))
@@ -218,7 +250,7 @@ def torch_unet_forward(
             x = _resnet(sd, f"up_blocks.{bi}.resnets.{li}", x, temb, groups)
             if up_attn[bi]:
                 x = _t2d(sd, f"up_blocks.{bi}.attentions.{li}", x, ctx,
-                         heads_of(ch), depth_of(n - 1 - bi), groups)
+                         heads_of(ch), depth_of(n - 1 - bi), groups, pww=pww)
         if bi < n - 1:
             x = F.interpolate(x, scale_factor=2.0, mode="nearest")
             x = _conv(sd, f"up_blocks.{bi}.upsamplers.0.conv", x)
@@ -461,7 +493,7 @@ def test_vae_matches_torch_replica(rng):
 
 def torch_controlnet_forward(
     sd, x, t, ctx, hint, *, channels, layers, groups, has_attn, heads_of,
-    depth_of=lambda bi: 1, scale=1.0,
+    depth_of=lambda bi: 1, scale=1.0, pww=None,
 ):
     """diffusers ControlNetModel.forward, functional, NCHW: UNet-encoder
     copy + hint embedder + per-skip zero convs, residuals scaled."""
@@ -486,7 +518,7 @@ def torch_controlnet_forward(
             x = _resnet(sd, f"down_blocks.{bi}.resnets.{li}", x, temb, groups)
             if has_attn[bi]:
                 x = _t2d(sd, f"down_blocks.{bi}.attentions.{li}", x, ctx,
-                         heads_of(ch), depth_of(bi), groups)
+                         heads_of(ch), depth_of(bi), groups, pww=pww)
             res.append(x)
         if bi < n - 1:
             x = _conv(sd, f"down_blocks.{bi}.downsamplers.0.conv", x, stride=2)
@@ -494,7 +526,7 @@ def torch_controlnet_forward(
 
     x = _resnet(sd, "mid_block.resnets.0", x, temb, groups)
     x = _t2d(sd, "mid_block.attentions.0", x, ctx, heads_of(channels[-1]),
-             depth_of(n - 1), groups)
+             depth_of(n - 1), groups, pww=pww)
     x = _resnet(sd, "mid_block.resnets.1", x, temb, groups)
 
     outs = tuple(
