@@ -242,6 +242,11 @@ def main():
     ap.add_argument("--ssim-floor", type=float, default=0.35)
     ap.add_argument("--no-gate", action="store_true",
                     help="report metrics only; never exit nonzero")
+    ap.add_argument("--only", default=None,
+                    help="run a single case by name (model mode)")
+    ap.add_argument("--size", type=int, default=None,
+                    help="downscale assets to this size in model mode "
+                    "(testing; the gate normally runs at asset resolution)")
     args = ap.parse_args()
 
     if not args.model:
@@ -297,7 +302,8 @@ def main():
         if args.inpaint_model else None
     )
     results = run_cases(pipe, pipe_inpaint, ref_dir,
-                        steps=args.steps, inpaint_steps=args.inpaint_steps)
+                        steps=args.steps, inpaint_steps=args.inpaint_steps,
+                        only=args.only, size=args.size)
     failures = []
     for name, out, ref in results:
         if ref is None:
