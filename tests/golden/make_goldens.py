@@ -25,7 +25,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np  # noqa: E402
 
-from golden_cases import CASES, generate  # noqa: E402
+from golden_cases import CASES, generate, generate_image  # noqa: E402
 
 
 def main():
@@ -36,6 +36,10 @@ def main():
         path = os.path.join(here, f"{name}.npy")
         np.save(path, out)
         print(f"{name}: saved {out.shape} -> {path}")
+        img = generate_image(name)
+        ipath = os.path.join(here, f"{name}_img.npy")
+        np.save(ipath, img)
+        print(f"{name}: saved image {img.shape} {img.dtype} -> {ipath}")
 
 
 if __name__ == "__main__":

@@ -53,6 +53,10 @@ def test_golden_latents_regression():
     assert rel < 1e-3, rel
 
 
+ALL_MODES = ["tiny_txt2img_v1", "tiny_img2img_v1", "tiny_inpaint_v1",
+             "tiny_regional_blur_v1", "tiny_xl_v1"]
+
+
 @pytest.mark.parametrize(
     "name",
     ["tiny_img2img_v1", "tiny_inpaint_v1", "tiny_regional_blur_v1",
@@ -74,6 +78,29 @@ def test_golden_latents_all_modes(name):
     assert got.shape == golden.shape, (got.shape, golden.shape)
     rel = np.abs(got - golden).mean() / np.abs(golden).mean()
     assert rel < 1e-3, (name, rel)
+
+
+@pytest.mark.parametrize("name", ALL_MODES)
+def test_golden_images_all_modes(name):
+    """uint8 IMAGE goldens for all 5 modes (VERDICT r3 weak #8): latent
+    goldens cannot see VAE-decode or uint8-quantization drift; the decoded
+    image must stay bit-close to the committed golden, and the smoke PSNR
+    floor is asserted here in CI, not only in ``--model`` mode."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from benchmarks.fidelity import psnr
+    from golden_cases import generate_image
+
+    golden = np.load(os.path.join(os.path.dirname(__file__), "golden",
+                                  f"{name}_img.npy"))
+    got = generate_image(name)
+    assert got.shape == golden.shape and got.dtype == np.uint8
+    diff = np.abs(got.astype(int) - golden.astype(int))
+    assert diff.max() <= 1, (name, diff.max())  # quantization slack only
+    p = psnr(got[0], golden[0])
+    assert p >= 45.0, (name, p)  # smoke-mode PSNR floor, gated in CI
 
 
 def test_windowed_ssim_properties():
