@@ -91,20 +91,37 @@ def main():
           f"batched: {batched:.2f}s  speedup: {serial / batched:.2f}x  "
           f"(batches formed: {batcher.stats['batches']})")
 
-    # sustained phase: 3 waves of n requests in one burst — exercises group
-    # formation AND the overlapped device-fetch path; per-request latencies
-    # give the p50/p95 a serving SLO cares about.
+    # sustained phase: n CLOSED-LOOP clients, 3 sequential requests each —
+    # the standard serving-latency methodology. (The round-3 harness burst
+    # all 3n requests at once, so its p95/p50 = 1.5 measured backlog-drain
+    # makespan — wave k of a saturated queue finishing at k cycles — not
+    # serving quality. A closed-loop client submits its next request only
+    # after its previous one resolves, so per-request latency isolates
+    # queueing the batcher can actually control; with backpressured group
+    # formation all n clients coalesce into one full batch per cycle.)
+    import threading
+
     waves = 3
     batcher = Batcher(pipe, max_batch=args.n, max_wait_ms=200.0)
     lat = []
+    lat_lock = threading.Lock()
+
+    def client(cid):
+        for w in range(waves):
+            ts = time.time()
+            batcher.submit(req(cid + w * args.n)).result(timeout=1200)
+            with lat_lock:
+                lat.append(time.time() - ts)
+
     try:
         t0 = time.time()
-        submitted = []
-        for i in range(waves * args.n):
-            submitted.append((time.time(), batcher.submit(req(i))))
-        for ts, f in submitted:
-            f.result(timeout=1200)
-            lat.append(time.time() - ts)
+        threads = [
+            threading.Thread(target=client, args=(i,)) for i in range(args.n)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
         sustained = time.time() - t0
     finally:
         batcher.close()
@@ -119,6 +136,8 @@ def main():
         "sustained_req_per_s": round(waves * args.n / sustained, 4),
         "latency_p50_s": round(lat[len(lat) // 2], 3),
         "latency_p95_s": round(lat[min(len(lat) - 1, int(0.95 * len(lat)))], 3),
+        "closed_loop": True,
+        "batches_formed": batcher.stats["batches"],
         "tiny": bool(args.tiny),
     }
     if args.img2img:

@@ -151,6 +151,10 @@ class Batcher:
         self._fetcher = ThreadPoolExecutor(
             max_workers=1, thread_name_prefix="pww-fetch"
         )
+        # launched-but-unfetched device batches: while > 0 the device is
+        # busy and group formation keeps draining (see _drain_group)
+        self._inflight = 0
+        self._inflight_lock = threading.Lock()
         self.stats = {"requests": 0, "batches": 0, "batched_requests": 0}
         self._latencies = deque(maxlen=1024)  # seconds, per finished request
 
@@ -202,14 +206,26 @@ class Batcher:
         group = [first]
         deadline = time.monotonic() + self.max_wait
         leftovers: List[_Pending] = []
-        while len(group) < self.max_batch:
-            timeout = deadline - time.monotonic()
-            if timeout <= 0:
+        while len(group) < self.max_batch and not self._stop.is_set():
+            # Backpressure (round-4 tail fix): while a launched batch is
+            # still on the device, committing the next group early cannot
+            # start it any sooner — the device executes in submission order
+            # — but it DOES lock out every request arriving during the
+            # in-flight batch, costing them a whole extra cycle. So keep
+            # draining while the device is busy (bounded by the in-flight
+            # batch's duration) and only let the linger deadline close the
+            # group once the device is idle. A full group still launches
+            # immediately: at saturation the host prologue then overlaps
+            # device compute.
+            busy = self._inflight > 0
+            now = time.monotonic()
+            if not busy and now >= deadline:
                 break
+            timeout = 0.005 if busy else (deadline - now)
             try:
                 nxt = self._q.get(timeout=timeout)
             except queue.Empty:
-                break
+                continue  # re-check inflight / deadline
             if nxt.key == first.key:
                 group.append(nxt)
             else:
@@ -255,10 +271,7 @@ class Batcher:
                             Image.fromarray(np.asarray(img)[0])
                         )
                         continue
-                    try:
-                        self._fetcher.submit(self._resolve, group, images_dev)
-                    except RuntimeError:
-                        self._resolve(group, images_dev)
+                    self._hand_to_fetcher(group, images_dev)
                     continue
                 # batch-level kwargs (uniform across the group — enforced
                 # by compat_key)
@@ -306,18 +319,32 @@ class Batcher:
                             if not p.future.done():
                                 p.future.set_exception(pe)
                     continue
-                try:
-                    self._fetcher.submit(self._resolve, group, images_dev)
-                except RuntimeError:
-                    # close() shut the executor down while this batch was
-                    # still on device (joins time out at 5 s; a compile can
-                    # take minutes) — resolve inline so in-flight requests
-                    # complete instead of erroring.
-                    self._resolve(group, images_dev)
+                self._hand_to_fetcher(group, images_dev)
             except Exception as e:  # propagate to every waiter
                 for p in group:
                     if not p.future.done():
                         p.future.set_exception(e)
+
+    def _hand_to_fetcher(self, group: List[_Pending], images_dev) -> None:
+        """Queue a launched device batch for fetching; tracks it as
+        in-flight so group formation applies backpressure until fetched."""
+        with self._inflight_lock:
+            self._inflight += 1
+        try:
+            self._fetcher.submit(self._resolve_tracked, group, images_dev)
+        except RuntimeError:
+            # close() shut the executor down while this batch was still on
+            # device (joins time out at 5 s; a compile can take minutes) —
+            # resolve inline so in-flight requests complete instead of
+            # erroring.
+            self._resolve_tracked(group, images_dev)
+
+    def _resolve_tracked(self, group: List[_Pending], images_dev) -> None:
+        try:
+            self._resolve(group, images_dev)
+        finally:
+            with self._inflight_lock:
+                self._inflight -= 1
 
     def _resolve(self, group: List[_Pending], images_dev) -> None:
         """Fetch one launched batch and resolve its futures (runs on the
