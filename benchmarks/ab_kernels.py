@@ -1,0 +1,107 @@
+"""Interleaved same-session kernel-knob A/B at high resolution (round 4).
+
+Round-3 verdict asked for a block-size sweep at 4096-16384 q-lengths.
+Cross-session numbers on the tunneled chip drift ±8-10%, so variants are
+compared ONLY by interleaving timed calls within one session
+(docs/BENCHMARKING.md methodology): one pipeline per knob setting (same
+params — a config change recompiles but shares weights), alternating
+A/B/C/A/B/C... timed generate() calls.
+
+  python benchmarks/ab_kernels.py --size 1024 --rounds 6
+  python benchmarks/ab_kernels.py --tiny            # CPU plumbing smoke
+"""
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--size", type=int, default=1024)
+    ap.add_argument("--steps", type=int, default=30)
+    ap.add_argument("--rounds", type=int, default=6)
+    args = ap.parse_args()
+
+    import jax
+
+    if args.tiny:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(__file__), "..", ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import bench as B
+    from pww_tpu.config import SDModelConfig
+    from pww_tpu.pipeline.pipeline import PwwPipeline
+
+    class _A:
+        tiny = args.tiny
+        scheduler = "lms"
+
+    if args.tiny:
+        cfg0, size, steps = SDModelConfig.tiny(), 128, 2
+    else:
+        cfg0, size, steps = SDModelConfig.sd15(), args.size, args.steps
+    base = B._make_pipeline(cfg0, _A)
+
+    # knob variants: baseline, halved flash block, doubled cross-attn q block
+    def with_unet(**kw):
+        return dataclasses.replace(
+            cfg0, unet=dataclasses.replace(cfg0.unet, **kw)
+        )
+
+    variants = {
+        "base_fb1024_xq1024": base,
+        "flash_block512": PwwPipeline(
+            config=with_unet(flash_block=512), params=base.params,
+            weights_dtype=None, tokenizer=base.tokenizer,
+        ),
+        "xattn_q2048": PwwPipeline(
+            config=with_unet(xattn_block_q=2048), params=base.params,
+            weights_dtype=None, tokenizer=base.tokenizer,
+        ),
+    }
+
+    cm, kw = B._bench_kwargs(size, steps, 1)
+    times = {k: [] for k in variants}
+    for name, pipe in variants.items():  # warm (compile) each variant
+        t0 = time.time()
+        pipe.generate(seed=0, **kw)
+        print(f"{name}: warm {time.time() - t0:.1f}s", file=sys.stderr,
+              flush=True)
+    for r in range(args.rounds):  # interleave
+        for name, pipe in variants.items():
+            t0 = time.time()
+            pipe.generate(seed=r + 1, **kw)
+            times[name].append(time.time() - t0)
+        print(f"round {r}: " + "  ".join(
+            f"{n}={times[n][-1]:.3f}s" for n in variants), file=sys.stderr,
+            flush=True)
+
+    record = {
+        "size": size, "steps": steps, "rounds": args.rounds,
+        "median_s": {n: round(float(np.median(t)), 4) for n, t in times.items()},
+        "p25_s": {n: round(float(np.percentile(t, 25)), 4) for n, t in times.items()},
+        "p75_s": {n: round(float(np.percentile(t, 75)), 4) for n, t in times.items()},
+    }
+    print(json.dumps(record))
+    if not args.tiny:
+        out = os.path.join(os.path.dirname(__file__),
+                           f"AB_KERNELS_{size}.json")
+        with open(out, "w") as f:
+            json.dump(record, f, indent=1)
+        print(f"wrote {out}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
