@@ -159,12 +159,31 @@ def _denoise_flops(pipe, cm, kwargs, batch: int, size: int, steps: int):
     return float(ca["flops"]) * steps
 
 
-def _timed_run(pipe, kwargs, repeats: int, label: str, return_times=False):
-    """warmup + median wall time of generate() (full pipeline, D2H incl.)."""
+def _timed_run(pipe, kwargs, repeats: int, label: str, return_times=False,
+               settle: int = 0):
+    """warmup + median wall time of generate() (full pipeline, D2H incl.).
+
+    ``settle``: after the compile-warmup, run up to this many untimed calls
+    until two consecutive wall times agree within 3% — the first calls of a
+    fresh session run ~5-8% slow (residual host/tunnel state after the 2 GB
+    param H2D), which polluted the round-4 warm headline (p50 0.808 s vs a
+    0.757 s end-of-session recheck of the identical program).
+    """
     t0 = time.time()
     pipe.generate(seed=0, **kwargs)
     print(f"{label} warmup (incl. compile): {time.time() - t0:.1f}s",
           file=sys.stderr)
+    prev = None
+    for i in range(settle):
+        t0 = time.time()
+        pipe.generate(seed=0, **kwargs)
+        t = time.time() - t0
+        stable = prev is not None and abs(t - prev) / prev < 0.03
+        prev = t
+        if stable:
+            print(f"{label} settled after {i + 1} calls ({t:.3f}s)",
+                  file=sys.stderr)
+            break
     times = []
     for i in range(repeats):
         t0 = time.time()
@@ -251,7 +270,7 @@ def main():
     cm, kwargs = _bench_kwargs(size, steps, args.batch)
     per_call, headline_times = _timed_run(
         pipe, kwargs, args.repeats, f"{size}px b{args.batch}",
-        return_times=True,
+        return_times=True, settle=0 if args.tiny else 5,
     )
     per_image = per_call / args.batch
     ips = args.batch / per_call
@@ -297,7 +316,8 @@ def main():
             "repeats": args.repeats,
             "elapsed_s": round(time.time() - t_session0, 1),
         }
-        for k in ("batch8_img_per_s", "serve_batch8_req_per_s",
+        for k in ("batch8_img_per_s", "batch8_pipelined_img_per_s",
+                  "serve_batch8_req_per_s",
                   "s_per_image_768px", "mfu_768", "s_per_image_1024px",
                   "mfu_1024", "headline_pipelined_img_per_s",
                   "headline_recheck_s_per_image",
@@ -344,7 +364,27 @@ def main():
 
         def _b8():
             _, kw8 = _bench_kwargs(size, steps, 8)
-            return 8 / _timed_run(pipe, kw8, reps, f"{size}px b8")
+            return 8 / _timed_run(pipe, kw8, reps, f"{size}px b8", settle=2)
+
+        def _b8_pipelined():
+            # sustained batch throughput: device output, fetch batch i's
+            # images while batch i+1 denoises (the Batcher's fetcher-thread
+            # overlap) — hides the decode-D2H tail that the synchronous b8
+            # point pays per call (~0.55 s of a ~5.0 s call at b8)
+            m = 4
+            _, kw8 = _bench_kwargs(size, steps, 8)
+            kwdev = dict(kw8, output_type="device")
+            pipe.generate(seed=0, **kwdev)  # warm (shares the b8 program)
+            t0 = time.time()
+            pending = pipe.generate(seed=1, **kwdev)
+            for i in range(1, m):
+                nxt = pipe.generate(seed=i + 1, **kwdev)
+                np.asarray(pending)
+                pending = nxt
+            np.asarray(pending)
+            total = time.time() - t0
+            print(f"b8 pipelined x{m}: {total:.3f}s total", file=sys.stderr)
+            return m * 8 / total
 
         def _serve():
             # generate_batch over heterogeneous requests — the serving hot
@@ -447,6 +487,7 @@ def main():
         # ordered by round-4 priority: batch/serving scaling first, then
         # high-res MFU, then overlap/variance, then opt-in accelerators
         _extra("batch8_img_per_s", _b8)
+        _extra("batch8_pipelined_img_per_s", _b8_pipelined)
         _extra("serve_batch8_req_per_s", _serve)
         _extra("s_per_image_768px", _hires(768))
         _extra("s_per_image_1024px", _hires(1024))

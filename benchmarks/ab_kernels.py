@@ -28,6 +28,11 @@ def main():
     ap.add_argument("--size", type=int, default=1024)
     ap.add_argument("--steps", type=int, default=30)
     ap.add_argument("--rounds", type=int, default=6)
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--set", default="hires", choices=["hires", "b8"],
+                    help="knob set: 'hires' (round-3 ask: blocks at 4096-"
+                    "16384 q) or 'b8' (round-4 batch-scaling: bigger blocks "
+                    "+ dense-at-1024 with 16 CFG rows in flight)")
     args = ap.parse_args()
 
     import jax
@@ -60,25 +65,44 @@ def main():
             cfg0, unet=dataclasses.replace(cfg0.unet, **kw)
         )
 
-    variants = {
-        "base_fb1024_xq1024": base,
-        "flash_block512": PwwPipeline(
-            config=with_unet(flash_block=512), params=base.params,
+    def variant(**kwcfg):
+        return PwwPipeline(
+            config=with_unet(**kwcfg), params=base.params,
             weights_dtype=None, tokenizer=base.tokenizer,
-        ),
-        "xattn_q2048": PwwPipeline(
-            config=with_unet(xattn_block_q=2048), params=base.params,
-            weights_dtype=None, tokenizer=base.tokenizer,
-        ),
-    }
+        )
 
-    cm, kw = B._bench_kwargs(size, steps, 1)
-    times = {k: [] for k in variants}
-    for name, pipe in variants.items():  # warm (compile) each variant
+    if args.set == "hires":
+        variants = {
+            "base_fb1024_xq1024": base,
+            "flash_block512": variant(flash_block=512),
+            "xattn_q2048": variant(xattn_block_q=2048),
+        }
+    else:  # b8: larger blocks amortize better over 16 CFG rows; also test
+        # whether XLA-dense beats flash at seq 1024 when batch covers latency
+        variants = {
+            "base_fb1024_xq1024": base,
+            "flash_block2048": variant(flash_block=2048),
+            "dense_at_1024": variant(flash_min_seq=4096),
+            "xq2048": variant(xattn_block_q=2048),
+        }
+
+    cm, kw = B._bench_kwargs(size, steps, args.batch)
+    infeasible = {}
+    for name, pipe in list(variants.items()):  # warm (compile) each variant
         t0 = time.time()
-        pipe.generate(seed=0, **kw)
+        try:
+            pipe.generate(seed=0, **kw)
+        except Exception as e:
+            # e.g. flash_block=2048 at b8 overflows the 16 MB scoped VMEM —
+            # an infeasible point is a RESULT of the sweep, not a crash
+            msg = str(e).splitlines()[-1][:200]
+            print(f"{name}: infeasible ({msg})", file=sys.stderr, flush=True)
+            infeasible[name] = msg
+            del variants[name]
+            continue
         print(f"{name}: warm {time.time() - t0:.1f}s", file=sys.stderr,
               flush=True)
+    times = {k: [] for k in variants}
     for r in range(args.rounds):  # interleave
         for name, pipe in variants.items():
             t0 = time.time()
@@ -90,14 +114,18 @@ def main():
 
     record = {
         "size": size, "steps": steps, "rounds": args.rounds,
+        "batch": args.batch, "set": args.set, "infeasible": infeasible,
         "median_s": {n: round(float(np.median(t)), 4) for n, t in times.items()},
         "p25_s": {n: round(float(np.percentile(t, 25)), 4) for n, t in times.items()},
         "p75_s": {n: round(float(np.percentile(t, 75)), 4) for n, t in times.items()},
     }
     print(json.dumps(record))
     if not args.tiny:
-        out = os.path.join(os.path.dirname(__file__),
-                           f"AB_KERNELS_{size}.json")
+        out = os.path.join(
+            os.path.dirname(__file__),
+            f"AB_KERNELS_{size}" + (f"_b{args.batch}" if args.batch != 1
+                                    else "") + ".json",
+        )
         with open(out, "w") as f:
             json.dump(record, f, indent=1)
         print(f"wrote {out}", file=sys.stderr)
