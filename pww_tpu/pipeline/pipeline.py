@@ -2216,6 +2216,66 @@ class PwwPipeline:
             num_inference_steps=steps2, output_type=output_type, **common,
         )
 
+    def _prewarm_text_cache(self, requests: Sequence[Dict]) -> None:
+        """Batch the text-encoder forward across a ``generate_batch`` group.
+
+        The per-request encode prologue dispatches one (2, 77) CLIP call per
+        request — K serial device round-trips on the serving critical path
+        (~40-60 ms each over a remote/tunneled backend, so ~0.4 s of an
+        8-request cycle). Collect the group's UNCACHED (prompt, negative)
+        pairs, run ONE (2K, 77) CLIP forward, and seed ``_text_cache`` so
+        the per-request ``encode_inputs`` loop below hits cache.
+
+        Standard single-tower path only (no prompt weighting / long prompts
+        / clip_skip / dual-encoder XL towers): other requests simply take
+        the per-request encode unchanged. The pair count is bucketed to the
+        next power of two (padding with ("", "") pairs whose outputs are
+        dropped) so a serving deployment compiles at most log2(max_batch)
+        extra CLIP shapes, not one per partial-group size.
+        """
+        if self.clip2 is not None or self.config.xl_refiner:
+            return
+        pairs = []
+        for r in requests:
+            if (r.get("prompt_weighting") or r.get("long_prompts")
+                    or int(r.get("clip_skip", 0))):
+                continue
+            pairs.append(
+                (str(r.get("prompt", "")), str(r.get("negative_prompt", "")))
+            )
+        with self._encode_lock:
+            todo = []
+            for p in dict.fromkeys(pairs):  # dedup, keep order
+                if (p[0], p[1], False, 0, False) not in self._text_cache:
+                    todo.append(p)
+            if len(todo) < 2:
+                return  # the (2,77) per-request program already covers this
+            max_len = self.tokenizer.model_max_length
+            pad_id = getattr(self.tokenizer, "pad_token_id",
+                             getattr(self.tokenizer, "eos_token_id", 0))
+
+            def _padded(text):
+                ids = self.tokenizer(
+                    text, max_length=max_len, truncation=True,
+                    padding="max_length",
+                )["input_ids"]
+                return list(ids) + [pad_id] * (max_len - len(ids))
+
+            k = 1 << (len(todo) - 1).bit_length()  # next power of two
+            rows = []
+            for p, n_ in todo + [("", "")] * (k - len(todo)):
+                rows.append(_padded(n_))  # row order matches encode.py:
+                rows.append(_padded(p))  # [uncond, cond] per pair
+            out = self.encode_text(jnp.asarray(rows, jnp.int32))
+            states, pooled = out if isinstance(out, tuple) else (out, None)
+            for i, (p, n_) in enumerate(todo):
+                if len(self._text_cache) > 256:
+                    self._text_cache.pop(next(iter(self._text_cache)))
+                self._text_cache[(p, n_, False, 0, False)] = (
+                    states[2 * i:2 * i + 2],
+                    None if pooled is None else pooled[2 * i:2 * i + 2],
+                )
+
     def generate_batch(
         self,
         requests: Sequence[Dict],
@@ -2249,6 +2309,7 @@ class PwwPipeline:
         (reference `gradio_pww.py:31-45`).
         """
         wf = as_weight_function(weight_function)
+        self._prewarm_text_cache(requests)
         encs = []
         for r in requests:
             cm = _to_numpy_image(r.get("color_map_image"))

@@ -396,3 +396,80 @@ def test_server_snaps_only_unaligned_init_sizes():
 
     assert snap_resolution(500, 375) == (512, 384)
     assert snap_resolution(1023, 681) == (1024, 704)
+
+
+def test_prewarm_text_cache_matches_per_request_encode(pipe):
+    """The batched (2K,77) CLIP pre-encode must produce the same text
+    states the per-request (2,77) path produces, and seed the cache under
+    the exact keys encode_inputs reads (prewarm exists to cut K serial
+    device round-trips off the serving cycle; it must not change
+    conditioning)."""
+    import jax.numpy as jnp
+
+    prompts = ["a red cat", "a blue dog", "a green boat"]
+    reqs = [{"prompt": p} for p in prompts]
+    pipe._text_cache.clear()
+    pipe._encode_cache.clear()
+    pipe._prewarm_text_cache(reqs)
+    # all pairs cached (deduped), under the standard-path key shape
+    for p in prompts:
+        assert (p, "", False, 0, False) in pipe._text_cache
+    warmed = {p: pipe._text_cache[(p, "", False, 0, False)] for p in prompts}
+    # reference: the per-request (2,77) program
+    for p in prompts:
+        ids = jnp.asarray(
+            [pipe.tokenizer("", max_length=77, truncation=True,
+                            padding="max_length")["input_ids"],
+             pipe.tokenizer(p, max_length=77, truncation=True,
+                            padding="max_length")["input_ids"]],
+            jnp.int32,
+        )
+        out = pipe.encode_text(ids)
+        states = out[0] if isinstance(out, tuple) else out
+        np.testing.assert_allclose(
+            np.asarray(warmed[p][0], np.float32),
+            np.asarray(states, np.float32),
+            rtol=0, atol=1e-5,
+        )
+    pipe._text_cache.clear()
+
+
+def test_prewarm_skips_nonstandard_and_single(pipe):
+    """Prompt-weighted / long-prompt / clip-skip requests and lone novel
+    prompts fall through to the per-request encode (no cache seeding)."""
+    pipe._text_cache.clear()
+    pipe._prewarm_text_cache([
+        {"prompt": "a cat", "prompt_weighting": True},
+        {"prompt": "a dog", "long_prompts": True},
+        {"prompt": "an owl", "clip_skip": 1},
+    ])
+    assert not pipe._text_cache
+    pipe._prewarm_text_cache([{"prompt": "a lone wolf"}])
+    assert not pipe._text_cache  # single pair: (2,77) program already covers
+
+
+def test_generate_batch_cold_cache_matches_warm(pipe):
+    """End-to-end: a cold-cache batch (which exercises the prewarmed
+    (2K,77) text encode) must be BIT-IDENTICAL to the same batch run with
+    the caches pre-populated by the per-request (2,77) encodes — the
+    prewarm is a dispatch-count optimization, not a conditioning change.
+
+    (Comparing against per-request batch-1 runs instead would conflate this
+    with batch-size-dependent XLA:CPU partitioning under the suite's
+    8-virtual-device backend — batch-3 programs differ from batch-1 in low
+    bits there, prewarm or not.)"""
+    reqs = [_req("a fox", 11), _req("an owl", 12), _req("a bear", 13)]
+    # warm path: per-request (2,77) encodes fill the text cache first
+    pipe._text_cache.clear()
+    pipe._encode_cache.clear()
+    for r in reqs:
+        pipe.encode_inputs(r["prompt"], r["color_map_image"],
+                           r["color_context"], "", None)
+    warm = pipe.generate_batch(reqs, num_inference_steps=2,
+                               output_type="np")
+    # cold path: prewarm batches the text encode into one (6,77) call
+    pipe._text_cache.clear()
+    pipe._encode_cache.clear()
+    cold = pipe.generate_batch(reqs, num_inference_steps=2,
+                               output_type="np")
+    np.testing.assert_array_equal(warm, cold)
