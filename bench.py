@@ -368,23 +368,15 @@ def main():
 
         def _b8_pipelined():
             # sustained batch throughput: device output, fetch batch i's
-            # images while batch i+1 denoises (the Batcher's fetcher-thread
-            # overlap) — hides the decode-D2H tail that the synchronous b8
-            # point pays per call (~0.55 s of a ~5.0 s call at b8)
+            # images while batches i+1 AND i+2 are enqueued (depth 2 — the
+            # Batcher's worker+fetcher-thread structure) — hides the
+            # decode-D2H tail that the synchronous b8 point pays per call
+            # (~0.55 s of a ~5.0 s call at b8). Depth 1 leaves the transfer
+            # on the host critical path and measures ~0 gain.
             m = 4
             _, kw8 = _bench_kwargs(size, steps, 8)
             kwdev = dict(kw8, output_type="device")
-            pipe.generate(seed=0, **kwdev)  # warm (shares the b8 program)
-            t0 = time.time()
-            pending = pipe.generate(seed=1, **kwdev)
-            for i in range(1, m):
-                nxt = pipe.generate(seed=i + 1, **kwdev)
-                np.asarray(pending)
-                pending = nxt
-            np.asarray(pending)
-            total = time.time() - t0
-            print(f"b8 pipelined x{m}: {total:.3f}s total", file=sys.stderr)
-            return m * 8 / total
+            return 8 * m / _pipelined_overlap(kwdev, m, f"b8 pipelined x{m}")
 
         def _serve():
             # generate_batch over heterogeneous requests — the serving hot
@@ -457,27 +449,44 @@ def main():
                 pipe_lcm, kwlcm, reps, f"{size}px b1 lcm4"
             )
 
-        def _pipelined():
-            # Sustained throughput of the IDENTICAL headline program with
-            # D2H overlapped: dispatch call i+1 (async) before fetching
-            # call i's uint8 device image — exactly how the serving
-            # Batcher's fetcher thread runs. The headline stays the
-            # synchronous p50 latency; this point quantifies how much of
-            # the latency gap is the tunnel's D2H transfer (~80 ms/img at
-            # b1, docs/BENCHMARKING.md) rather than compute.
-            m = max(6, args.repeats - 5)
-            kwdev = dict(kwargs, output_type="device")
-            pipe.generate(seed=0, **kwdev)  # already warm (headline)
+        def _pipelined_overlap(kwdev, m, label):
+            """Total wall for m device-output calls with the image D2H
+            transfer overlapped by the NEXT call's compute — the Batcher's
+            worker+fetcher-thread structure. Ordering matters on this
+            backend: wait for call i's COMPUTE first (1-pixel sync fetch),
+            then dispatch i+1, then pay i's full transfer while i+1
+            computes. Fetching a finished result alongside a running
+            program overlaps cleanly (~90 ms for 786 KB, measured), but a
+            program DISPATCHED while another is still computing hits a
+            queued-dispatch penalty on the tunnel (measured 0.3-18 s/call
+            at queue depth 1-2) — so the loop never enqueues behind a
+            running program, exactly like the backpressured Batcher."""
+            warm = pipe.generate(seed=0, **kwdev)
+            np.asarray(warm[:1, :1, :1])  # compile the sync-slice program
+            np.asarray(warm)
             t0 = time.time()
             pending = pipe.generate(seed=1, **kwdev)
             for i in range(1, m):
+                np.asarray(pending[:1, :1, :1])  # compute-done sync (tiny)
                 nxt = pipe.generate(seed=i + 1, **kwdev)
-                np.asarray(pending)  # fetch i while i+1 computes
+                np.asarray(pending)  # big transfer overlaps nxt's compute
                 pending = nxt
             np.asarray(pending)
             total = time.time() - t0
-            print(f"pipelined x{m}: {total:.3f}s total", file=sys.stderr)
-            return m * args.batch / total
+            print(f"{label}: {total:.3f}s total", file=sys.stderr)
+            return total
+
+        def _pipelined():
+            # Sustained throughput of the IDENTICAL headline program with
+            # D2H overlapped, depth 2 — exactly how the serving Batcher
+            # runs. The headline stays the synchronous p50 latency; this
+            # point quantifies how much of that latency is the tunnel's
+            # per-call D2H transfer rather than compute.
+            m = max(6, args.repeats - 5)
+            kwdev = dict(kwargs, output_type="device")
+            return m * args.batch / _pipelined_overlap(
+                kwdev, m, f"pipelined x{m}"
+            )
 
         # end-of-session headline recheck: quantifies within-session drift
         # (tunnel variance) so round-over-round comparisons have error bars
