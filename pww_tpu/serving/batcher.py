@@ -155,6 +155,13 @@ class Batcher:
         # busy and group formation keeps draining (see _drain_group)
         self._inflight = 0
         self._inflight_lock = threading.Lock()
+        # most recently launched device batch (worker thread only): the
+        # worker syncs on its COMPUTE before dispatching the next batch —
+        # remote/tunneled backends penalize a dispatch queued behind a
+        # running program far more than the wait costs (measured +0.35 s to
+        # ~19 s/call, docs/BENCHMARKING.md §6); on local TPU this is a ~ms
+        # no-op. The full image transfer still overlaps on the fetcher.
+        self._last_launch = None
         self.stats = {"requests": 0, "batches": 0, "batched_requests": 0}
         self._latencies = deque(maxlen=1024)  # seconds, per finished request
 
@@ -256,6 +263,7 @@ class Batcher:
                     # synchronous fetch here.
                     p = group[0]
                     try:
+                        self._sync_prev_compute()
                         images_dev = self.pipeline.generate(
                             **p.request, output_type="device"
                         )
@@ -289,10 +297,12 @@ class Batcher:
                 )
                 try:
                     # output_type="device": the un-fetched uint8 array lets
-                    # this thread enqueue the NEXT group's compute while the
-                    # fetcher thread pays this group's D2H transfer (JAX
-                    # dispatch is async; the device executes in submission
-                    # order).
+                    # this thread run the NEXT group's host prologue while
+                    # the fetcher thread pays this group's D2H transfer.
+                    # _sync_prev_compute first: the dispatch itself must not
+                    # queue behind a still-running program (tunnel penalty,
+                    # docs/BENCHMARKING.md §6).
+                    self._sync_prev_compute()
                     images_dev = self.pipeline.generate_batch(
                         [p.request for p in group],
                         output_type="device", **common,
@@ -325,9 +335,23 @@ class Batcher:
                     if not p.future.done():
                         p.future.set_exception(e)
 
+    def _sync_prev_compute(self) -> None:
+        """Wait for the previously launched batch's COMPUTE (not its
+        transfer) via a 1-pixel slice fetch, so the next dispatch never
+        queues behind a running program (worker thread only)."""
+        dev = self._last_launch
+        self._last_launch = None
+        if dev is None:
+            return
+        try:
+            np.asarray(dev[:1, :1, :1])
+        except Exception:
+            pass  # the fetcher's full fetch surfaces any real error
+
     def _hand_to_fetcher(self, group: List[_Pending], images_dev) -> None:
         """Queue a launched device batch for fetching; tracks it as
         in-flight so group formation applies backpressure until fetched."""
+        self._last_launch = images_dev
         with self._inflight_lock:
             self._inflight += 1
         try:
