@@ -285,7 +285,8 @@ def main():
 
     extras = {}
     baseline_ips = 0.5  # north star: < 2 s/image at the 512px/30-step config
-    headline_cfg = not args.tiny and size == 512 and steps == 30
+    headline_cfg = (not args.tiny and size == 512 and steps == 30
+                    and args.batch == 1)
 
     def _round(v, n=4):
         return None if v is None else round(v, n)
@@ -296,11 +297,13 @@ def main():
         LAST complete line always parses, whatever the driver's timeout."""
         record = {
             # name + baseline describe the MEASURED configuration: a --size /
-            # --steps / --tiny override must not masquerade as the headline
+            # --steps / --batch / --tiny override must not masquerade as the
+            # headline (which is strictly b1 512px 30step)
             "metric": (
                 "images_per_sec_per_chip_sd15_512px_30step_pww" if headline_cfg
                 else f"images_per_sec_per_chip_"
-                     f"{'tiny' if args.tiny else 'sd15'}_{size}px_{steps}step_pww"
+                     f"{'tiny' if args.tiny else 'sd15'}_{size}px_{steps}step"
+                     f"_b{args.batch}_pww"
             ),
             "value": round(ips, 4),
             "unit": "img/s/chip",
@@ -367,12 +370,12 @@ def main():
             return 8 / _timed_run(pipe, kw8, reps, f"{size}px b8", settle=2)
 
         def _b8_pipelined():
-            # sustained batch throughput: device output, fetch batch i's
-            # images while batches i+1 AND i+2 are enqueued (depth 2 — the
-            # Batcher's worker+fetcher-thread structure) — hides the
-            # decode-D2H tail that the synchronous b8 point pays per call
-            # (~0.55 s of a ~5.0 s call at b8). Depth 1 leaves the transfer
-            # on the host critical path and measures ~0 gain.
+            # sustained batch throughput: device output, batch i's image
+            # transfer overlapped by batch i+1's compute (at most ONE
+            # program outstanding — see _pipelined_overlap; more would hit
+            # the tunnel's queued-dispatch penalty). Hides the decode-D2H
+            # tail that the synchronous b8 point pays per call (~0.55 s of
+            # a ~5.0 s call at b8).
             m = 4
             _, kw8 = _bench_kwargs(size, steps, 8)
             kwdev = dict(kw8, output_type="device")
@@ -478,10 +481,11 @@ def main():
 
         def _pipelined():
             # Sustained throughput of the IDENTICAL headline program with
-            # D2H overlapped, depth 2 — exactly how the serving Batcher
-            # runs. The headline stays the synchronous p50 latency; this
-            # point quantifies how much of that latency is the tunnel's
-            # per-call D2H transfer rather than compute.
+            # the D2H transfer overlapped by the next call's compute (one
+            # outstanding program, never queued) — exactly how the serving
+            # Batcher runs. The headline stays the synchronous p50 latency;
+            # this point quantifies how much of that latency is the
+            # tunnel's per-call D2H transfer rather than compute.
             m = max(6, args.repeats - 5)
             kwdev = dict(kwargs, output_type="device")
             return m * args.batch / _pipelined_overlap(
@@ -494,17 +498,19 @@ def main():
             return _timed_run(pipe, kwargs, 5, f"{size}px b1 recheck")
 
         # ordered by round-4 priority: batch/serving scaling first, then
-        # high-res MFU, then overlap/variance, then opt-in accelerators
+        # high-res MFU, then overlap, then opt-in accelerators. The
+        # headline recheck runs LAST so it really is the end-of-session
+        # drift bound the docs describe.
         _extra("batch8_img_per_s", _b8)
         _extra("batch8_pipelined_img_per_s", _b8_pipelined)
         _extra("serve_batch8_req_per_s", _serve)
         _extra("s_per_image_768px", _hires(768))
         _extra("s_per_image_1024px", _hires(1024))
         _extra("headline_pipelined_img_per_s", _pipelined)
-        _extra("headline_recheck_s_per_image", _recheck)
         _extra("deepcache_interval5_img_per_s", _dc)
         _extra("tome_ratio05_img_per_s", _tome)
         _extra("lcm_4step_img_per_s", _lcm)
+        _extra("headline_recheck_s_per_image", _recheck)
 
 
 if __name__ == "__main__":

@@ -95,7 +95,7 @@ def main():
         except Exception as e:
             # e.g. flash_block=2048 at b8 overflows the 16 MB scoped VMEM —
             # an infeasible point is a RESULT of the sweep, not a crash
-            msg = str(e).splitlines()[-1][:200]
+            msg = (str(e).splitlines() or [repr(e)])[-1][:200]
             print(f"{name}: infeasible ({msg})", file=sys.stderr, flush=True)
             infeasible[name] = msg
             del variants[name]

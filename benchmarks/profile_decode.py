@@ -24,29 +24,11 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-PEAK_FLOPS = {"v5": 197e12, "v5p": 459e12, "v6": 918e12, "v4": 275e12}
-HBM_BW = {"v5": 819e9, "v5p": 2765e9, "v6": 1640e9, "v4": 1228e9}
-
-
-def _chip(table):
-    import jax
-
-    kind = jax.devices()[0].device_kind.lower()
-    for sub, v in sorted(table.items(), key=lambda kv: -len(kv[0])):
-        if sub in kind:
-            return v
-    return None
-
-
-def _med(fn, reps, warm=1):
-    for _ in range(warm):
-        fn()
-    ts = []
-    for _ in range(reps):
-        t0 = time.time()
-        fn()
-        ts.append(time.time() - t0)
-    return float(np.median(ts))
+# per-chip datasheet constants + timing helper, shared with
+# profile_phases.py (peak-FLOPs table's single source is bench.py)
+from _roofline import HBM_BW, PEAK_FLOPS  # noqa: E402
+from _roofline import chip as _chip  # noqa: E402
+from _roofline import med as _med  # noqa: E402
 
 
 def main():

@@ -47,7 +47,8 @@ def main():
         pipe = PwwPipeline(config=SDModelConfig.tiny())
         size, steps = 64, 2
     else:
-        # reuse bench's cached random-init params + synthetic BPE tokenizer
+        # reuse bench's pipeline builder: host-synthesized random-init
+        # params (numpy, no XLA init programs) + synthetic BPE tokenizer
         import bench as B
 
         class _Args:

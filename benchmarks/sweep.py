@@ -43,11 +43,11 @@ def main():
         cases = [(64, 1), (64, 2)]
         steps = 2
     else:
-        # reuse bench's pipeline builder: it restores random-init params
-        # from .bench_params.msgpack (skipping minutes of remote-compiled
-        # init programs) and installs the synthetic full-vocab tokenizer so
-        # the measured prologue is the real BPE path, not the toy fallback
-        # (same reasons serve_load.py goes through it)
+        # reuse bench's pipeline builder: it synthesizes random-init params
+        # on the host with numpy (no remote-compiled init programs) and
+        # installs the synthetic full-vocab tokenizer so the measured
+        # prologue is the real BPE path, not the toy fallback (same reasons
+        # serve_load.py goes through it)
         import types
 
         import bench as B

@@ -151,10 +151,15 @@ class Batcher:
         self._fetcher = ThreadPoolExecutor(
             max_workers=1, thread_name_prefix="pww-fetch"
         )
-        # launched-but-unfetched device batches: while > 0 the device is
-        # busy and group formation keeps draining (see _drain_group)
-        self._inflight = 0
-        self._inflight_lock = threading.Lock()
+        # launched batches whose COMPUTE is not yet confirmed finished:
+        # while > 0 the device is busy and group formation keeps draining
+        # (see _drain_group). Decremented by the fetcher thread right after
+        # its 1-pixel compute barrier — NOT after the full image transfer —
+        # so a pending D2H fetch never blocks the next dispatch (fetching a
+        # finished result alongside a running program is free on the
+        # tunnel, docs/BENCHMARKING.md §6).
+        self._computing = 0
+        self._computing_lock = threading.Lock()
         # most recently launched device batch (worker thread only): the
         # worker syncs on its COMPUTE before dispatching the next batch —
         # remote/tunneled backends penalize a dispatch queued behind a
@@ -215,16 +220,18 @@ class Batcher:
         leftovers: List[_Pending] = []
         while len(group) < self.max_batch and not self._stop.is_set():
             # Backpressure (round-4 tail fix): while a launched batch is
-            # still on the device, committing the next group early cannot
+            # still COMPUTING, committing the next group early cannot
             # start it any sooner — the device executes in submission order
             # — but it DOES lock out every request arriving during the
             # in-flight batch, costing them a whole extra cycle. So keep
             # draining while the device is busy (bounded by the in-flight
-            # batch's duration) and only let the linger deadline close the
-            # group once the device is idle. A full group still launches
-            # immediately: at saturation the host prologue then overlaps
-            # device compute.
-            busy = self._inflight > 0
+            # batch's compute duration) and only let the linger deadline
+            # close the group once the device is idle. The busy window ends
+            # at compute completion, not fetch completion: the next dispatch
+            # may (and should) overlap the previous batch's D2H transfer.
+            # A full group still launches immediately: at saturation the
+            # host prologue then overlaps device compute.
+            busy = self._computing > 0
             now = time.monotonic()
             if not busy and now >= deadline:
                 break
@@ -350,10 +357,11 @@ class Batcher:
 
     def _hand_to_fetcher(self, group: List[_Pending], images_dev) -> None:
         """Queue a launched device batch for fetching; tracks it as
-        in-flight so group formation applies backpressure until fetched."""
+        computing so group formation applies backpressure until its
+        compute (not its transfer) is confirmed done."""
         self._last_launch = images_dev
-        with self._inflight_lock:
-            self._inflight += 1
+        with self._computing_lock:
+            self._computing += 1
         try:
             self._fetcher.submit(self._resolve_tracked, group, images_dev)
         except RuntimeError:
@@ -364,11 +372,21 @@ class Batcher:
             self._resolve_tracked(group, images_dev)
 
     def _resolve_tracked(self, group: List[_Pending], images_dev) -> None:
+        # Compute barrier first (1-pixel slice, ~ms once the program
+        # finishes): releasing backpressure here instead of after the full
+        # image transfer lets the worker close and dispatch the next group
+        # while this batch's D2H is still in flight. The fetcher is a
+        # single thread processing launches in order, so the counter pairs
+        # exactly with each launch.
         try:
-            self._resolve(group, images_dev)
+            try:
+                np.asarray(images_dev[:1, :1, :1])
+            except Exception:
+                pass  # _resolve's full fetch surfaces any real error
         finally:
-            with self._inflight_lock:
-                self._inflight -= 1
+            with self._computing_lock:
+                self._computing -= 1
+        self._resolve(group, images_dev)
 
     def _resolve(self, group: List[_Pending], images_dev) -> None:
         """Fetch one launched batch and resolve its futures (runs on the

@@ -473,3 +473,42 @@ def test_generate_batch_cold_cache_matches_warm(pipe):
     cold = pipe.generate_batch(reqs, num_inference_steps=2,
                                output_type="np")
     np.testing.assert_array_equal(warm, cold)
+
+
+def test_backpressure_releases_at_compute_not_fetch(pipe):
+    """The busy window group formation waits on must end at COMPUTE
+    completion (the fetcher's 1-pixel barrier), not at the end of the full
+    image transfer — otherwise the next group's dispatch serializes behind
+    every D2H fetch and the device idles for the whole transfer."""
+    from pww_tpu.serving.batcher import _Pending
+
+    fetch_gate = threading.Event()
+
+    class _Slice:  # the 1-px compute barrier: returns immediately
+        def __array__(self, dtype=None, copy=None):
+            return np.zeros((1, 1, 1), np.uint8)
+
+    class _FakeDeviceBatch:  # the full fetch: blocked until the gate opens
+        def __getitem__(self, idx):
+            return _Slice()
+
+        def __array__(self, dtype=None, copy=None):
+            assert fetch_gate.wait(timeout=10.0), "test gate never opened"
+            return np.zeros((1, 8, 8, 3), np.uint8)
+
+    b = Batcher(pipe, max_batch=2, max_wait_ms=10.0)
+    try:
+        p = _Pending(request={}, key=("k",))
+        b._hand_to_fetcher([p], _FakeDeviceBatch())
+        deadline = time.monotonic() + 5.0
+        while b._computing > 0 and time.monotonic() < deadline:
+            time.sleep(0.002)
+        # backpressure released while the transfer is still in flight
+        assert b._computing == 0
+        assert not p.future.done()
+        fetch_gate.set()
+        img = p.future.result(timeout=10.0)
+        assert img.size == (8, 8)
+    finally:
+        fetch_gate.set()
+        b.close()
