@@ -144,6 +144,11 @@ class UNetConfig:
     xattn_block_q: int = 1024
     flash_min_seq: int = 1024
     flash_block: int = 1024  # flash self-attention q/k block
+    # Pallas fused GroupNorm(+pre-add+SiLU): the b8 512² device trace showed
+    # XLA's GroupNorm stat fusions at 43-66 GB/s (~8× below attainable),
+    # 1.2 s of the 4.5 s call (benchmarks/profile_trace notes in
+    # ops/group_norm.py). Oversize slabs fall back to XLA automatically.
+    fused_group_norm: bool = True
     # PwW cross-attention implementation variant (for A/B measurement on a
     # shared chip and as a fallback):
     #   "fused"            Pallas blockwise reduce + q-block-major epilogue
@@ -242,6 +247,9 @@ class VAEConfig:
     layers_per_block: int = 2
     norm_num_groups: int = 32
     scaling_factor: float = 0.18215
+    # Pallas fused GroupNorm(+SiLU) where the per-row slab fits VMEM (the
+    # small-spatial encoder/decoder levels); big levels fall back to XLA.
+    fused_group_norm: bool = True
 
     @staticmethod
     def sd15() -> "VAEConfig":

@@ -124,6 +124,7 @@ class ControlNet(nn.Module):
             for li in range(cfg.layers_per_block):
                 x = ResnetBlock(
                     ch, cfg.norm_num_groups, self.dtype,
+                    fused_norm=cfg.fused_group_norm,
                     name=f"down_{bi}_resnet_{li}",
                 )(x, temb)
                 if has_attn:
@@ -137,6 +138,7 @@ class ControlNet(nn.Module):
                         flash_block=cfg.flash_block,
                         xattn_variant=cfg.xattn_variant,
                         groups=cfg.norm_num_groups,
+                        fused_norm=cfg.fused_group_norm,
                         dtype=self.dtype, name=f"down_{bi}_attn_{li}",
                     )(x, ctx, pww)
                 residuals.append(
@@ -151,7 +153,9 @@ class ControlNet(nn.Module):
                 zc += 1
 
         ch = cfg.block_out_channels[-1]
-        x = ResnetBlock(ch, cfg.norm_num_groups, self.dtype, name="mid_resnet_0")(x, temb)
+        x = ResnetBlock(ch, cfg.norm_num_groups, self.dtype,
+                        fused_norm=cfg.fused_group_norm,
+                        name="mid_resnet_0")(x, temb)
         nh, hd = cfg.heads_for(ch)
         x = Transformer2D(
             nh, hd, depth=cfg.depth_for(len(cfg.block_out_channels) - 1),
@@ -162,9 +166,12 @@ class ControlNet(nn.Module):
             flash_block=cfg.flash_block,
             xattn_variant=cfg.xattn_variant,
             groups=cfg.norm_num_groups, dtype=self.dtype,
+            fused_norm=cfg.fused_group_norm,
             name="mid_attn",
         )(x, ctx, pww)
-        x = ResnetBlock(ch, cfg.norm_num_groups, self.dtype, name="mid_resnet_1")(x, temb)
+        x = ResnetBlock(ch, cfg.norm_num_groups, self.dtype,
+                        fused_norm=cfg.fused_group_norm,
+                        name="mid_resnet_1")(x, temb)
         mid = ZeroConv(ch, self.dtype, name="zero_conv_mid")(x)
 
         scale = jnp.asarray(conditioning_scale, self.dtype)

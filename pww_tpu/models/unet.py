@@ -23,6 +23,7 @@ from flax import linen as nn
 
 from ..config import UNetConfig
 from ..ops.attention import merge_heads, pww_attention, split_heads
+from ..ops.group_norm import FusedGroupNorm
 from ..ops.weight_functions import CustomWeightFunction
 from ..types import PwwState
 
@@ -64,22 +65,28 @@ class ResnetBlock(nn.Module):
     out_channels: int
     groups: int = 32
     dtype: Any = jnp.float32
+    fused_norm: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, temb: jnp.ndarray) -> jnp.ndarray:
         c_in = x.shape[-1]
-        h = nn.GroupNorm(self.groups, epsilon=1e-5, dtype=jnp.float32, name="norm1")(x)
+        h = FusedGroupNorm(
+            self.groups, 1e-5, act="silu", out_dtype=self.dtype,
+            use_fused=self.fused_norm, name="norm1",
+        )(x)
         h = nn.Conv(
             self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1"
-        )(nn.silu(h).astype(self.dtype))
+        )(h)
         t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(
             nn.silu(temb)
         )
-        h = h + t[:, None, None, :]
-        h = nn.GroupNorm(self.groups, epsilon=1e-5, dtype=jnp.float32, name="norm2")(h)
+        h = FusedGroupNorm(
+            self.groups, 1e-5, act="silu", out_dtype=self.dtype,
+            use_fused=self.fused_norm, name="norm2",
+        )(h, add=t)
         h = nn.Conv(
             self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2"
-        )(nn.silu(h).astype(self.dtype))
+        )(h)
         if c_in != self.out_channels:
             x = nn.Conv(
                 self.out_channels, (1, 1), dtype=self.dtype, name="conv_shortcut"
@@ -287,13 +294,17 @@ class Transformer2D(nn.Module):
     xattn_variant: str = "fused"
     groups: int = 32
     dtype: Any = jnp.float32
+    fused_norm: bool = True
 
     @nn.compact
     def __call__(self, x, context, pww, ip=None):
         b, h, w, c = x.shape
         residual = x
-        z = nn.GroupNorm(self.groups, epsilon=1e-6, dtype=jnp.float32, name="norm")(x)
-        z = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_in")(z.astype(self.dtype))
+        z = FusedGroupNorm(
+            self.groups, 1e-6, out_dtype=self.dtype,
+            use_fused=self.fused_norm, name="norm",
+        )(x)
+        z = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_in")(z)
         z = z.reshape(b, h * w, c)
         # ToMe only at the full-resolution sites (tomesd max_downsample=1)
         tome = self.tome_ratio if h * w >= self.tome_min_tokens else 0.0
@@ -369,6 +380,7 @@ class UNet2DCondition(nn.Module):
         for li in range(cfg.layers_per_block):
             x = ResnetBlock(
                 ch, cfg.norm_num_groups, self.dtype,
+                fused_norm=cfg.fused_group_norm,
                 name=f"down_{bi}_resnet_{li}",
             )(x, temb)
             if has_attn:
@@ -385,6 +397,7 @@ class UNet2DCondition(nn.Module):
                     flash_block=cfg.flash_block,
                     xattn_variant=cfg.xattn_variant,
                     groups=cfg.norm_num_groups, dtype=self.dtype,
+                    fused_norm=cfg.fused_group_norm,
                     name=f"down_{bi}_attn_{li}",
                 )(x, ctx, pww, ip=ip)
             if (intrablock is not None and has_attn
@@ -416,7 +429,9 @@ class UNet2DCondition(nn.Module):
                 skip = fourier_filter(skip, threshold=1, scale=s)
             x = jnp.concatenate([x, skip], axis=-1)
             x = ResnetBlock(
-                ch, cfg.norm_num_groups, self.dtype, name=f"up_{bi}_resnet_{li}"
+                ch, cfg.norm_num_groups, self.dtype,
+                fused_norm=cfg.fused_group_norm,
+                name=f"up_{bi}_resnet_{li}",
             )(x, temb)
             if has_attn:
                 nh, hd = cfg.heads_for(ch)
@@ -432,18 +447,20 @@ class UNet2DCondition(nn.Module):
                     flash_block=cfg.flash_block,
                     xattn_variant=cfg.xattn_variant,
                     groups=cfg.norm_num_groups, dtype=self.dtype,
+                    fused_norm=cfg.fused_group_norm,
                     name=f"up_{bi}_attn_{li}",
                 )(x, ctx, pww, ip=ip)
         return x
 
     def _head(self, x):
         cfg = self.config
-        x = nn.GroupNorm(
-            cfg.norm_num_groups, epsilon=1e-5, dtype=jnp.float32, name="conv_norm_out"
+        x = FusedGroupNorm(
+            cfg.norm_num_groups, 1e-5, act="silu", out_dtype=self.dtype,
+            use_fused=cfg.fused_group_norm, name="conv_norm_out",
         )(x)
         return nn.Conv(
             cfg.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv_out"
-        )(nn.silu(x).astype(self.dtype))
+        )(x)
 
     @nn.compact
     def __call__(
@@ -564,7 +581,9 @@ class UNet2DCondition(nn.Module):
 
         # ---- mid ----
         ch = cfg.block_out_channels[-1]
-        x = ResnetBlock(ch, cfg.norm_num_groups, self.dtype, name="mid_resnet_0")(x, temb)
+        x = ResnetBlock(ch, cfg.norm_num_groups, self.dtype,
+                        fused_norm=cfg.fused_group_norm,
+                        name="mid_resnet_0")(x, temb)
         nh, hd = cfg.heads_for(ch)
         x = Transformer2D(
             nh, hd, depth=cfg.depth_for(n_blocks - 1),
@@ -578,9 +597,12 @@ class UNet2DCondition(nn.Module):
             flash_min_seq=cfg.flash_min_seq,
             flash_block=cfg.flash_block,
             xattn_variant=cfg.xattn_variant,
-            groups=cfg.norm_num_groups, dtype=self.dtype, name="mid_attn",
+            groups=cfg.norm_num_groups, dtype=self.dtype,
+            fused_norm=cfg.fused_group_norm, name="mid_attn",
         )(x, ctx, pww, ip=ip)
-        x = ResnetBlock(ch, cfg.norm_num_groups, self.dtype, name="mid_resnet_1")(x, temb)
+        x = ResnetBlock(ch, cfg.norm_num_groups, self.dtype,
+                        fused_norm=cfg.fused_group_norm,
+                        name="mid_resnet_1")(x, temb)
         if mid_block_residual is not None:
             x = x + mid_block_residual
 

@@ -13,6 +13,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..config import VAEConfig
+from ..ops.group_norm import FusedGroupNorm
 from ..ops.resize import upsample_nearest_2x
 
 
@@ -20,18 +21,21 @@ class VAEResnetBlock(nn.Module):
     out_channels: int
     groups: int = 32
     dtype: Any = jnp.float32
+    fused_norm: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         c_in = x.shape[-1]
-        h = nn.GroupNorm(self.groups, epsilon=1e-6, dtype=jnp.float32, name="norm1")(x)
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1")(
-            nn.silu(h).astype(self.dtype)
-        )
-        h = nn.GroupNorm(self.groups, epsilon=1e-6, dtype=jnp.float32, name="norm2")(h)
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2")(
-            nn.silu(h).astype(self.dtype)
-        )
+        h = FusedGroupNorm(
+            self.groups, 1e-6, act="silu", out_dtype=self.dtype,
+            use_fused=self.fused_norm, name="norm1",
+        )(x)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
+        h = FusedGroupNorm(
+            self.groups, 1e-6, act="silu", out_dtype=self.dtype,
+            use_fused=self.fused_norm, name="norm2",
+        )(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
         if c_in != self.out_channels:
             x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="conv_shortcut")(x)
         return x + h
@@ -42,12 +46,16 @@ class VAEAttention(nn.Module):
 
     groups: int = 32
     dtype: Any = jnp.float32
+    fused_norm: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         b, h, w, c = x.shape
-        z = nn.GroupNorm(self.groups, epsilon=1e-6, dtype=jnp.float32, name="norm")(x)
-        z = z.reshape(b, h * w, c).astype(self.dtype)
+        z = FusedGroupNorm(
+            self.groups, 1e-6, out_dtype=self.dtype,
+            use_fused=self.fused_norm, name="norm",
+        )(x)
+        z = z.reshape(b, h * w, c)
         q = nn.Dense(c, dtype=self.dtype, name="q")(z)
         k = nn.Dense(c, dtype=self.dtype, name="k")(z)
         v = nn.Dense(c, dtype=self.dtype, name="v")(z)
@@ -72,7 +80,9 @@ class VAEEncoder(nn.Module):
         for bi, ch in enumerate(cfg.block_out_channels):
             for li in range(cfg.layers_per_block):
                 h = VAEResnetBlock(
-                    ch, cfg.norm_num_groups, self.dtype, name=f"down_{bi}_resnet_{li}"
+                    ch, cfg.norm_num_groups, self.dtype,
+                    fused_norm=cfg.fused_group_norm,
+                    name=f"down_{bi}_resnet_{li}",
                 )(h)
             if bi < len(cfg.block_out_channels) - 1:
                 # diffusers VAE downsample: asymmetric (0,1) pad + stride-2 conv
@@ -82,15 +92,19 @@ class VAEEncoder(nn.Module):
                     name=f"down_{bi}_downsample",
                 )(h)
         ch = cfg.block_out_channels[-1]
-        h = VAEResnetBlock(ch, cfg.norm_num_groups, self.dtype, name="mid_resnet_0")(h)
-        h = VAEAttention(cfg.norm_num_groups, self.dtype, name="mid_attn")(h)
-        h = VAEResnetBlock(ch, cfg.norm_num_groups, self.dtype, name="mid_resnet_1")(h)
-        h = nn.GroupNorm(
-            cfg.norm_num_groups, epsilon=1e-6, dtype=jnp.float32, name="conv_norm_out"
+        h = VAEResnetBlock(ch, cfg.norm_num_groups, self.dtype,
+                           fused_norm=cfg.fused_group_norm, name="mid_resnet_0")(h)
+        h = VAEAttention(cfg.norm_num_groups, self.dtype,
+                         fused_norm=cfg.fused_group_norm, name="mid_attn")(h)
+        h = VAEResnetBlock(ch, cfg.norm_num_groups, self.dtype,
+                           fused_norm=cfg.fused_group_norm, name="mid_resnet_1")(h)
+        h = FusedGroupNorm(
+            cfg.norm_num_groups, 1e-6, act="silu", out_dtype=self.dtype,
+            use_fused=cfg.fused_group_norm, name="conv_norm_out",
         )(h)
         h = nn.Conv(
             2 * cfg.latent_channels, (3, 3), padding=1, dtype=self.dtype, name="conv_out"
-        )(nn.silu(h).astype(self.dtype))
+        )(h)
         return nn.Conv(
             2 * cfg.latent_channels, (1, 1), dtype=self.dtype, name="quant_conv"
         )(h)
@@ -108,25 +122,31 @@ class VAEDecoder(nn.Module):
         )(z.astype(self.dtype))
         rev = list(reversed(cfg.block_out_channels))
         h = nn.Conv(rev[0], (3, 3), padding=1, dtype=self.dtype, name="conv_in")(z)
-        h = VAEResnetBlock(rev[0], cfg.norm_num_groups, self.dtype, name="mid_resnet_0")(h)
-        h = VAEAttention(cfg.norm_num_groups, self.dtype, name="mid_attn")(h)
-        h = VAEResnetBlock(rev[0], cfg.norm_num_groups, self.dtype, name="mid_resnet_1")(h)
+        h = VAEResnetBlock(rev[0], cfg.norm_num_groups, self.dtype,
+                           fused_norm=cfg.fused_group_norm, name="mid_resnet_0")(h)
+        h = VAEAttention(cfg.norm_num_groups, self.dtype,
+                         fused_norm=cfg.fused_group_norm, name="mid_attn")(h)
+        h = VAEResnetBlock(rev[0], cfg.norm_num_groups, self.dtype,
+                           fused_norm=cfg.fused_group_norm, name="mid_resnet_1")(h)
         for bi, ch in enumerate(rev):
             for li in range(cfg.layers_per_block + 1):
                 h = VAEResnetBlock(
-                    ch, cfg.norm_num_groups, self.dtype, name=f"up_{bi}_resnet_{li}"
+                    ch, cfg.norm_num_groups, self.dtype,
+                    fused_norm=cfg.fused_group_norm,
+                    name=f"up_{bi}_resnet_{li}",
                 )(h)
             if bi < len(rev) - 1:
                 h = upsample_nearest_2x(h)
                 h = nn.Conv(
                     ch, (3, 3), padding=1, dtype=self.dtype, name=f"up_{bi}_upsample"
                 )(h)
-        h = nn.GroupNorm(
-            cfg.norm_num_groups, epsilon=1e-6, dtype=jnp.float32, name="conv_norm_out"
+        h = FusedGroupNorm(
+            cfg.norm_num_groups, 1e-6, act="silu", out_dtype=self.dtype,
+            use_fused=cfg.fused_group_norm, name="conv_norm_out",
         )(h)
         return nn.Conv(
             cfg.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv_out"
-        )(nn.silu(h).astype(self.dtype))
+        )(h)
 
 
 class AutoencoderKL(nn.Module):
