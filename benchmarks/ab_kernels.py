@@ -29,10 +29,13 @@ def main():
     ap.add_argument("--steps", type=int, default=30)
     ap.add_argument("--rounds", type=int, default=6)
     ap.add_argument("--batch", type=int, default=1)
-    ap.add_argument("--set", default="hires", choices=["hires", "b8"],
+    ap.add_argument("--set", default="hires", choices=["hires", "b8", "gn"],
                     help="knob set: 'hires' (round-3 ask: blocks at 4096-"
-                    "16384 q) or 'b8' (round-4 batch-scaling: bigger blocks "
-                    "+ dense-at-1024 with 16 CFG rows in flight)")
+                    "16384 q), 'b8' (round-4 batch-scaling: bigger blocks "
+                    "+ dense-at-1024 with 16 CFG rows in flight), or 'gn' "
+                    "(fused Pallas GroupNorm vs XLA's reduce fusions — the "
+                    "b8 trace showed the latter at 43-66 GB/s, 1.2 s of a "
+                    "4.5 s call)")
     args = ap.parse_args()
 
     import jax
@@ -76,6 +79,18 @@ def main():
             "base_fb1024_xq1024": base,
             "flash_block512": variant(flash_block=512),
             "xattn_q2048": variant(xattn_block_q=2048),
+        }
+    elif args.set == "gn":
+        cfg_off = dataclasses.replace(
+            with_unet(fused_group_norm=False),
+            vae=dataclasses.replace(cfg0.vae, fused_group_norm=False),
+        )
+        variants = {
+            "gn_fused": base,  # default: Pallas fused GroupNorm
+            "gn_xla": PwwPipeline(
+                config=cfg_off, params=base.params, weights_dtype=None,
+                tokenizer=base.tokenizer,
+            ),
         }
     else:  # b8: larger blocks amortize better over 16 CFG rows; also test
         # whether XLA-dense beats flash at seq 1024 when batch covers latency

@@ -144,11 +144,13 @@ class UNetConfig:
     xattn_block_q: int = 1024
     flash_min_seq: int = 1024
     flash_block: int = 1024  # flash self-attention q/k block
-    # Pallas fused GroupNorm(+pre-add+SiLU): the b8 512² device trace showed
-    # XLA's GroupNorm stat fusions at 43-66 GB/s (~8× below attainable),
-    # 1.2 s of the 4.5 s call (benchmarks/profile_trace notes in
-    # ops/group_norm.py). Oversize slabs fall back to XLA automatically.
+    # Pallas fused GroupNorm(+pre-add+SiLU) and LayerNorm(+cast): the b8
+    # 512² device trace showed XLA's norm stat fusions at 43-66 GB/s (~8×
+    # below attainable), 1.2 s of the 4.5 s call (ops/group_norm.py notes).
+    # Oversize slabs fall back to XLA automatically; non-TPU backends always
+    # use the bit-identical flax composition.
     fused_group_norm: bool = True
+    fused_layer_norm: bool = True
     # PwW cross-attention implementation variant (for A/B measurement on a
     # shared chip and as a fallback):
     #   "fused"            Pallas blockwise reduce + q-block-major epilogue

@@ -139,6 +139,7 @@ class ControlNet(nn.Module):
                         xattn_variant=cfg.xattn_variant,
                         groups=cfg.norm_num_groups,
                         fused_norm=cfg.fused_group_norm,
+                        fused_ln=cfg.fused_layer_norm,
                         dtype=self.dtype, name=f"down_{bi}_attn_{li}",
                     )(x, ctx, pww)
                 residuals.append(
@@ -167,6 +168,7 @@ class ControlNet(nn.Module):
             xattn_variant=cfg.xattn_variant,
             groups=cfg.norm_num_groups, dtype=self.dtype,
             fused_norm=cfg.fused_group_norm,
+            fused_ln=cfg.fused_layer_norm,
             name="mid_attn",
         )(x, ctx, pww)
         x = ResnetBlock(ch, cfg.norm_num_groups, self.dtype,

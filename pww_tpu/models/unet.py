@@ -24,6 +24,7 @@ from flax import linen as nn
 from ..config import UNetConfig
 from ..ops.attention import merge_heads, pww_attention, split_heads
 from ..ops.group_norm import FusedGroupNorm
+from ..ops.layer_norm import FusedLayerNorm
 from ..ops.weight_functions import CustomWeightFunction
 from ..types import PwwState
 
@@ -238,11 +239,13 @@ class TransformerBlock(nn.Module):
     flash_block: int = 1024
     xattn_variant: str = "fused"
     dtype: Any = jnp.float32
+    fused_ln: bool = True
 
     @nn.compact
     def __call__(self, x, context, pww, grid=None, ip=None):
         dim = x.shape[-1]
-        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(x)
+        h = FusedLayerNorm(1e-5, out_dtype=self.dtype,
+                           use_fused=self.fused_ln, name="norm1")(x)
         attn1 = CrossAttention(
             self.num_heads, self.head_dim, self.use_flash,
             sow_probs=self.sow_probs, flash_min_seq=self.flash_min_seq,
@@ -258,10 +261,11 @@ class TransformerBlock(nn.Module):
 
             gh, gw = grid
             merge, unmerge, _ = build_token_merge(x, gh, gw, self.tome_ratio)
-            x = x + unmerge(attn1(merge(h.astype(self.dtype))))
+            x = x + unmerge(attn1(merge(h)))
         else:
-            x = x + attn1(h.astype(self.dtype))
-        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(x)
+            x = x + attn1(h)
+        h = FusedLayerNorm(1e-5, out_dtype=self.dtype,
+                           use_fused=self.fused_ln, name="norm2")(x)
         x = x + CrossAttention(
             self.num_heads, self.head_dim, self.use_flash,
             use_fused_cross=self.use_fused_cross, ip_adapter=self.ip_adapter,
@@ -270,9 +274,10 @@ class TransformerBlock(nn.Module):
             flash_block=self.flash_block,
             xattn_variant=self.xattn_variant,
             dtype=self.dtype, name="attn2",
-        )(h.astype(self.dtype), context=context, pww=pww, ip=ip)
-        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm3")(x)
-        x = x + FeedForwardGEGLU(dim, dtype=self.dtype, name="ff")(h.astype(self.dtype))
+        )(h, context=context, pww=pww, ip=ip)
+        h = FusedLayerNorm(1e-5, out_dtype=self.dtype,
+                           use_fused=self.fused_ln, name="norm3")(x)
+        x = x + FeedForwardGEGLU(dim, dtype=self.dtype, name="ff")(h)
         return x
 
 
@@ -295,6 +300,7 @@ class Transformer2D(nn.Module):
     groups: int = 32
     dtype: Any = jnp.float32
     fused_norm: bool = True
+    fused_ln: bool = True
 
     @nn.compact
     def __call__(self, x, context, pww, ip=None):
@@ -315,6 +321,7 @@ class Transformer2D(nn.Module):
                 self.sow_probs and i == 0,
                 self.xattn_block_q, self.flash_min_seq,
                 self.flash_block, self.xattn_variant, self.dtype,
+                fused_ln=self.fused_ln,
                 name=f"blocks_{i}",
             )(z, context, pww, grid=(h, w), ip=ip)
         z = z.reshape(b, h, w, c)
@@ -398,6 +405,7 @@ class UNet2DCondition(nn.Module):
                     xattn_variant=cfg.xattn_variant,
                     groups=cfg.norm_num_groups, dtype=self.dtype,
                     fused_norm=cfg.fused_group_norm,
+                    fused_ln=cfg.fused_layer_norm,
                     name=f"down_{bi}_attn_{li}",
                 )(x, ctx, pww, ip=ip)
             if (intrablock is not None and has_attn
@@ -448,6 +456,7 @@ class UNet2DCondition(nn.Module):
                     xattn_variant=cfg.xattn_variant,
                     groups=cfg.norm_num_groups, dtype=self.dtype,
                     fused_norm=cfg.fused_group_norm,
+                    fused_ln=cfg.fused_layer_norm,
                     name=f"up_{bi}_attn_{li}",
                 )(x, ctx, pww, ip=ip)
         return x
@@ -598,7 +607,8 @@ class UNet2DCondition(nn.Module):
             flash_block=cfg.flash_block,
             xattn_variant=cfg.xattn_variant,
             groups=cfg.norm_num_groups, dtype=self.dtype,
-            fused_norm=cfg.fused_group_norm, name="mid_attn",
+            fused_norm=cfg.fused_group_norm,
+            fused_ln=cfg.fused_layer_norm, name="mid_attn",
         )(x, ctx, pww, ip=ip)
         x = ResnetBlock(ch, cfg.norm_num_groups, self.dtype,
                         fused_norm=cfg.fused_group_norm,

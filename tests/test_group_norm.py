@@ -91,9 +91,25 @@ def test_fallback_equals_kernel():
                                rtol=1e-2, atol=2e-2)  # 1 bf16 ulp
 
 
-def test_oversize_and_odd_shapes_fall_back():
-    # slab over the VMEM budget → must still be correct (jnp path)
-    assert not fused_ok((1, 128, 128, 320), 32, max_bytes=4 * 1024 * 1024)
+def test_oversize_uses_chunked_scheme():
+    """Rows over the whole-row VMEM budget route to the two-kernel chunked
+    scheme (stats-accumulate + apply) instead of falling back to XLA."""
+    assert fused_ok((1, 128, 128, 320), 32)  # top UNet level at 1024²
+    x = _mk((2, 32, 32, 16), jnp.bfloat16)
+    t = _mk((2, 16), jnp.bfloat16, 3)
+    scale = _mk((16,), jnp.float32, 1) * 0.1 + 1.0
+    bias = _mk((16,), jnp.float32, 2) * 0.1
+    got = group_norm(x, scale, bias, groups=4, eps=1e-5, act="silu", add=t,
+                     out_dtype=jnp.bfloat16, force_fused=True,
+                     whole_row_bytes=0)  # force the chunked scheme
+    want = _unfused(x, scale, bias, 4, 1e-5, act="silu", add=t,
+                    out_dtype=jnp.bfloat16)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               rtol=1e-2, atol=2e-2)
+
+
+def test_odd_shapes_fall_back():
     x = _mk((1, 4, 3, 32), jnp.float32)  # L=12: no aligned chunk
     scale = jnp.ones((32,))
     bias = jnp.zeros((32,))
