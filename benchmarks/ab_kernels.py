@@ -81,16 +81,19 @@ def main():
             "xattn_q2048": variant(xattn_block_q=2048),
         }
     elif args.set == "gn":
-        cfg_off = dataclasses.replace(
-            with_unet(fused_group_norm=False),
-            vae=dataclasses.replace(cfg0.vae, fused_group_norm=False),
-        )
+        def norm_variant(gn, ln):
+            cfg = dataclasses.replace(
+                with_unet(fused_group_norm=gn, fused_layer_norm=ln),
+                vae=dataclasses.replace(cfg0.vae, fused_group_norm=gn),
+            )
+            return PwwPipeline(config=cfg, params=base.params,
+                               weights_dtype=None, tokenizer=base.tokenizer)
+
         variants = {
-            "gn_fused": base,  # default: Pallas fused GroupNorm
-            "gn_xla": PwwPipeline(
-                config=cfg_off, params=base.params, weights_dtype=None,
-                tokenizer=base.tokenizer,
-            ),
+            "norm_fused_all": base,      # default: Pallas GN + LN
+            "gn_only": norm_variant(True, False),
+            "ln_only": norm_variant(False, True),
+            "norm_xla": norm_variant(False, False),  # round-3 baseline
         }
     else:  # b8: larger blocks amortize better over 16 CFG rows; also test
         # whether XLA-dense beats flash at seq 1024 when batch covers latency
