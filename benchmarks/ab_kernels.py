@@ -142,7 +142,9 @@ def main():
         out = os.path.join(
             os.path.dirname(__file__),
             f"AB_KERNELS_{size}" + (f"_b{args.batch}" if args.batch != 1
-                                    else "") + ".json",
+                                    else "")
+            + (f"_{args.set}" if args.set not in ("hires", "b8") else "")
+            + ".json",
         )
         with open(out, "w") as f:
             json.dump(record, f, indent=1)
