@@ -89,11 +89,14 @@ def main():
             return PwwPipeline(config=cfg, params=base.params,
                                weights_dtype=None, tokenizer=base.tokenizer)
 
+        # Every variant is constructed explicitly (NOT from `base`) so the
+        # set measures the same four points regardless of what the config
+        # defaults currently are (round 5 flipped them to XLA norms).
         variants = {
-            "norm_fused_all": base,      # default: Pallas GN + LN
+            "norm_xla": norm_variant(False, False),   # round-5 default
             "gn_only": norm_variant(True, False),
             "ln_only": norm_variant(False, True),
-            "norm_xla": norm_variant(False, False),  # round-3 baseline
+            "norm_fused_all": norm_variant(True, True),
         }
     else:  # b8: larger blocks amortize better over 16 CFG rows; also test
         # whether XLA-dense beats flash at seq 1024 when batch covers latency

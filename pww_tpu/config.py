@@ -144,13 +144,16 @@ class UNetConfig:
     xattn_block_q: int = 1024
     flash_min_seq: int = 1024
     flash_block: int = 1024  # flash self-attention q/k block
-    # Pallas fused GroupNorm(+pre-add+SiLU) and LayerNorm(+cast): the b8
-    # 512² device trace showed XLA's norm stat fusions at 43-66 GB/s (~8×
-    # below attainable), 1.2 s of the 4.5 s call (ops/group_norm.py notes).
-    # Oversize slabs fall back to XLA automatically; non-TPU backends always
-    # use the bit-identical flax composition.
-    fused_group_norm: bool = True
-    fused_layer_norm: bool = True
+    # Pallas fused GroupNorm(+pre-add+SiLU) and LayerNorm(+cast). Default
+    # OFF: the interleaved full-step A/B (benchmarks/AB_KERNELS_512_b8_gn
+    # .json, b8 512² 30-step) shows XLA norms fastest in every variant
+    # (4.970 s vs 5.031 LN / 5.154 GN / 5.233 both), and BENCH_r04 recorded
+    # a 26-35% b1 regression with these on (b1 denoise is HBM-bound at 85%
+    # of roofline — the kernels' extra HBM passes hurt most there). The
+    # kernels remain available as opt-in knobs with 1-ulp parity tests.
+    # See PERF_DEFAULTS.md before changing these.
+    fused_group_norm: bool = False
+    fused_layer_norm: bool = False
     # PwW cross-attention implementation variant (for A/B measurement on a
     # shared chip and as a fallback):
     #   "fused"            Pallas blockwise reduce + q-block-major epilogue
@@ -251,7 +254,9 @@ class VAEConfig:
     scaling_factor: float = 0.18215
     # Pallas fused GroupNorm(+SiLU) where the per-row slab fits VMEM (the
     # small-spatial encoder/decoder levels); big levels fall back to XLA.
-    fused_group_norm: bool = True
+    # Default OFF per the interleaved A/B — see UNetConfig.fused_group_norm
+    # and PERF_DEFAULTS.md.
+    fused_group_norm: bool = False
 
     @staticmethod
     def sd15() -> "VAEConfig":
