@@ -1382,6 +1382,7 @@ class PwwPipeline:
         callback_steps: int = 1,
         num_samples: int = 1,
         noise_mode: str = "jax",
+        vae_sample_mode: str = "sample",  # "mean" = deterministic posterior
         output_type: str = "pil",
         latents: Optional[jnp.ndarray] = None,  # pre-drawn initial noise
         return_latents: bool = False,
@@ -1666,10 +1667,27 @@ class PwwPipeline:
             moments = run_encode_image(self.vae, self.params["vae"], init)
             key = rng if rng is not None else jax.random.PRNGKey(seed)
             k_sample, k_noise = jax.random.split(key)
-            init_lat = (
-                sample_from_moments(moments, k_sample)
-                * cfg.vae.scaling_factor
-            )
+            # The reference samples the posterior with UNSEEDED global torch
+            # RNG (reference `paint_with_words.py:460-463`, inpaint.py:194) —
+            # irreproducible by construction. "sample" (default) draws with
+            # jax RNG from the seed; "mean" uses the deterministic posterior
+            # mean (the composition-proof meeting point, and what careful
+            # deployments want — the posterior std is ~1e-2 of the latent
+            # scale for trained SD VAEs).
+            if vae_sample_mode == "mean":
+                init_lat = (
+                    jnp.split(moments, 2, axis=-1)[0] * cfg.vae.scaling_factor
+                )
+            elif vae_sample_mode == "sample":
+                init_lat = (
+                    sample_from_moments(moments, k_sample)
+                    * cfg.vae.scaling_factor
+                )
+            else:
+                raise ValueError(
+                    f"vae_sample_mode must be 'sample' or 'mean', got "
+                    f"{vae_sample_mode!r}"
+                )
             init_lat = jnp.repeat(init_lat, n, axis=0)
             if legacy_inpaint:
                 # masked-blend inpaint for standard checkpoints: fractional

@@ -275,16 +275,133 @@ def torch_reference_generate(
     return latents.numpy(), (img * 255).round().astype(np.uint8)[0]
 
 
+def torch_reference_generate_inpaint(
+    fix, prompt, cm, color_context, seed, init_image, mask_image,
+    steps=STEPS, guidance=GUIDANCE, strength=0.8,
+):
+    """The reference's `paint_with_words_inpaint(...)` body, functional:
+    `prepare_mask_and_masked_image` + `prepare_mask_latents` + the 9-channel
+    per-step concat loop (reference
+    `paint_with_words/paint_with_words_inpaint.py:20-134, 171-266`).
+
+    The reference samples BOTH VAE posteriors (init image, masked image)
+    with unseeded global torch RNG — irreproducible by construction — so
+    both sides of this proof use the posterior mean (`vae_sample_mode=
+    "mean"` on the pipeline side; the reference's masked-image sample is
+    within posterior noise of this, see pww_tpu/pipeline/inpaint.py note).
+    """
+    from test_model_parity_torch import torch_vae_encode
+
+    tok = fix["tok"]
+    ucfg = fix["cfg"].unet
+    vcfg = fix["cfg"].vae
+
+    color_context, _extra_seeds, extra_sigmas = _extract_seeds_sigmas(
+        dict(color_context)
+    )
+    prompt_ids = tok(prompt, max_length=77, truncation=True,
+                     padding="max_length")["input_ids"]
+    uncond_ids = tok("", max_length=77, truncation=True,
+                     padding="max_length")["input_ids"]
+    with torch.no_grad():
+        cond = fix["clip_model"](torch.tensor([prompt_ids])).last_hidden_state
+        uncond = fix["clip_model"](
+            torch.tensor([uncond_ids])
+        ).last_hidden_state
+    weights, orig, _sep = _torch_weight_pyramid(
+        tok, cm, color_context, prompt_ids, extra_sigmas
+    )
+
+    sched = TorchLMS(steps)
+    h, w = cm.shape[:2]
+
+    # prepare_mask_and_masked_image (reference inpaint.py:93-106): image to
+    # [-1, 1], mask binarized at 0.5, masked = image * (mask < 0.5)
+    image = torch.from_numpy(
+        np.asarray(init_image, np.float32)[None].transpose(0, 3, 1, 2)
+    ) / 127.5 - 1.0
+    mask = np.asarray(mask_image, np.float32)[None, None].copy()
+    mask[mask < 0.5] = 0
+    mask[mask >= 0.5] = 1
+    mask = torch.from_numpy(mask)
+    masked_image = image * (mask < 0.5)
+
+    # strength truncation (reference inpaint.py:181-186; LMS offset = 0)
+    init_timestep = min(int(steps * strength), steps)
+    t_start = max(steps - init_timestep, 0)
+
+    # init latents: VAE-encode + noise at the truncated start
+    # (reference inpaint.py:189-198); posterior mean (docstring above)
+    with torch.no_grad():
+        moments = torch_vae_encode(
+            fix["state_vae"], image, vcfg.block_out_channels,
+            vcfg.layers_per_block, vcfg.norm_num_groups,
+        )
+    init_latents = moments.chunk(2, dim=1)[0] * vcfg.scaling_factor
+    noise = torch.randn(init_latents.shape,
+                        generator=torch.manual_seed(seed))
+    latents = sched.add_noise(init_latents, noise, t_start)
+
+    # prepare_mask_latents (reference inpaint.py:112-138): nearest mask
+    # downsample to //8, VAE(masked image) latents; then the no-op second
+    # nearest interpolate to latents' spatial dims (inpaint.py:213-214)
+    mask_lat = F.interpolate(mask, size=(h // 8, w // 8))
+    with torch.no_grad():
+        m_moments = torch_vae_encode(
+            fix["state_vae"], masked_image, vcfg.block_out_channels,
+            vcfg.layers_per_block, vcfg.norm_num_groups,
+        )
+    masked_lat = m_moments.chunk(2, dim=1)[0] * vcfg.scaling_factor
+    mask_lat = F.interpolate(mask_lat, size=latents.shape[-2:],
+                             mode="nearest")
+    masked_lat = F.interpolate(masked_lat, size=latents.shape[-2:],
+                               mode="nearest")
+    assert (latents.shape[1] + mask_lat.shape[1] + masked_lat.shape[1]
+            == ucfg.in_channels)
+
+    def weight_fn(w_, sigma, qk):
+        return 0.1 * w_ * math.log(sigma + 1) * qk.max()
+
+    ukw = dict(
+        channels=ucfg.block_out_channels, layers=ucfg.layers_per_block,
+        groups=ucfg.norm_num_groups, has_attn=ucfg.down_block_has_attn,
+        heads_of=lambda ch: ucfg.num_attention_heads,
+    )
+    with torch.no_grad():
+        for i in range(t_start, steps):
+            sigma = float(sched.sigmas[i])
+            t = torch.tensor([sched.timesteps[i]], dtype=torch.float32)
+            lat_in = sched.scale_model_input(latents, i)
+            lat_in = torch.cat([lat_in, mask_lat, masked_lat], dim=1)
+            eps_text = torch_unet_forward(
+                fix["state_unet"], lat_in, t, cond,
+                pww={"weights": weights, "orig": orig, "sigma": sigma,
+                     "fn": weight_fn},
+                **ukw,
+            )
+            eps_uncond = torch_unet_forward(
+                fix["state_unet"], lat_in, t, uncond, pww=None, **ukw,
+            )
+            eps = eps_uncond + guidance * (eps_text - eps_uncond)
+            latents = sched.step(eps, i, latents)
+
+        img = torch_vae_decode(
+            fix["state_vae"], latents / vcfg.scaling_factor,
+            vcfg.block_out_channels, vcfg.layers_per_block,
+            vcfg.norm_num_groups,
+        )
+    img = ((img / 2 + 0.5).clamp(0, 1).permute(0, 2, 3, 1).numpy())
+    return latents.numpy(), (img * 255).round().astype(np.uint8)[0]
+
+
 # ---------------------------------------------------------------------------
 # shared tiny state: one synthetic checkpoint feeds both implementations
 # ---------------------------------------------------------------------------
 
 
-@pytest.fixture(scope="module")
-def fix():
+def _make_fixture(cfg):
     from transformers import CLIPTextConfig as HFConfig, CLIPTextModel
 
-    cfg = SDModelConfig.tiny()
     tok = toy_tokenizer(cfg.clip.vocab_size)
     gen = np.random.default_rng(7)
 
@@ -329,6 +446,18 @@ def fix():
         "cfg": cfg, "tok": tok, "clip_model": clip_model, "pipe": pipe,
         "state_unet": state_unet, "state_vae": state_vae,
     }
+
+
+@pytest.fixture(scope="module")
+def fix():
+    return _make_fixture(SDModelConfig.tiny())
+
+
+@pytest.fixture(scope="module")
+def fix9():
+    """9-channel inpainting UNet (runwayml/stable-diffusion-inpainting
+    layout: 4 latent + 1 mask + 4 masked-image channels)."""
+    return _make_fixture(SDModelConfig.tiny(in_channels=9))
 
 
 def _color_map():
@@ -400,5 +529,33 @@ def test_full_loop_matches_reference_img2img(fix):
              num_inference_steps=STEPS, guidance_scale=GUIDANCE, seed=11,
              noise_mode="torch", strength=0.6,
              init_latents=np.transpose(init, (0, 2, 3, 1))),
+        want_lat, want_img,
+    )
+
+
+def test_full_loop_matches_reference_inpaint(fix9):
+    """The reference's 4th entry point: `paint_with_words_inpaint` — mask
+    prep, both VAE encodes, strength truncation, and the per-step 9-channel
+    concat — against `PwwPipeline.generate(mask_image=...)` on the shared
+    9-channel tiny checkpoint."""
+    cm = _color_map()
+    ctx = {(255, 0, 0): "cat,0.8", (0, 0, 255): "dog,0.5"}
+    prompt = "a cat and a dog playing chess"
+    # deterministic init image + mask (right-half hole crossing both regions)
+    rng = np.random.default_rng(5)
+    init = rng.integers(0, 256, (SIZE, SIZE, 3), dtype=np.uint8)
+    mask = np.zeros((SIZE, SIZE), np.uint8)
+    mask[SIZE // 4 : 3 * SIZE // 4, SIZE // 3 :] = 255
+
+    want_lat, want_img = torch_reference_generate_inpaint(
+        fix9, prompt, cm, ctx, seed=11, init_image=init, mask_image=mask,
+        strength=0.8,
+    )
+    _assert_composition(
+        fix9,
+        dict(prompt=prompt, color_map_image=cm, color_context=ctx,
+             init_image=init, mask_image=mask.astype(np.float32) / 255.0,
+             num_inference_steps=STEPS, guidance_scale=GUIDANCE, seed=11,
+             noise_mode="torch", vae_sample_mode="mean", strength=0.8),
         want_lat, want_img,
     )
