@@ -346,13 +346,20 @@ def main():
 
     emit()  # headline record is now on stdout whatever happens next
 
-    def _extra(name, fn):
+    def _extra(name, fn, est=120.0):
         """Secondary points must never sink the headline JSON line, and must
-        respect the wall-clock budget (the driver kills over-budget runs)."""
+        respect the wall-clock budget (the driver kills over-budget runs).
+
+        ``est`` is the point's worst-case cost in seconds INCLUDING a cold
+        compile: the budget check runs *before* the warmup compile (round-4
+        lesson: checking elapsed-so-far let an extra start at 1400 s and
+        blow through the 1500 s budget mid-compile). A skipped extra does
+        not block later, cheaper ones — each point gates independently."""
         elapsed = time.time() - t_session0
-        if elapsed > args.budget:
-            print(f"extra {name} skipped: {elapsed:.0f}s elapsed > "
-                  f"budget {args.budget:.0f}s", file=sys.stderr)
+        if elapsed + est > args.budget:
+            print(f"extra {name} skipped: {elapsed:.0f}s elapsed + "
+                  f"~{est:.0f}s est > budget {args.budget:.0f}s",
+                  file=sys.stderr)
             return
         try:
             extras[name] = fn()
@@ -363,7 +370,10 @@ def main():
         emit()
 
     if not args.tiny and not args.no_extras:
-        reps = max(2, args.repeats - 3)
+        # Extras answer "does X scale/accelerate?" — 5 timed calls bound the
+        # median fine (the 12-rep spread evidence is the headline's job),
+        # and the saved calls buy compile headroom on a cold cache.
+        reps = max(2, min(5, args.repeats - 3))
 
         def _b8():
             _, kw8 = _bench_kwargs(size, steps, 8)
@@ -497,20 +507,22 @@ def main():
         def _recheck():
             return _timed_run(pipe, kwargs, 5, f"{size}px b1 recheck")
 
-        # ordered by round-4 priority: batch/serving scaling first, then
-        # high-res MFU, then overlap, then opt-in accelerators. The
-        # headline recheck runs LAST so it really is the end-of-session
-        # drift bound the docs describe.
-        _extra("batch8_img_per_s", _b8)
-        _extra("batch8_pipelined_img_per_s", _b8_pipelined)
-        _extra("serve_batch8_req_per_s", _serve)
-        _extra("s_per_image_768px", _hires(768))
-        _extra("s_per_image_1024px", _hires(1024))
-        _extra("headline_pipelined_img_per_s", _pipelined)
-        _extra("deepcache_interval5_img_per_s", _dc)
-        _extra("tome_ratio05_img_per_s", _tome)
-        _extra("lcm_4step_img_per_s", _lcm)
-        _extra("headline_recheck_s_per_image", _recheck)
+        # Ordered by information value (VERDICT r4 item 8): the headline
+        # recheck (shares the headline's compiled program — near-free) runs
+        # right after b8 so the within-session drift bound ALWAYS lands;
+        # LCM before ToMe (LCM is a flagship mode, ToMe has never won at
+        # 512² — see PERF_DEFAULTS.md). Costs are worst-case cold-compile
+        # estimates from the round-4 driver log.
+        _extra("batch8_img_per_s", _b8, est=240)
+        _extra("headline_recheck_s_per_image", _recheck, est=20)
+        _extra("batch8_pipelined_img_per_s", _b8_pipelined, est=60)
+        _extra("serve_batch8_req_per_s", _serve, est=200)
+        _extra("s_per_image_768px", _hires(768), est=260)
+        _extra("s_per_image_1024px", _hires(1024), est=330)
+        _extra("headline_pipelined_img_per_s", _pipelined, est=40)
+        _extra("deepcache_interval5_img_per_s", _dc, est=160)
+        _extra("lcm_4step_img_per_s", _lcm, est=180)
+        _extra("tome_ratio05_img_per_s", _tome, est=160)
 
 
 if __name__ == "__main__":
