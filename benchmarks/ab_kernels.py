@@ -29,13 +29,17 @@ def main():
     ap.add_argument("--steps", type=int, default=30)
     ap.add_argument("--rounds", type=int, default=6)
     ap.add_argument("--batch", type=int, default=1)
-    ap.add_argument("--set", default="hires", choices=["hires", "b8", "gn"],
+    ap.add_argument("--set", default="hires",
+                    choices=["hires", "b8", "gn", "b8x", "tome"],
                     help="knob set: 'hires' (round-3 ask: blocks at 4096-"
                     "16384 q), 'b8' (round-4 batch-scaling: bigger blocks "
-                    "+ dense-at-1024 with 16 CFG rows in flight), or 'gn' "
-                    "(fused Pallas GroupNorm vs XLA's reduce fusions — the "
-                    "b8 trace showed the latter at 43-66 GB/s, 1.2 s of a "
-                    "4.5 s call)")
+                    "+ dense-at-1024 with 16 CFG rows in flight), 'gn' "
+                    "(fused Pallas GroupNorm vs XLA's reduce fusions), "
+                    "'b8x' (round-5 MXU-gap experiments: unpadded flash "
+                    "head dims, im2col conv GEMM, NCHW conv dimension "
+                    "numbers — VERDICT r4 item 3), or 'tome' (token-merge "
+                    "ratios 0.3/0.5/0.75 at the operating point ToMe was "
+                    "built for — run with --size 1024)")
     args = ap.parse_args()
 
     import jax
@@ -98,6 +102,30 @@ def main():
             "ln_only": norm_variant(False, True),
             "norm_fused_all": norm_variant(True, True),
         }
+    elif args.set == "b8x":
+        # round-5 falsifiable experiments at the named b8 structural costs
+        # (docs/BENCHMARKING.md roofline): (a) the flash wrapper's
+        # materialized 40→128 head-dim pads (HBM passes), (b) XLA's native
+        # conv schedule vs an explicit im2col GEMM at the 320-ch stages,
+        # (c) NCHW conv dimension numbers. Numerics pinned equal in
+        # tests/test_conv_lowering.py.
+        variants = {
+            "base": base,
+            "flash_nopad": variant(flash_pad_heads=False),
+            "conv_im2col": variant(conv_lowering="im2col"),
+            "conv_nchw": variant(conv_lowering="nchw"),
+        }
+    elif args.set == "tome":
+        # ToMe has never beaten the 512² headline (PERF_DEFAULTS.md); this
+        # set answers whether it wins where self-attention dominates
+        # (1024²: 535.7 TF/img). Ratios are generate() kwargs — same
+        # pipeline/program family, the merge changes the traced graph.
+        variants = {"exact": base}
+        extra_kwargs = {
+            "tome_03": (base, {"tome_ratio": 0.3}),
+            "tome_05": (base, {"tome_ratio": 0.5}),
+            "tome_075": (base, {"tome_ratio": 0.75}),
+        }
     else:  # b8: larger blocks amortize better over 16 CFG rows; also test
         # whether XLA-dense beats flash at seq 1024 when batch covers latency
         variants = {
@@ -107,12 +135,21 @@ def main():
             "xq2048": variant(xattn_block_q=2048),
         }
 
+    if args.set == "tome":
+        for name, (pipe, kw_extra) in extra_kwargs.items():
+            variants[name] = (pipe, kw_extra)
+    # normalize: every variant is (pipe, per-variant generate kwargs)
+    variants = {
+        n: (v if isinstance(v, tuple) else (v, {}))
+        for n, v in variants.items()
+    }
+
     cm, kw = B._bench_kwargs(size, steps, args.batch)
     infeasible = {}
-    for name, pipe in list(variants.items()):  # warm (compile) each variant
+    for name, (pipe, kwx) in list(variants.items()):  # warm (compile) each
         t0 = time.time()
         try:
-            pipe.generate(seed=0, **kw)
+            pipe.generate(seed=0, **kw, **kwx)
         except Exception as e:
             # e.g. flash_block=2048 at b8 overflows the 16 MB scoped VMEM —
             # an infeasible point is a RESULT of the sweep, not a crash
@@ -125,9 +162,9 @@ def main():
               flush=True)
     times = {k: [] for k in variants}
     for r in range(args.rounds):  # interleave
-        for name, pipe in variants.items():
+        for name, (pipe, kwx) in variants.items():
             t0 = time.time()
-            pipe.generate(seed=r + 1, **kw)
+            pipe.generate(seed=r + 1, **kw, **kwx)
             times[name].append(time.time() - t0)
         print(f"round {r}: " + "  ".join(
             f"{n}={times[n][-1]:.3f}s" for n in variants), file=sys.stderr,

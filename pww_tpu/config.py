@@ -144,6 +144,15 @@ class UNetConfig:
     xattn_block_q: int = 1024
     flash_min_seq: int = 1024
     flash_block: int = 1024  # flash self-attention q/k block
+    # Zero-pad Q/K/V head dims to 128 lanes in HBM before the flash kernel
+    # (True, the round-1..4 behavior) vs handing the kernel dh-lane blocks
+    # directly (False — skips six materialized pad passes + two output-slice
+    # passes per site; the MXU work is identical). See PERF_DEFAULTS.md.
+    flash_pad_heads: bool = True
+    # ResNet 3×3 conv lowering: "xla" (native conv), "im2col" (explicit
+    # patches + one GEMM: K = 9·C_in), "nchw" (NCHW dimension numbers).
+    # Round-5 experiment knobs for the b8 MXU gap; see PERF_DEFAULTS.md.
+    conv_lowering: str = "xla"
     # Pallas fused GroupNorm(+pre-add+SiLU) and LayerNorm(+cast). Default
     # OFF: the interleaved full-step A/B (benchmarks/AB_KERNELS_512_b8_gn
     # .json, b8 512² 30-step) shows XLA norms fastest in every variant

@@ -67,16 +67,20 @@ class ResnetBlock(nn.Module):
     groups: int = 32
     dtype: Any = jnp.float32
     fused_norm: bool = True
+    conv_lowering: str = "xla"  # UNetConfig.conv_lowering
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, temb: jnp.ndarray) -> jnp.ndarray:
+        from ..ops.conv import Conv2D
+
         c_in = x.shape[-1]
         h = FusedGroupNorm(
             self.groups, 1e-5, act="silu", out_dtype=self.dtype,
             use_fused=self.fused_norm, name="norm1",
         )(x)
-        h = nn.Conv(
-            self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1"
+        h = Conv2D(
+            self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+            lowering=self.conv_lowering, name="conv1",
         )(h)
         t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(
             nn.silu(temb)
@@ -85,8 +89,9 @@ class ResnetBlock(nn.Module):
             self.groups, 1e-5, act="silu", out_dtype=self.dtype,
             use_fused=self.fused_norm, name="norm2",
         )(h, add=t)
-        h = nn.Conv(
-            self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2"
+        h = Conv2D(
+            self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+            lowering=self.conv_lowering, name="conv2",
         )(h)
         if c_in != self.out_channels:
             x = nn.Conv(
@@ -128,6 +133,7 @@ class CrossAttention(nn.Module):
     flash_min_seq: int = 1024  # UNetConfig.flash_min_seq
     flash_block: int = 1024  # UNetConfig.flash_block
     xattn_variant: str = "fused"  # UNetConfig.xattn_variant
+    flash_pad_heads: bool = True  # UNetConfig.flash_pad_heads
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -171,7 +177,8 @@ class CrossAttention(nn.Module):
         elif is_self and self.use_flash and q.shape[2] >= self.flash_min_seq:
             from ..ops.flash_attention import flash_self_attention
 
-            out = flash_self_attention(q, k, v, block=self.flash_block)
+            out = flash_self_attention(q, k, v, block=self.flash_block,
+                                       pad_heads=self.flash_pad_heads)
         elif (
             bias_w is not None
             and self.use_fused_cross
@@ -238,6 +245,7 @@ class TransformerBlock(nn.Module):
     flash_min_seq: int = 1024
     flash_block: int = 1024
     xattn_variant: str = "fused"
+    flash_pad_heads: bool = True
     dtype: Any = jnp.float32
     fused_ln: bool = True
 
@@ -250,6 +258,7 @@ class TransformerBlock(nn.Module):
             self.num_heads, self.head_dim, self.use_flash,
             sow_probs=self.sow_probs, flash_min_seq=self.flash_min_seq,
             flash_block=self.flash_block,
+            flash_pad_heads=self.flash_pad_heads,
             dtype=self.dtype, name="attn1",
         )
         if self.tome_ratio > 0.0 and grid is not None:
@@ -297,6 +306,7 @@ class Transformer2D(nn.Module):
     flash_min_seq: int = 1024
     flash_block: int = 1024
     xattn_variant: str = "fused"
+    flash_pad_heads: bool = True
     groups: int = 32
     dtype: Any = jnp.float32
     fused_norm: bool = True
@@ -320,7 +330,8 @@ class Transformer2D(nn.Module):
                 self.use_fused_cross, tome, self.ip_adapter,
                 self.sow_probs and i == 0,
                 self.xattn_block_q, self.flash_min_seq,
-                self.flash_block, self.xattn_variant, self.dtype,
+                self.flash_block, self.xattn_variant,
+                self.flash_pad_heads, self.dtype,
                 fused_ln=self.fused_ln,
                 name=f"blocks_{i}",
             )(z, context, pww, grid=(h, w), ip=ip)
@@ -388,6 +399,7 @@ class UNet2DCondition(nn.Module):
             x = ResnetBlock(
                 ch, cfg.norm_num_groups, self.dtype,
                 fused_norm=cfg.fused_group_norm,
+                conv_lowering=cfg.conv_lowering,
                 name=f"down_{bi}_resnet_{li}",
             )(x, temb)
             if has_attn:
@@ -403,6 +415,7 @@ class UNet2DCondition(nn.Module):
                     flash_min_seq=cfg.flash_min_seq,
                     flash_block=cfg.flash_block,
                     xattn_variant=cfg.xattn_variant,
+                    flash_pad_heads=cfg.flash_pad_heads,
                     groups=cfg.norm_num_groups, dtype=self.dtype,
                     fused_norm=cfg.fused_group_norm,
                     fused_ln=cfg.fused_layer_norm,
@@ -439,6 +452,7 @@ class UNet2DCondition(nn.Module):
             x = ResnetBlock(
                 ch, cfg.norm_num_groups, self.dtype,
                 fused_norm=cfg.fused_group_norm,
+                conv_lowering=cfg.conv_lowering,
                 name=f"up_{bi}_resnet_{li}",
             )(x, temb)
             if has_attn:
@@ -454,6 +468,7 @@ class UNet2DCondition(nn.Module):
                     flash_min_seq=cfg.flash_min_seq,
                     flash_block=cfg.flash_block,
                     xattn_variant=cfg.xattn_variant,
+                    flash_pad_heads=cfg.flash_pad_heads,
                     groups=cfg.norm_num_groups, dtype=self.dtype,
                     fused_norm=cfg.fused_group_norm,
                     fused_ln=cfg.fused_layer_norm,
@@ -592,6 +607,7 @@ class UNet2DCondition(nn.Module):
         ch = cfg.block_out_channels[-1]
         x = ResnetBlock(ch, cfg.norm_num_groups, self.dtype,
                         fused_norm=cfg.fused_group_norm,
+                conv_lowering=cfg.conv_lowering,
                         name="mid_resnet_0")(x, temb)
         nh, hd = cfg.heads_for(ch)
         x = Transformer2D(
@@ -606,12 +622,14 @@ class UNet2DCondition(nn.Module):
             flash_min_seq=cfg.flash_min_seq,
             flash_block=cfg.flash_block,
             xattn_variant=cfg.xattn_variant,
+            flash_pad_heads=cfg.flash_pad_heads,
             groups=cfg.norm_num_groups, dtype=self.dtype,
             fused_norm=cfg.fused_group_norm,
             fused_ln=cfg.fused_layer_norm, name="mid_attn",
         )(x, ctx, pww, ip=ip)
         x = ResnetBlock(ch, cfg.norm_num_groups, self.dtype,
                         fused_norm=cfg.fused_group_norm,
+                conv_lowering=cfg.conv_lowering,
                         name="mid_resnet_1")(x, temb)
         if mid_block_residual is not None:
             x = x + mid_block_residual

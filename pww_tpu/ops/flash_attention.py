@@ -62,7 +62,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *, scale, n
 
 
 def flash_self_attention(
-    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, block: int = 1024
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, block: int = 1024,
+    pad_heads: bool = True,
 ) -> jnp.ndarray:
     """Self-attention, (B, H, L, dh) → (B, H, L, dh). No bias, no mask.
 
@@ -70,6 +71,20 @@ def flash_self_attention(
     fastest on v5e for SD shapes (22.9 vs 26.4 ms/step full UNet at 512²);
     2048 exceeds the 16 MB scoped-VMEM limit.
     Falls back to the jnp path when shapes don't tile cleanly.
+
+    ``pad_heads`` (``UNetConfig.flash_pad_heads``): when True, Q/K/V are
+    zero-padded to a 128-lane head dim in HBM before the kernel. Because a
+    pallas_call is opaque to XLA, those pads (and the output slice)
+    MATERIALIZE — six extra HBM passes of padded Q/K/V plus two of the
+    output per site, ~3.2× the useful bytes at dh=40. ``False`` hands the
+    kernel dh-lane blocks directly; Mosaic pads tiles internally on the
+    VMEM side with no HBM copy. The MXU machine work is identical either
+    way: a 128-wide systolic pass per output tile is underfilled at
+    contraction 40 regardless of how the operand is stored, and packing
+    independent heads into the lanes cannot fix that (block-diagonal
+    operands grow M or the contraction by the same factor they fill — see
+    docs/BENCHMARKING.md round-5 head-packing note). What this knob attacks
+    is the HBM side only.
     """
     b, h, l, dh = q.shape
     scale = 1.0 / (dh ** 0.5)
@@ -83,7 +98,7 @@ def flash_self_attention(
 
         return pww_attention(q, k, v)
 
-    d_pad = max(128, ((dh + 127) // 128) * 128)
+    d_pad = max(128, ((dh + 127) // 128) * 128) if pad_heads else dh
     bh = b * h
 
     def prep(x):
@@ -126,5 +141,6 @@ def flash_self_attention(
         ),
     )(qp, kp, vp)
 
-    out = out[:, :, :dh].reshape(b, h, l, dh)
-    return out
+    if d_pad != dh:
+        out = out[:, :, :dh]
+    return out.reshape(b, h, l, dh)

@@ -50,7 +50,7 @@ def lint_perf_defaults() -> int:
     number of violations."""
     import re
 
-    perf_name = re.compile(r"^(fused_|flash|xattn_)|^tome_ratio$")
+    perf_name = re.compile(r"^(fused_|flash|xattn_|conv_)|^tome_ratio$")
     # knob defaults from config.py, keyed "Class.field"
     actual = {}
     tree = ast.parse(open("pww_tpu/config.py").read())
