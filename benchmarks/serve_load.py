@@ -17,6 +17,146 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
+def _run_mixed(pipe, req, size, steps, tiny):
+    """Heterogeneous closed-loop load (VERDICT r4 item 6).
+
+    10 closed-loop clients against ONE Batcher: 4 txt2img @ base size, 4
+    txt2img @ the next resolution bucket (768² real / 96² tiny), 1 inpaint
+    (batchable mode, but alone in its compat group), 1 prompt-editing
+    (singleton by construction — per-step conditioning switch). Each client
+    submits its next request only after the previous resolves. Per-class
+    latency percentiles isolate what the batcher can control: requests of a
+    class should see a consistent full-cycle latency, not a lottery of
+    queue positions. pad_to_bucket bounds the program set when class waves
+    drift and groups split (a 3-request group pads to the compiled 4-row
+    program instead of compiling a 3-row one mid-run).
+    """
+    import json
+    import threading
+    import time as _time
+
+    from pww_tpu.serving.batcher import Batcher
+
+    hi = 96 if tiny else 768
+    rng = np.random.default_rng(0)
+    init = (rng.random((size, size, 3)) * 255).astype(np.uint8)
+    mask = np.zeros((size, size), np.float32)
+    q = size // 4
+    mask[q: 3 * q, q: 3 * q] = 1.0
+
+    def txt_req(i, rsize):
+        return req(i, rsize)
+
+    def inpaint_req(i):
+        r = req(i)
+        r.update(init_image=init, mask_image=mask, strength=0.8,
+                 mask_blur=4.0)
+        return r
+
+    def edit_req(i):
+        r = req(i)
+        r["prompt"] = f"a [cat:dog:{max(1, steps // 2)}] number {i}"
+        r["prompt_editing"] = True
+        return r
+
+    classes = {
+        "txt512": (4, lambda i: txt_req(i, size)),
+        "txt768": (4, lambda i: txt_req(i, hi)),
+        "inpaint": (1, inpaint_req),
+        "edit": (1, edit_req),
+    }
+
+    # Warm every program the run can touch — all bucket sizes per txt
+    # class ({1,2,4}: groups that split under drift pad to these), the
+    # inpaint b1 program, and the prompt-editing segment pair. Compiles
+    # here keep the timed phase compile-free.
+    for b in (1, 2, 4):
+        for rs in (size, hi):
+            t0 = _time.time()
+            pipe.generate_batch([txt_req(j, rs) for j in range(b)],
+                                num_inference_steps=steps)
+            print(f"warm txt{rs} b{b}: {_time.time() - t0:.1f}s",
+                  file=sys.stderr, flush=True)
+    t0 = _time.time()
+    pipe.generate_batch([inpaint_req(0)], num_inference_steps=steps,
+                        strength=0.8)
+    print(f"warm inpaint b1: {_time.time() - t0:.1f}s", file=sys.stderr,
+          flush=True)
+    t0 = _time.time()
+    pipe.generate(**edit_req(0))
+    print(f"warm edit: {_time.time() - t0:.1f}s", file=sys.stderr,
+          flush=True)
+
+    waves = 3
+    batcher = Batcher(pipe, max_batch=4, max_wait_ms=200.0,
+                      pad_to_bucket=True)
+    lat = {c: [] for c in classes}
+    lock = threading.Lock()
+
+    def client(cls, maker, cid):
+        for w in range(waves):
+            r = maker(1000 * cid + w)
+            ts = _time.time()
+            batcher.submit(r).result(timeout=3600)
+            with lock:
+                lat[cls].append(_time.time() - ts)
+
+    threads = []
+    cid = 0
+    for cls, (n, maker) in classes.items():
+        for _ in range(n):
+            threads.append(threading.Thread(
+                target=client, args=(cls, maker, cid)))
+            cid += 1
+    try:
+        t0 = _time.time()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        total = _time.time() - t0
+    finally:
+        batcher.close()
+
+    n_req = waves * sum(n for n, _ in classes.values())
+    per_class = {}
+    for cls, xs in lat.items():
+        xs.sort()
+        p50 = xs[len(xs) // 2]
+        p95 = xs[min(len(xs) - 1, int(0.95 * len(xs)))]
+        per_class[cls] = {
+            "n": len(xs),
+            "p50_s": round(p50, 3),
+            "p95_s": round(p95, 3),
+            "p95_over_p50": round(p95 / p50, 3),
+        }
+    mixed = {
+        "clients": {c: n for c, (n, _) in classes.items()},
+        "waves": waves,
+        "steps": steps,
+        "sizes": {"txt512": size, "txt768": hi},
+        "sustained_req_per_s": round(n_req / total, 4),
+        "per_class": per_class,
+        "batches_formed": batcher.stats["batches"],
+        "batch_efficiency": round(
+            batcher.stats["batched_requests"] / batcher.stats["batches"], 3),
+        "pad_to_bucket": True,
+        "closed_loop": True,
+        "tiny": bool(tiny),
+    }
+    print(json.dumps({"mixed": mixed}))
+    if not tiny:
+        out = os.path.join(os.path.dirname(__file__), "SERVE_LOAD.json")
+        rec = {}
+        if os.path.exists(out):
+            with open(out) as f:
+                rec = json.load(f)
+        rec["mixed"] = mixed
+        with open(out, "w") as f:
+            json.dump(rec, f, indent=1)
+        print(f"wrote {out}", file=sys.stderr)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--tiny", action="store_true")
@@ -26,6 +166,12 @@ def main():
                     help="also measure an img2img wave (these requests "
                     "batched serially through plain generate before the "
                     "per-sample-row scan landed)")
+    ap.add_argument("--mixed", action="store_true",
+                    help="heterogeneous closed-loop scenario (VERDICT r4 "
+                    "item 6): 4 clients at 512² + 4 at 768² + 1 inpaint + "
+                    "1 prompt-editing singleton; records per-class p50/p95 "
+                    "into SERVE_LOAD.json's 'mixed' key and skips the "
+                    "homogeneous phases")
     args = ap.parse_args()
 
     import jax
@@ -58,9 +204,10 @@ def main():
         pipe = B._make_pipeline(SDModelConfig.sd15(), _Args)
         size, steps = 512, args.steps
 
-    def req(i):
-        cm = np.zeros((size, size, 3), np.uint8)
-        cm[:, : size // 2] = (255, 0, 0)
+    def req(i, rsize=None):
+        rsize = size if rsize is None else rsize
+        cm = np.zeros((rsize, rsize, 3), np.uint8)
+        cm[:, : rsize // 2] = (255, 0, 0)
         return {
             "prompt": f"a cat number {i}",
             "color_map_image": cm,
@@ -68,6 +215,10 @@ def main():
             "seed": i,
             "num_inference_steps": steps,
         }
+
+    if args.mixed:
+        _run_mixed(pipe, req, size, steps, tiny=args.tiny)
+        return
 
     # warm the compiled programs at batch sizes 1 and n
     pipe.generate_batch([req(0)], num_inference_steps=steps)

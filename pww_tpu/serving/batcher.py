@@ -131,10 +131,22 @@ class Batcher:
         for company before the batch launches.
     """
 
-    def __init__(self, pipeline, max_batch: int = 8, max_wait_ms: float = 25.0):
+    def __init__(self, pipeline, max_batch: int = 8, max_wait_ms: float = 25.0,
+                 pad_to_bucket: bool = False):
         self.pipeline = pipeline
         self.max_batch = max_batch
         self.max_wait = max_wait_ms / 1000.0
+        # Bucketed batch sizes: pad each batched group to the next power of
+        # two (capped at max_batch) with clones of its first request, then
+        # drop the padded rows. Each distinct batch size is a separate XLA
+        # program; under heterogeneous load, groups split unpredictably
+        # (3+1, 2+2, ...) and every novel size pays a full compile — minutes
+        # on a tunneled chip. Padding bounds the program set to
+        # {1, 2, 4, ..., max_batch} at the cost of ≤2x compute on the padded
+        # rows (worst case: group of 2^k + 1). Off by default: steady
+        # homogeneous load always forms full batches and padding would only
+        # waste FLOPs.
+        self.pad_to_bucket = bool(pad_to_bucket)
         self._q: "queue.Queue[_Pending]" = queue.Queue()
         self._stop = threading.Event()
         # XLA compiles run ON this thread (first request of each program
@@ -302,6 +314,17 @@ class Batcher:
                     strength=g0.get("strength", 0.5),
                     noise_mode=g0.get("noise_mode", "jax"),
                 )
+                reqs = [p.request for p in group]
+                if self.pad_to_bucket and len(reqs) < self.max_batch:
+                    target = 1
+                    while target < len(reqs):
+                        target *= 2
+                    # non-power-of-two max_batch: the cap itself is a bucket
+                    target = min(target, self.max_batch)
+                    # clones share group[0]'s compat key by construction, so
+                    # they cannot change the program beyond the batch dim;
+                    # _resolve zips futures with rows and drops the padding
+                    reqs = reqs + [dict(reqs[0])] * (target - len(reqs))
                 try:
                     # output_type="device": the un-fetched uint8 array lets
                     # this thread run the NEXT group's host prologue while
@@ -311,8 +334,7 @@ class Batcher:
                     # docs/BENCHMARKING.md §6).
                     self._sync_prev_compute()
                     images_dev = self.pipeline.generate_batch(
-                        [p.request for p in group],
-                        output_type="device", **common,
+                        reqs, output_type="device", **common,
                     )
                 except Exception:
                     if len(group) == 1:

@@ -512,3 +512,39 @@ def test_backpressure_releases_at_compute_not_fetch(pipe):
     finally:
         fetch_gate.set()
         b.close()
+
+
+def test_batcher_pad_to_bucket(pipe):
+    """With pad_to_bucket, a 3-request group runs as a padded batch of 4
+    (bounding the compiled-program set to power-of-two sizes), futures map
+    to the right rows, and the padding row is dropped. Row correspondence is
+    asserted against a direct generate_batch of the same padded 4-row list:
+    bit-equality only holds within one program shape (a 4-row and a 1-row
+    program may tile reductions differently)."""
+    reqs = [_req(p, i) for i, p in enumerate(["a cat", "a dog", "a fox"])]
+    b = Batcher(pipe, max_batch=4, max_wait_ms=300.0, pad_to_bucket=True)
+    try:
+        futs = [b.submit(dict(r)) for r in reqs]
+        imgs = [f.result(timeout=600) for f in futs]
+    finally:
+        b.close()
+    assert b.stats["batches"] == 1
+    assert b.stats["batched_requests"] == 3  # stats count REAL requests
+    direct = pipe.generate_batch(reqs + [dict(reqs[0])],
+                                 num_inference_steps=2, output_type="np")
+    for img, row in zip(imgs, direct):
+        np.testing.assert_array_equal(np.asarray(img), row)
+
+
+def test_batcher_pad_to_bucket_caps_at_max_batch(pipe):
+    """A group of max_batch-1 with a non-power-of-two cap pads to max_batch,
+    never past it."""
+    b = Batcher(pipe, max_batch=3, max_wait_ms=300.0, pad_to_bucket=True)
+    try:
+        futs = [b.submit(_req(p, i))
+                for i, p in enumerate(["a cat", "a dog", "a fox"])]
+        for f in futs:
+            f.result(timeout=600)
+    finally:
+        b.close()
+    assert b.stats["batches"] == 1
