@@ -29,6 +29,11 @@ def main():
     ap.add_argument("--steps", type=int, default=30)
     ap.add_argument("--rounds", type=int, default=6)
     ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--only", default=None,
+                    help="comma-separated variant names to keep (others in "
+                    "the set are skipped — useful to re-run a decision pair "
+                    "without paying cold compiles for variants already "
+                    "answered at another operating point)")
     ap.add_argument("--set", default="hires",
                     choices=["hires", "b8", "gn", "b8x", "tome"],
                     help="knob set: 'hires' (round-3 ask: blocks at 4096-"
@@ -143,6 +148,12 @@ def main():
         n: (v if isinstance(v, tuple) else (v, {}))
         for n, v in variants.items()
     }
+    if args.only:
+        keep = {s.strip() for s in args.only.split(",") if s.strip()}
+        unknown = keep - set(variants)
+        if unknown:
+            ap.error(f"--only names not in set '{args.set}': {sorted(unknown)}")
+        variants = {n: v for n, v in variants.items() if n in keep}
 
     cm, kw = B._bench_kwargs(size, steps, args.batch)
     infeasible = {}
