@@ -147,8 +147,11 @@ class UNetConfig:
     # Zero-pad Q/K/V head dims to 128 lanes in HBM before the flash kernel
     # (True, the round-1..4 behavior) vs handing the kernel dh-lane blocks
     # directly (False — skips six materialized pad passes + two output-slice
-    # passes per site; the MXU work is identical). See PERF_DEFAULTS.md.
-    flash_pad_heads: bool = True
+    # passes per site; the MXU work is identical). Default False per the
+    # round-5 interleaved A/Bs: b8 512² 4.710 vs 4.890 s (−3.7%,
+    # benchmarks/AB_KERNELS_512_b8_b8x.json) and b1 512² 0.7281 vs 0.7329 s
+    # (benchmarks/AB_KERNELS_512_b8x.json). See PERF_DEFAULTS.md.
+    flash_pad_heads: bool = False
     # ResNet 3×3 conv lowering: "xla" (native conv), "im2col" (explicit
     # patches + one GEMM: K = 9·C_in), "nchw" (NCHW dimension numbers).
     # Round-5 experiment knobs for the b8 MXU gap; see PERF_DEFAULTS.md.
