@@ -56,6 +56,20 @@ def build_token_merge(
     n_dst = dst_idx.shape[0]
     n_src = l - n_dst
     r = min(int(l * ratio), n_src)
+    # Keep the merged length flash-block-aligned: the flash wrapper requires
+    # L divisible by one of (1024, 512, 256) (flash_attention.py q-block
+    # ladder) and silently falls back to XLA-dense O(L²) otherwise — at
+    # 1024² ratio 0.3 measured 8.01 s/img vs 4.56 exact purely from that
+    # cliff (benchmarks/AB_KERNELS_1024_tome.json). Round r DOWN (merge
+    # fewer tokens) so L_m snaps UP to the next 256 multiple: fidelity can
+    # only improve vs the requested ratio, and already-aligned ratios
+    # (0.5, 0.75 at L=4096/16384) are untouched. Gated to flash-sized
+    # sites (L ≥ 1024 = flash_min_seq default): below that the dispatch
+    # picks XLA-dense regardless, and rounding would degenerate (at L=256
+    # any ratio < 1/4 rounds to zero merges).
+    if l >= 1024 and l % 256 == 0 and r > 0:
+        l_m_aligned = -(-(l - r) // 256) * 256
+        r = max(0, l - l_m_aligned)
     n_unm = n_src - r
 
     m = metric / (jnp.linalg.norm(metric.astype(jnp.float32), axis=-1,

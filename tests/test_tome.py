@@ -70,6 +70,33 @@ def test_ratio_bounded_by_src_partition(rng):
     assert lm == 4  # only the dst partition remains
 
 
+def test_merged_length_flash_aligned(rng):
+    """At flash-sized grids the merged length L_m snaps UP to the next 256
+    multiple (merging fewer tokens than requested, never more): an
+    unaligned L_m falls off the flash kernel's q-block ladder
+    (flash_attention.py) into XLA-dense O(L²) — measured as tome_03 at 8.01
+    s/img vs 4.56 exact at 1024² (AB_KERNELS_1024_tome.json). Already
+    aligned ratios are untouched, and sub-flash grids (l % 256 != 0) keep
+    the exact requested ratio."""
+    h = w = 64  # L = 4096, the SD-1.5 512² full-res site
+    x = jnp.asarray(rng.standard_normal((1, h * w, 8)), jnp.float32)
+    _, _, lm03 = build_token_merge(x, h, w, ratio=0.3)
+    assert lm03 == 3072  # requested 2868 -> next 256 multiple
+    _, _, lm05 = build_token_merge(x, h, w, ratio=0.5)
+    assert lm05 == 2048  # already aligned: unchanged
+    _, _, lm075 = build_token_merge(x, h, w, ratio=0.75)
+    assert lm075 == 1024  # capped at the dst partition: unchanged
+    # sub-flash grid: exact requested ratio (16 - 4 = 12 kept)
+    y = jnp.asarray(rng.standard_normal((1, 16, 4)), jnp.float32)
+    _, _, lm_small = build_token_merge(y, 4, 4, ratio=0.25)
+    assert lm_small == 12
+    # 256-aligned but sub-flash (L=256 < 1024): dense attention runs there
+    # regardless, so the exact ratio is kept (no degenerate round-to-zero)
+    z = jnp.asarray(rng.standard_normal((1, 256, 4)), jnp.float32)
+    _, _, lm_256 = build_token_merge(z, 16, 16, ratio=0.3)
+    assert lm_256 == 256 - 76
+
+
 def test_pipeline_tome_end_to_end(rng):
     from pww_tpu.config import SDModelConfig
     from pww_tpu.pipeline.pipeline import PwwPipeline
