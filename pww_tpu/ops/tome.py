@@ -60,15 +60,20 @@ def build_token_merge(
     # L divisible by one of (1024, 512, 256) (flash_attention.py q-block
     # ladder) and silently falls back to XLA-dense O(L²) otherwise — at
     # 1024² ratio 0.3 measured 8.01 s/img vs 4.56 exact purely from that
-    # cliff (benchmarks/AB_KERNELS_1024_tome.json). Round r DOWN (merge
-    # fewer tokens) so L_m snaps UP to the next 256 multiple: fidelity can
-    # only improve vs the requested ratio, and already-aligned ratios
-    # (0.5, 0.75 at L=4096/16384) are untouched. Gated to flash-sized
+    # cliff (benchmarks/AB_KERNELS_1024_tome.json). Alignment target: 1024
+    # at large sites (l ≥ 4096), because a 256-aligned-only L_m drops the
+    # kernel to q-block 256 — the A/B'd-slow block size — which still cost
+    # ratio 0.3 a 7.41 s/img loss at L_m=11520; 256 at small flash sites.
+    # Round r DOWN (merge fewer tokens) so L_m snaps UP: fidelity can only
+    # improve vs the requested ratio, already-aligned ratios (0.5, 0.75 at
+    # L=4096/16384) are untouched, and a ratio that rounds to r=0 is the
+    # honest "merges too little to pay" outcome. Gated to flash-sized
     # sites (L ≥ 1024 = flash_min_seq default): below that the dispatch
     # picks XLA-dense regardless, and rounding would degenerate (at L=256
     # any ratio < 1/4 rounds to zero merges).
     if l >= 1024 and l % 256 == 0 and r > 0:
-        l_m_aligned = -(-(l - r) // 256) * 256
+        align = 1024 if (l >= 4096 and l % 1024 == 0) else 256
+        l_m_aligned = -(-(l - r) // align) * align
         r = max(0, l - l_m_aligned)
     n_unm = n_src - r
 

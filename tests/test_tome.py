@@ -81,11 +81,19 @@ def test_merged_length_flash_aligned(rng):
     h = w = 64  # L = 4096, the SD-1.5 512² full-res site
     x = jnp.asarray(rng.standard_normal((1, h * w, 8)), jnp.float32)
     _, _, lm03 = build_token_merge(x, h, w, ratio=0.3)
-    assert lm03 == 3072  # requested 2868 -> next 256 multiple
+    assert lm03 == 3072  # requested 2868 -> next 1024 multiple
     _, _, lm05 = build_token_merge(x, h, w, ratio=0.5)
     assert lm05 == 2048  # already aligned: unchanged
     _, _, lm075 = build_token_merge(x, h, w, ratio=0.75)
     assert lm075 == 1024  # capped at the dst partition: unchanged
+    # a ratio that rounds to zero merges IS the honest outcome at 1024-align
+    _, _, lm01 = build_token_merge(x, h, w, ratio=0.1)
+    assert lm01 == 4096  # requested 3687 -> 4096 == no merge
+    # the 1024² full-res site (L=16384): ratio 0.3 -> 11469 -> 12288, so
+    # the kernel keeps q-block 1024 instead of dropping to 256
+    xl = jnp.asarray(rng.standard_normal((1, 128 * 128, 4)), jnp.float32)
+    _, _, lm_big = build_token_merge(xl, 128, 128, ratio=0.3)
+    assert lm_big == 12288
     # sub-flash grid: exact requested ratio (16 - 4 = 12 kept)
     y = jnp.asarray(rng.standard_normal((1, 16, 4)), jnp.float32)
     _, _, lm_small = build_token_merge(y, 4, 4, ratio=0.25)
