@@ -66,12 +66,20 @@ def _run_mixed(pipe, req, size, steps, tiny):
         "edit": (1, edit_req),
     }
 
-    # Warm every program the run can touch — all bucket sizes per txt
-    # class ({1,2,4}: groups that split under drift pad to these), the
-    # inpaint b1 program, and the prompt-editing segment pair. Compiles
-    # here keep the timed phase compile-free.
+    # The memory budget: the first real run OOM'd 14 times because 768²-b4
+    # launches overlapping other programs exceeded HBM, even though every
+    # shape warms fine alone. 2·768² pixels caps 768² groups at 2 rows and
+    # leaves 512² at the full max_batch of 4.
+    max_px = None if tiny else 2 * hi * hi
+
+    # Warm every program the run can touch — every bucket size the pixel
+    # budget allows per txt class (groups that split under drift pad to
+    # these), the inpaint b1 program, and the prompt-editing segment pair.
+    # Compiles here keep the timed phase compile-free.
     for b in (1, 2, 4):
         for rs in (size, hi):
+            if max_px is not None and b > max(1, max_px // (rs * rs)):
+                continue
             t0 = _time.time()
             pipe.generate_batch([txt_req(j, rs) for j in range(b)],
                                 num_inference_steps=steps)
@@ -89,15 +97,26 @@ def _run_mixed(pipe, req, size, steps, tiny):
 
     waves = 3
     batcher = Batcher(pipe, max_batch=4, max_wait_ms=200.0,
-                      pad_to_bucket=True)
+                      pad_to_bucket=True, max_batch_pixels=max_px)
     lat = {c: [] for c in classes}
+    fails = {c: 0 for c in classes}
     lock = threading.Lock()
 
     def client(cls, maker, cid):
         for w in range(waves):
             r = maker(1000 * cid + w)
             ts = _time.time()
-            batcher.submit(r).result(timeout=3600)
+            try:
+                batcher.submit(r).result(timeout=3600)
+            except Exception as e:
+                # a failed wave must be VISIBLE in the artifact, and must
+                # not silently end this client's remaining waves
+                with lock:
+                    fails[cls] += 1
+                print(f"{cls} wave {w} FAILED: "
+                      f"{(str(e).splitlines() or [repr(e)])[-1][:120]}",
+                      file=sys.stderr, flush=True)
+                continue
             with lock:
                 lat[cls].append(_time.time() - ts)
 
@@ -118,14 +137,18 @@ def _run_mixed(pipe, req, size, steps, tiny):
     finally:
         batcher.close()
 
-    n_req = waves * sum(n for n, _ in classes.values())
+    n_req = sum(len(xs) for xs in lat.values())  # COMPLETED requests only
     per_class = {}
     for cls, xs in lat.items():
         xs.sort()
+        if not xs:
+            per_class[cls] = {"n": 0, "failed": fails[cls]}
+            continue
         p50 = xs[len(xs) // 2]
         p95 = xs[min(len(xs) - 1, int(0.95 * len(xs)))]
         per_class[cls] = {
             "n": len(xs),
+            "failed": fails[cls],
             "p50_s": round(p50, 3),
             "p95_s": round(p95, 3),
             "p95_over_p50": round(p95 / p50, 3),
@@ -135,11 +158,13 @@ def _run_mixed(pipe, req, size, steps, tiny):
         "waves": waves,
         "steps": steps,
         "sizes": {"txt512": size, "txt768": hi},
+        "max_batch_pixels": max_px,
         "sustained_req_per_s": round(n_req / total, 4),
         "per_class": per_class,
         "batches_formed": batcher.stats["batches"],
         "batch_efficiency": round(
             batcher.stats["batched_requests"] / batcher.stats["batches"], 3),
+        "retries": batcher.stats["retries"],
         "pad_to_bucket": True,
         "closed_loop": True,
         "tiny": bool(tiny),

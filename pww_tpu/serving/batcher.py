@@ -25,6 +25,10 @@ class _Pending:
     request: Dict
     key: Tuple
     future: Future = field(default_factory=Future)
+    # fetch-failure requeues consumed (each request gets ONE: transient
+    # device-memory exhaustion under overlapped launches is retryable,
+    # a second failure on an idle device is real)
+    retries: int = 0
 
 
 def _is_singleton(req: Dict) -> bool:
@@ -132,10 +136,20 @@ class Batcher:
     """
 
     def __init__(self, pipeline, max_batch: int = 8, max_wait_ms: float = 25.0,
-                 pad_to_bucket: bool = False):
+                 pad_to_bucket: bool = False,
+                 max_batch_pixels: "int | None" = None):
         self.pipeline = pipeline
         self.max_batch = max_batch
         self.max_wait = max_wait_ms / 1000.0
+        # Memory-aware row cap: bound a group's OUTPUT pixels (rows · h · w)
+        # so high-resolution buckets form smaller batches. Device-memory
+        # peak scales with rows × resolution; one max_batch knob can't fit
+        # both 512² and 768² buckets — the first real mixed-load run OOM'd
+        # 14 times from 768²-b4 launches overlapping other programs. None =
+        # off (homogeneous loads size max_batch for their single shape).
+        self.max_batch_pixels = (
+            None if max_batch_pixels is None else int(max_batch_pixels)
+        )
         # Bucketed batch sizes: pad each batched group to the next power of
         # two (capped at max_batch) with clones of its first request, then
         # drop the padded rows. Each distinct batch size is a separate XLA
@@ -179,7 +193,8 @@ class Batcher:
         # ~19 s/call, docs/BENCHMARKING.md §6); on local TPU this is a ~ms
         # no-op. The full image transfer still overlaps on the fetcher.
         self._last_launch = None
-        self.stats = {"requests": 0, "batches": 0, "batched_requests": 0}
+        self.stats = {"requests": 0, "batches": 0, "batched_requests": 0,
+                      "retries": 0}
         self._latencies = deque(maxlen=1024)  # seconds, per finished request
 
     def observe_latency(self, seconds: float) -> None:
@@ -221,6 +236,15 @@ class Batcher:
         self._fetcher.shutdown(wait=True)
 
     # -- worker --------------------------------------------------------------
+    def _cap_for(self, key) -> int:
+        """Row cap for one batched group: max_batch, tightened by the
+        max_batch_pixels budget at the group's resolution (key[0] is the
+        processing (h, w) for every non-singleton key)."""
+        if self.max_batch_pixels is None or not key or key[0] == "singleton":
+            return self.max_batch
+        h, w = key[0]
+        return max(1, min(self.max_batch, self.max_batch_pixels // (h * w)))
+
     def _drain_group(self, first: _Pending) -> List[_Pending]:
         if first.key and first.key[0] == "singleton":
             # Singleton by construction (compat_key embeds a fresh object()):
@@ -228,9 +252,10 @@ class Batcher:
             # the queue here would only re-order other requests behind it.
             return [first]
         group = [first]
+        cap = self._cap_for(first.key)
         deadline = time.monotonic() + self.max_wait
         leftovers: List[_Pending] = []
-        while len(group) < self.max_batch and not self._stop.is_set():
+        while len(group) < cap and not self._stop.is_set():
             # Backpressure (round-4 tail fix): while a launched batch is
             # still COMPUTING, committing the next group early cannot
             # start it any sooner — the device executes in submission order
@@ -298,6 +323,22 @@ class Batcher:
                             Image.fromarray(np.asarray(img)[0])
                         )
                         continue
+                    except Exception:
+                        # Transient device-memory exhaustion comes from
+                        # overlapped launches (each program shape warms fine
+                        # alone): drain ALL in-flight work, retry once on
+                        # the idle device, synchronously.
+                        self._full_sync()
+                        self.stats["retries"] += 1
+                        img = self.pipeline.generate(
+                            **p.request, output_type="np"
+                        )
+                        from PIL import Image
+
+                        p.future.set_result(
+                            Image.fromarray(np.asarray(img)[0])
+                        )
+                        continue
                     self._hand_to_fetcher(group, images_dev)
                     continue
                 # batch-level kwargs (uniform across the group — enforced
@@ -315,12 +356,14 @@ class Batcher:
                     noise_mode=g0.get("noise_mode", "jax"),
                 )
                 reqs = [p.request for p in group]
-                if self.pad_to_bucket and len(reqs) < self.max_batch:
+                cap = self._cap_for(group[0].key)
+                if self.pad_to_bucket and len(reqs) < cap:
                     target = 1
                     while target < len(reqs):
                         target *= 2
-                    # non-power-of-two max_batch: the cap itself is a bucket
-                    target = min(target, self.max_batch)
+                    # a non-power-of-two cap (max_batch or the pixel-budget
+                    # cap at this resolution) is itself a bucket
+                    target = min(target, cap)
                     # clones share group[0]'s compat key by construction, so
                     # they cannot change the program beyond the batch dim;
                     # _resolve zips futures with rows and drops the padding
@@ -337,15 +380,31 @@ class Batcher:
                         reqs, output_type="device", **common,
                     )
                 except Exception:
-                    if len(group) == 1:
-                        raise
-                    # One request's validation error must not fail its
-                    # co-batched neighbors with a 500: retry each request
-                    # alone so only the offender errors (rare path — the
-                    # per-request programs are the already-compiled batch-1
-                    # shapes).
                     from PIL import Image
 
+                    # First assume transient device-memory exhaustion from
+                    # overlapped launches (each program shape warms fine
+                    # alone; the first real mixed-load run recorded 14
+                    # RESOURCE_EXHAUSTED, all mid-overlap): drain ALL
+                    # in-flight work, then retry the identical padded batch
+                    # once, synchronously, on the idle device.
+                    self._full_sync()
+                    self.stats["retries"] += 1
+                    try:
+                        arr = np.asarray(self.pipeline.generate_batch(
+                            reqs, output_type="np", **common,
+                        ))
+                        for p, im in zip(group, arr):
+                            p.future.set_result(Image.fromarray(im))
+                        continue
+                    except Exception:
+                        if len(group) == 1:
+                            raise
+                    # Still failing on an idle device: one request's
+                    # validation error must not fail its co-batched
+                    # neighbors with a 500 — retry each request alone so
+                    # only the offender errors (the per-request programs
+                    # are the already-compiled batch-1 shapes).
                     for p in group:
                         try:
                             img = self.pipeline.generate_batch(
@@ -376,6 +435,20 @@ class Batcher:
             np.asarray(dev[:1, :1, :1])
         except Exception:
             pass  # the fetcher's full fetch surfaces any real error
+
+    def _full_sync(self, timeout_s: float = 600.0) -> None:
+        """Drain ALL in-flight device work (worker thread only): sync the
+        last launch's compute, then wait for the fetcher to confirm every
+        outstanding batch. Used before an OOM retry so it runs against an
+        otherwise-idle device — transient exhaustion comes from overlapped
+        programs' peaks, not from any single program."""
+        self._sync_prev_compute()
+        deadline = time.monotonic() + timeout_s
+        while time.monotonic() < deadline:
+            with self._computing_lock:
+                if self._computing == 0:
+                    return
+            time.sleep(0.01)
 
     def _hand_to_fetcher(self, group: List[_Pending], images_dev) -> None:
         """Queue a launched device batch for fetching; tracks it as
@@ -413,10 +486,32 @@ class Batcher:
     def _resolve(self, group: List[_Pending], images_dev) -> None:
         """Fetch one launched batch and resolve its futures (runs on the
         single fetcher thread, preserving batch order)."""
-        try:
-            from PIL import Image
+        from PIL import Image
 
+        try:
             arr = np.asarray(images_dev)
+        except Exception as e:
+            # The fetch is where a launched program's failure surfaces
+            # (execution is async until materialization) — under mixed
+            # load that's typically transient memory exhaustion from
+            # overlapped launches. Requeue each request ONCE; it re-enters
+            # group formation and relaunches through already-compiled
+            # bucket programs. A request that already consumed its requeue
+            # fails for real.
+            requeued = False
+            for p in group:
+                if p.future.done():
+                    continue
+                if p.retries == 0:
+                    p.retries = 1
+                    self._q.put(p)
+                    requeued = True
+                else:
+                    p.future.set_exception(e)
+            if requeued:
+                self.stats["retries"] += 1
+            return
+        try:
             for p, im in zip(group, arr):
                 p.future.set_result(Image.fromarray(im))
         except Exception as e:

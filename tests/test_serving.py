@@ -548,3 +548,112 @@ def test_batcher_pad_to_bucket_caps_at_max_batch(pipe):
     finally:
         b.close()
     assert b.stats["batches"] == 1
+
+
+def test_batcher_max_batch_pixels_caps_group(pipe):
+    """A pixel budget of 2·64² caps 64² groups at 2 rows: 4 concurrent
+    requests form 2 batches of 2 instead of 1 batch of 4, and every future
+    still resolves correctly."""
+    b = Batcher(pipe, max_batch=4, max_wait_ms=300.0,
+                max_batch_pixels=2 * 64 * 64)
+    try:
+        assert b._cap_for(((64, 64),)) == 2
+        assert b._cap_for(((128, 128),)) == 1  # floor, never 0
+        assert b._cap_for(("singleton", object())) == 4  # cap is per-bucket
+        futs = [b.submit(_req(p, i)) for i, p in enumerate(
+            ["a cat", "a dog", "a fox", "a boat"])]
+        imgs = [f.result(timeout=600) for f in futs]
+    finally:
+        b.close()
+    assert b.stats["batches"] == 2
+    assert b.stats["batched_requests"] == 4
+    assert all(im.size == (64, 64) for im in imgs)
+
+
+def test_batcher_retries_failed_launch_after_full_sync(pipe):
+    """A launch that fails transiently (the mixed-load OOM signature:
+    overlapped launches exhaust device memory, the same program succeeds
+    on an idle device) is retried whole after draining in-flight work; the
+    clients see results, not exceptions."""
+    real = pipe.generate_batch
+    calls = {"n": 0}
+
+    def flaky(reqs, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("RESOURCE_EXHAUSTED: TPU backend error")
+        return real(reqs, **kw)
+
+    pipe_proxy = type("P", (), {})()
+    for name in dir(pipe):
+        if not name.startswith("__"):
+            setattr(pipe_proxy, name, getattr(pipe, name))
+    pipe_proxy.generate_batch = flaky
+
+    b = Batcher(pipe_proxy, max_batch=4, max_wait_ms=300.0)
+    try:
+        futs = [b.submit(_req(p, i))
+                for i, p in enumerate(["a cat", "a dog"])]
+        imgs = [f.result(timeout=600) for f in futs]
+    finally:
+        b.close()
+    assert b.stats["retries"] == 1
+    assert calls["n"] == 2  # whole-group retry, not per-request fallback
+    direct = real([_req("a cat", 0), _req("a dog", 1)],
+                  num_inference_steps=2, output_type="np")
+    for img, row in zip(imgs, direct):
+        np.testing.assert_array_equal(np.asarray(img), row)
+
+
+def test_batcher_requeues_failed_fetch_once(pipe):
+    """A launched batch whose FETCH fails (where async execution errors
+    surface) is requeued once: the requests re-enter group formation and
+    resolve through a fresh launch. A second fetch failure is real and
+    propagates."""
+
+    class FlakyDevice:
+        """Mimics an un-fetched device array whose materialization fails
+        the first time."""
+
+        def __init__(self, arr):
+            self._arr = np.asarray(arr)
+            self.failed = False
+
+        def __getitem__(self, idx):  # 1-pixel compute barrier slices
+            return self._arr[idx]
+
+        def __array__(self, dtype=None, copy=None):
+            if not self.failed:
+                self.failed = True
+                raise RuntimeError("RESOURCE_EXHAUSTED: TPU backend error")
+            return self._arr
+
+    real = pipe.generate_batch
+    calls = {"n": 0}
+
+    def wrapped(reqs, **kw):
+        calls["n"] += 1
+        out = real(reqs, **{**kw, "output_type": "np"})
+        if calls["n"] == 1:
+            return FlakyDevice(out)
+        return out
+
+    pipe_proxy = type("P", (), {})()
+    for name in dir(pipe):
+        if not name.startswith("__"):
+            setattr(pipe_proxy, name, getattr(pipe, name))
+    pipe_proxy.generate_batch = wrapped
+
+    b = Batcher(pipe_proxy, max_batch=4, max_wait_ms=300.0)
+    try:
+        futs = [b.submit(_req(p, i))
+                for i, p in enumerate(["a cat", "a dog"])]
+        imgs = [f.result(timeout=600) for f in futs]
+    finally:
+        b.close()
+    assert b.stats["retries"] >= 1
+    assert calls["n"] == 2
+    direct = real([_req("a cat", 0), _req("a dog", 1)],
+                  num_inference_steps=2, output_type="np")
+    for img, row in zip(imgs, direct):
+        np.testing.assert_array_equal(np.asarray(img), row)
