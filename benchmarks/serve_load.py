@@ -17,7 +17,8 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def _run_mixed(pipe, req, size, steps, tiny):
+def _run_mixed(pipe, req, size, steps, tiny, waves=3,
+               max_wait_ms=200.0):
     """Heterogeneous closed-loop load (VERDICT r4 item 6).
 
     10 closed-loop clients against ONE Batcher: 4 txt2img @ base size, 4
@@ -95,8 +96,7 @@ def _run_mixed(pipe, req, size, steps, tiny):
     print(f"warm edit: {_time.time() - t0:.1f}s", file=sys.stderr,
           flush=True)
 
-    waves = 3
-    batcher = Batcher(pipe, max_batch=4, max_wait_ms=200.0,
+    batcher = Batcher(pipe, max_batch=4, max_wait_ms=max_wait_ms,
                       pad_to_bucket=True, max_batch_pixels=max_px)
     lat = {c: [] for c in classes}
     fails = {c: 0 for c in classes}
@@ -159,6 +159,7 @@ def _run_mixed(pipe, req, size, steps, tiny):
         "steps": steps,
         "sizes": {"txt512": size, "txt768": hi},
         "max_batch_pixels": max_px,
+        "max_wait_ms": max_wait_ms,
         "sustained_req_per_s": round(n_req / total, 4),
         "per_class": per_class,
         "batches_formed": batcher.stats["batches"],
@@ -191,6 +192,14 @@ def main():
                     help="also measure an img2img wave (these requests "
                     "batched serially through plain generate before the "
                     "per-sample-row scan landed)")
+    ap.add_argument("--max-wait-ms", type=float, default=200.0,
+                    help="batcher linger in --mixed; should scale with the "
+                    "cycle time (~13 s under the default mix) so a client "
+                    "re-submitting right after its class's batch resolves "
+                    "can still catch the forming group")
+    ap.add_argument("--waves", type=int, default=3,
+                    help="closed-loop submissions per client in --mixed "
+                    "(more waves = steadier per-class tail statistics)")
     ap.add_argument("--mixed", action="store_true",
                     help="heterogeneous closed-loop scenario (VERDICT r4 "
                     "item 6): 4 clients at 512² + 4 at 768² + 1 inpaint + "
@@ -242,7 +251,8 @@ def main():
         }
 
     if args.mixed:
-        _run_mixed(pipe, req, size, steps, tiny=args.tiny)
+        _run_mixed(pipe, req, size, steps, tiny=args.tiny,
+                   waves=args.waves, max_wait_ms=args.max_wait_ms)
         return
 
     # warm the compiled programs at batch sizes 1 and n
