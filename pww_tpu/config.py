@@ -59,6 +59,40 @@ class CLIPTextConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class LDMBertConfig:
+    """LDM-BERT text encoder (original CompVis latent-diffusion conditioning).
+
+    Defaults match the reference converter's ``create_ldm_bert_config``
+    (reference `change_model_path.py:312-319`): ``d_model = n_embed``,
+    ``encoder_layers = n_layer``, ``ffn_dim = 4·n_embed``, with diffusers'
+    ``LDMBertConfig`` defaults for everything it leaves unset — 8 heads of
+    64 dims (so the attention inner dim is 512, NOT ``d_model``), BERT vocab
+    30522, 77 positions. The canonical txt2img-1p4B checkpoint has
+    ``n_embed=1280, n_layer=32``.
+    """
+
+    vocab_size: int = 30522
+    d_model: int = 1280
+    num_layers: int = 32
+    num_heads: int = 8
+    head_dim: int = 64
+    ffn_dim: int = 5120
+    max_position_embeddings: int = 77
+    layer_norm_eps: float = 1e-5
+
+    @property
+    def inner_dim(self) -> int:
+        return self.num_heads * self.head_dim
+
+    @staticmethod
+    def tiny() -> "LDMBertConfig":
+        return LDMBertConfig(
+            vocab_size=100, d_model=32, num_layers=2, num_heads=2,
+            head_dim=8, ffn_dim=64, max_position_embeddings=16,
+        )
+
+
+@dataclasses.dataclass(frozen=True)
 class CLIPVisionConfig:
     """CLIP vision tower (IP-Adapter image conditioning).
 

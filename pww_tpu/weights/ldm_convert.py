@@ -25,6 +25,7 @@ from .loader import (
     clip_key,
     fill_params,
     read_state_dict,
+    t_id,
     unet_key,
     vae_keys,
 )
@@ -201,6 +202,110 @@ def _convert_open_clip(raw: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
     return out
 
 
+# -- LDM-BERT (original latent-diffusion text tower) ------------------------
+#
+# TPU-native counterpart of the reference's ``convert_ldm_bert_checkpoint``
+# (reference `change_model_path.py:742-792`): the x-transformers layout
+# interleaves [norm, attn] / [norm, ff] pairs in one ModuleList, so layer i
+# of the target model reads slots 2i (attention half) and 2i+1 (feed-forward
+# half) — the reference's ``if i != 0: i += i`` stride-2 walk
+# (`change_model_path.py:771-774`). q/k/v carry no bias (only ``.weight`` is
+# copied, `:744-746`); out/fc/norms carry weight+bias.
+
+
+def is_ldm_bert_sd(text_sd: Dict[str, np.ndarray]) -> bool:
+    """True if a ``cond_stage_model.transformer.*``-stripped dict is an
+    original-LDM BERT tower rather than a HF CLIP one (SD checkpoints nest a
+    further ``text_model.`` level; LDM-BERT starts at ``token_emb``)."""
+    return "token_emb.weight" in text_sd
+
+
+def ldm_bert_key(path: Tuple[str, ...], rank: int) -> Tuple[str, "object"]:
+    """Flax :class:`~..models.ldm_bert.LDMBertEncoder` param path → original
+    LDM checkpoint key (``cond_stage_model.transformer.`` already stripped)."""
+    from .loader import _leaf_key
+
+    *mods, leaf = path
+    if mods[0] == "embed_tokens":
+        return "token_emb.weight", t_id
+    if mods[0] == "embed_positions":
+        return "pos_emb.emb.weight", t_id
+    torch_leaf, tf = _leaf_key(leaf, rank)
+    if mods[0] == "layer_norm":  # final post-stack norm
+        return f"norm.{torch_leaf}", tf
+    if mods[0] == "to_logits":
+        return f"to_logits.{torch_leaf}", tf
+    m = re.fullmatch(r"layers_(\d+)", mods[0])
+    assert m, path
+    i = int(m[1])
+    sub = mods[1]
+    if sub == "self_attn_layer_norm":
+        return f"attn_layers.layers.{2 * i}.0.{torch_leaf}", tf
+    if sub == "self_attn":
+        proj = {"q_proj": "to_q", "k_proj": "to_k", "v_proj": "to_v",
+                "out_proj": "to_out"}[mods[2]]
+        return f"attn_layers.layers.{2 * i}.1.{proj}.{torch_leaf}", tf
+    if sub == "final_layer_norm":
+        return f"attn_layers.layers.{2 * i + 1}.0.{torch_leaf}", tf
+    inner = {"fc1": "net.0.0", "fc2": "net.2"}[sub]
+    return f"attn_layers.layers.{2 * i + 1}.1.{inner}.{torch_leaf}", tf
+
+
+def convert_ldm_bert(
+    text_sd: Dict[str, np.ndarray],
+    num_heads: Optional[int] = None,
+    head_dim: Optional[int] = None,
+):
+    """Original-LDM BERT state dict → (:class:`LDMBertConfig`, Flax params).
+
+    Hyperparameters are inferred from tensor shapes the way the reference
+    derives them from the yaml (`change_model_path.py:312-319`) — except the
+    head split, which no tensor shape pins down: the reference inherits
+    diffusers' LDMBertConfig defaults (8 heads × 64 dims), so ``head_dim``
+    defaults to 64 when the attention inner dim divides by it, else 8 heads.
+    PwW pipelines condition on CLIP (reference
+    `paint_with_words/paint_with_words.py:171`); this path exists so
+    original-LDM checkpoints convert completely, matching the reference CLI's
+    scope (`change_model_path.py:926-937`).
+    """
+    from ..config import LDMBertConfig
+    from ..models.ldm_bert import LDMBertEncoder
+
+    vocab, d_model = (int(s) for s in text_sd["token_emb.weight"].shape)
+    max_pos = int(text_sd["pos_emb.emb.weight"].shape[0])
+    inner = int(text_sd["attn_layers.layers.0.1.to_q.weight"].shape[0])
+    ffn = int(text_sd["attn_layers.layers.1.1.net.0.0.weight"].shape[0])
+    slots = [
+        int(m[1]) for k in text_sd
+        if (m := re.match(r"attn_layers\.layers\.(\d+)\.", k))
+    ]
+    num_layers = (max(slots) + 1) // 2
+    if head_dim is None and num_heads is None:
+        head_dim = 64 if inner % 64 == 0 else inner // 8
+    if num_heads is None:
+        num_heads = inner // head_dim
+    elif head_dim is None:
+        head_dim = inner // num_heads
+    if num_heads * head_dim != inner:
+        raise ValueError(
+            f"num_heads ({num_heads}) × head_dim ({head_dim}) != attention "
+            f"inner dim {inner} inferred from to_q.weight"
+        )
+    config = LDMBertConfig(
+        vocab_size=vocab, d_model=d_model, num_layers=num_layers,
+        num_heads=num_heads, head_dim=head_dim, ffn_dim=ffn,
+        max_position_embeddings=max_pos,
+    )
+    bert = LDMBertEncoder(config)
+    ids = jnp.zeros((1, max_pos), jnp.int32)
+    shapes = jax.eval_shape(
+        lambda r, i: bert.init(r, i, return_logits=True),
+        jax.random.PRNGKey(0), ids,
+    )
+    params = fill_params(shapes, text_sd, ldm_bert_key, name="ldm_bert")
+    return config, params
+
+
 def convert_ldm_state_dict(
     state: Dict[str, np.ndarray], extract_ema: bool = False
 ) -> Tuple[Dict[str, np.ndarray], Dict[str, np.ndarray], Dict[str, np.ndarray]]:
@@ -371,6 +476,20 @@ def load_ldm_checkpoint(
 
     state, ckpt_meta = read_state_dict(path, return_meta=True)
     unet_sd, vae_sd, clip_sd = convert_ldm_state_dict(state, extract_ema)
+    if is_ldm_bert_sd(clip_sd):
+        # Original-LDM (BERT-conditioned) checkpoint: the text tower converts
+        # via convert_ldm_bert, but PwW pipelines condition on CLIP — exactly
+        # the reference's split, where LDM-BERT feeds only the plain
+        # LDMTextToImagePipeline (change_model_path.py:926-937) and
+        # pww_load_tools always loads CLIPTextModel (paint_with_words.py:171).
+        raise ValueError(
+            f"{path} is an original latent-diffusion checkpoint (LDM-BERT "
+            "text encoder, not CLIP). Its text tower converts with "
+            "pww_tpu.weights.ldm_convert.convert_ldm_bert(clip_sd), but the "
+            "PwW pipeline requires a CLIP-conditioned SD checkpoint — same "
+            "scope as the reference (change_model_path.py:926-937 routes "
+            "LDM-BERT only into the plain LDM pipeline, never into PwW)."
+        )
 
     # global_step lives OUTSIDE state_dict in LDM checkpoints — the tensor
     # filter drops it, so the v-prediction heuristic reads the header meta.
