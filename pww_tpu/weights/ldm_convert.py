@@ -553,6 +553,13 @@ def _cli():
                  "dpmpp_2m", "heun", "unipc"],
         help="recorded as the default scheduler for the converted model",
     )
+    ap.add_argument(
+        "--text_encoder_only", action="store_true",
+        help="convert and dump ONLY the text tower of an original-LDM "
+        "(BERT-conditioned) checkpoint, which has no PwW-runnable UNet/VAE "
+        "(reference scope: change_model_path.py:926-937 routes LDM-BERT "
+        "only into the plain LDM pipeline). SD checkpoints don't need this.",
+    )
     args = ap.parse_args()
 
     import dataclasses
@@ -561,6 +568,33 @@ def _cli():
 
     import flax.serialization
     import jax
+
+    if args.text_encoder_only:
+        state = read_state_dict(args.checkpoint_path)
+        _, _, text_sd = convert_ldm_state_dict(state, args.extract_ema)
+        if not is_ldm_bert_sd(text_sd):
+            ap.error(
+                "--text_encoder_only is for original-LDM (BERT-conditioned) "
+                "checkpoints; this one has a CLIP tower — run the standard "
+                "conversion instead."
+            )
+        config, params = convert_ldm_bert(text_sd)
+        os.makedirs(args.dump_path, exist_ok=True)
+        with open(os.path.join(args.dump_path, "params.msgpack"), "wb") as f:
+            f.write(flax.serialization.to_bytes(
+                jax.tree.map(lambda x: jax.device_get(x), params)
+            ))
+        with open(os.path.join(args.dump_path, "config.json"), "w") as f:
+            json.dump(
+                {
+                    "ldm_bert": dataclasses.asdict(config),
+                    "source": os.path.basename(args.checkpoint_path),
+                },
+                f, indent=2,
+            )
+        print(f"wrote {args.dump_path}/params.msgpack + config.json "
+              "(LDM-BERT text tower only)")
+        return
 
     config, params, tokenizer = load_ldm_checkpoint(
         args.checkpoint_path, extract_ema=args.extract_ema,

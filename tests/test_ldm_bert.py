@@ -166,6 +166,57 @@ def test_key_mapping(path, want):
     assert ldm_bert_key(path, rank)[0] == want
 
 
+def test_cli_text_encoder_only_dump(tmp_path, monkeypatch):
+    # The converter CLI can dump just the BERT tower of an original-LDM
+    # checkpoint (its UNet/VAE are not PwW-runnable), and the dumped params
+    # round-trip through flax serialization.
+    import json
+
+    import flax.serialization
+
+    from pww_tpu.weights.ldm_convert import _cli
+
+    sd = _synth_state(CFG)
+    full = {f"cond_stage_model.transformer.{k}": torch.from_numpy(v)
+            for k, v in sd.items()}
+    ckpt = tmp_path / "ldm.ckpt"
+    torch.save({"state_dict": full}, ckpt)
+    out = tmp_path / "out"
+    monkeypatch.setattr(
+        "sys.argv",
+        ["ldm_convert", "--checkpoint_path", str(ckpt),
+         "--dump_path", str(out), "--text_encoder_only"],
+    )
+    _cli()
+    meta = json.loads((out / "config.json").read_text())
+    assert meta["ldm_bert"]["d_model"] == CFG.d_model
+    assert meta["ldm_bert"]["num_layers"] == CFG.num_layers
+    _, params = convert_ldm_bert(sd)  # head split doesn't affect params
+    restored = flax.serialization.from_bytes(
+        params, (out / "params.msgpack").read_bytes()
+    )
+    got = restored["params"]["embed_tokens"]["embedding"]
+    np.testing.assert_array_equal(np.asarray(got), sd["token_emb.weight"])
+
+
+def test_cli_text_encoder_only_rejects_clip(tmp_path, monkeypatch):
+    full = {
+        "cond_stage_model.transformer.text_model.embeddings."
+        "token_embedding.weight": torch.zeros(10, 8)
+    }
+    ckpt = tmp_path / "sd.ckpt"
+    torch.save({"state_dict": full}, ckpt)
+    from pww_tpu.weights.ldm_convert import _cli
+
+    monkeypatch.setattr(
+        "sys.argv",
+        ["ldm_convert", "--checkpoint_path", str(ckpt),
+         "--dump_path", str(tmp_path / "o"), "--text_encoder_only"],
+    )
+    with pytest.raises(SystemExit):
+        _cli()
+
+
 def test_detection_and_loader_refusal(tmp_path):
     # An LDM-BERT tower is detected, and the full-pipeline loader refuses it
     # with the CLIP-scope explanation instead of mis-mapping keys into CLIP.
