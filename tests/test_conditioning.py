@@ -124,6 +124,17 @@ def test_rasterize_matches_reference_loop(rng):
 
 
 def test_rasterize_nonsquare(rng):
+    """Non-square maps match the reference's LITERAL name-swapped loop.
+
+    The reference reads ``w, h = mask.shape`` on an (H, W) numpy array
+    (reference paint_with_words.py:252-254) — the names are swapped, but the
+    code stays positionally consistent: ``size=(w_r, h_r)`` on the (H, W)
+    tensor targets (H/r, W/r) by position (`:38-45`), and the row-major
+    flatten matches the UNet's q-token layout. SURVEY §2 flags this quirk as
+    "replicate or deliberately fix, document either way": this test proves
+    the swap is purely cosmetic — a literal replica of the swapped naming
+    produces the exact pyramid our true-(H, W) implementation builds.
+    """
     h, w = 96, 64
     mask = rng.random((1, h, w)).astype(np.float32)
     match = np.ones((1, 7), np.float32)
@@ -131,6 +142,15 @@ def test_rasterize_nonsquare(rng):
     h8, w8 = pyramid_level_shape(h, w, 8)
     assert (h8, w8) == (12, 8)
     assert pyr[96].shape == (96, 7)
+    # literal reference naming: "w" holds H, "h" holds W
+    w_name, h_name = mask[0].shape
+    w_r, h_r = always_round(w_name / 8), always_round(h_name / 8)
+    down = F.interpolate(
+        torch.from_numpy(mask[0])[None, None], size=(w_r, h_r),
+        mode="bilinear", align_corners=True,
+    )[0, 0].numpy().reshape(-1, 1)
+    want = down * match[0][None, :]
+    np.testing.assert_allclose(pyr[96], want, atol=1e-5, rtol=1e-4)
 
 
 def test_pwwstate_orig_fallback_resize(rng):
