@@ -361,12 +361,21 @@ def main():
                   f"~{est:.0f}s est > budget {args.budget:.0f}s",
                   file=sys.stderr)
             return
-        try:
-            extras[name] = fn()
-            print(f"{name}: {extras[name]:.3f}", file=sys.stderr)
-        except Exception as e:  # pragma: no cover - backend-dependent
-            print(f"extra {name} failed: {e!r}", file=sys.stderr)
-            extras[name] = None
+        # One budget-gated retry: the tunnel occasionally drops a
+        # remote_compile response mid-body (observed: "response body closed
+        # before all bytes were read"), which is transient — the retry hits
+        # the now-populated compile cache and usually lands in seconds.
+        for attempt in (0, 1):
+            try:
+                extras[name] = fn()
+                print(f"{name}: {extras[name]:.3f}", file=sys.stderr)
+                break
+            except Exception as e:  # pragma: no cover - backend-dependent
+                extras[name] = None
+                print(f"extra {name} failed (attempt {attempt + 1}): {e!r}",
+                      file=sys.stderr)
+                if attempt or time.time() - t_session0 + est > args.budget:
+                    break
         emit()
 
     if not args.tiny and not args.no_extras:
