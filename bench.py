@@ -223,6 +223,11 @@ def main():
     ap.add_argument("--scheduler", default="lms")
     ap.add_argument("--no-extras", action="store_true",
                     help="headline only: skip every secondary point")
+    ap.add_argument("--only", default=None,
+                    help="comma-separated substrings: run only the extras "
+                    "whose name matches one (e.g. --only lcm,tome). Useful "
+                    "to warm a specific program's compile cache without "
+                    "paying for the whole matrix")
     ap.add_argument("--budget", type=float,
                     default=float(os.environ.get("PWW_BENCH_BUDGET", 1500)),
                     help="wall-clock seconds; secondary points are skipped "
@@ -355,6 +360,8 @@ def main():
         lesson: checking elapsed-so-far let an extra start at 1400 s and
         blow through the 1500 s budget mid-compile). A skipped extra does
         not block later, cheaper ones — each point gates independently."""
+        if args.only and not any(s in name for s in args.only.split(",")):
+            return
         elapsed = time.time() - t_session0
         if elapsed + est > args.budget:
             print(f"extra {name} skipped: {elapsed:.0f}s elapsed + "
