@@ -21,6 +21,7 @@ of the ~919 s the device-side flax init cost in round 3.
 import argparse
 import os
 import json
+import signal
 import sys
 import time
 
@@ -372,9 +373,28 @@ def main():
         # remote_compile response mid-body (observed: "response body closed
         # before all bytes were read"), which is transient — the retry hits
         # the now-populated compile cache and usually lands in seconds.
+        # A SIGALRM watchdog (2x the cold-cost estimate) bounds tunnel
+        # HANGS, which don't raise on their own (observed: 14+ min futex
+        # wait with zero open tunnel connections). It converts hangs in
+        # interruptible waits (socket reads, sleeps) into TimeoutError for
+        # the retry path; an uninterruptible C-level wait still falls
+        # through to the driver's whole-process timeout, which the
+        # incremental emit() protects against.
+        use_alarm = hasattr(signal, "SIGALRM")
         for attempt in (0, 1):
             try:
-                extras[name] = fn()
+                if use_alarm:
+                    def _on_alarm(signum, frame):
+                        raise TimeoutError(
+                            f"watchdog: no result within {int(2 * est)}s")
+                    prev = signal.signal(signal.SIGALRM, _on_alarm)
+                    signal.alarm(max(60, int(2 * est)))
+                try:
+                    extras[name] = fn()
+                finally:
+                    if use_alarm:
+                        signal.alarm(0)
+                        signal.signal(signal.SIGALRM, prev)
                 print(f"{name}: {extras[name]:.3f}", file=sys.stderr)
                 break
             except Exception as e:  # pragma: no cover - backend-dependent
