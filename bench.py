@@ -160,6 +160,36 @@ def _denoise_flops(pipe, cm, kwargs, batch: int, size: int, steps: int):
     return float(ca["flops"]) * steps
 
 
+def _with_watchdog(fn, seconds: int, label: str, retries: int = 1):
+    """Run ``fn()`` under a SIGALRM watchdog, retrying on timeout.
+
+    The tunnel backend can lose an RPC outright — the client then blocks
+    forever on a reply whose TCP connection no longer exists (observed:
+    14+ min futex wait, zero open tunnel connections). SIGALRM converts
+    hangs in interruptible waits into TimeoutError; a re-issued request
+    usually lands (the compile cache is already populated by then). On
+    platforms without SIGALRM, or for uninterruptible C-level waits, this
+    degrades to plain ``fn()`` and the caller's process-level timeout.
+    """
+    if not hasattr(signal, "SIGALRM"):
+        return fn()
+    for attempt in range(retries + 1):
+        def _on_alarm(signum, frame):
+            raise TimeoutError(f"{label}: no result within {seconds}s")
+        prev = signal.signal(signal.SIGALRM, _on_alarm)
+        signal.alarm(seconds)
+        try:
+            return fn()
+        except TimeoutError:
+            if attempt == retries:
+                raise
+            print(f"{label} watchdog fired after {seconds}s "
+                  f"(attempt {attempt + 1}); retrying", file=sys.stderr)
+        finally:
+            signal.alarm(0)
+            signal.signal(signal.SIGALRM, prev)
+
+
 def _timed_run(pipe, kwargs, repeats: int, label: str, return_times=False,
                settle: int = 0):
     """warmup + median wall time of generate() (full pipeline, D2H incl.).
@@ -270,14 +300,16 @@ def main():
 
     print(f"devices: {jax.devices()}", file=sys.stderr)
     t0 = time.time()
-    pipe = _make_pipeline(cfg, args)
+    pipe = _with_watchdog(lambda: _make_pipeline(cfg, args), 900, "init")
     print(f"init: {time.time() - t0:.1f}s", file=sys.stderr)
 
     cm, kwargs = _bench_kwargs(size, steps, args.batch)
-    per_call, headline_times = _timed_run(
+    # 1200 s covers the worst observed cold headline compile with margin;
+    # a retry of the whole timed run is warm and lands in ~15 s.
+    per_call, headline_times = _with_watchdog(lambda: _timed_run(
         pipe, kwargs, args.repeats, f"{size}px b{args.batch}",
         return_times=True, settle=0 if args.tiny else 5,
-    )
+    ), 1200, "headline")
     per_image = per_call / args.batch
     ips = args.batch / per_call
     ht = np.asarray(headline_times)
@@ -339,7 +371,10 @@ def main():
     # FULL pipeline (text encode + denoise + VAE + D2H), so this is the
     # end-to-end (conservative) utilization, not a kernel-window number.
     try:
-        flops = _denoise_flops(pipe, cm, kwargs, args.batch, size, steps)
+        flops = _with_watchdog(
+            lambda: _denoise_flops(pipe, cm, kwargs, args.batch, size, steps),
+            600, "cost analysis",
+        )
         extras["denoise_tflops_per_image"] = flops / args.batch / 1e12
         peak = _chip_peak_flops()
         if peak:
