@@ -299,17 +299,30 @@ def main():
         args.repeats = 2 if args.tiny else 12
 
     print(f"devices: {jax.devices()}", file=sys.stderr)
-    t0 = time.time()
-    pipe = _with_watchdog(lambda: _make_pipeline(cfg, args), 900, "init")
-    print(f"init: {time.time() - t0:.1f}s", file=sys.stderr)
+    try:
+        t0 = time.time()
+        pipe = _with_watchdog(lambda: _make_pipeline(cfg, args), 900, "init")
+        print(f"init: {time.time() - t0:.1f}s", file=sys.stderr)
 
-    cm, kwargs = _bench_kwargs(size, steps, args.batch)
-    # 1200 s covers the worst observed cold headline compile with margin;
-    # a retry of the whole timed run is warm and lands in ~15 s.
-    per_call, headline_times = _with_watchdog(lambda: _timed_run(
-        pipe, kwargs, args.repeats, f"{size}px b{args.batch}",
-        return_times=True, settle=0 if args.tiny else 5,
-    ), 1200, "headline")
+        cm, kwargs = _bench_kwargs(size, steps, args.batch)
+        # 1200 s covers the worst observed cold headline compile with
+        # margin; a retry of the whole timed run is warm and lands in ~15 s.
+        per_call, headline_times = _with_watchdog(lambda: _timed_run(
+            pipe, kwargs, args.repeats, f"{size}px b{args.batch}",
+            return_times=True, settle=0 if args.tiny else 5,
+        ), 1200, "headline")
+    except Exception as e:  # pragma: no cover - backend-dependent
+        # A record documenting the failure beats an empty stdout: the
+        # observed total-outage mode (tunnel wedged upstream of the VM,
+        # even a 2-line matmul hangs in a fresh process) is a backend
+        # fault, not a property of this code — say so machine-readably.
+        print(json.dumps({
+            "metric": "images_per_sec_per_chip_sd15_512px_30step_pww",
+            "value": None, "unit": "img/s/chip", "vs_baseline": None,
+            "error": f"backend unavailable: {e!r}",
+            "elapsed_s": round(time.time() - t_session0, 1),
+        }), flush=True)
+        raise
     per_image = per_call / args.batch
     ips = args.batch / per_call
     ht = np.asarray(headline_times)
